@@ -14,7 +14,13 @@ object SparkEntry {
   /** All registered queries, grouped by suite. */
   def registry: Seq[Q] =
     _root_.graft.queries.Core.all ++
-      _root_.graft.queries.MapReduceQueries.all
+      _root_.graft.queries.MapReduceQueries.all ++
+      _root_.graft.queries.Dedup.all ++
+      _root_.graft.queries.Similarity.all ++
+      _root_.graft.queries.TextAnalysis.all ++
+      _root_.graft.queries.Multimodal.all ++
+      _root_.graft.queries.EventWindows.all ++
+      _root_.graft.queries.Relational2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own golden workload: character frequency count

