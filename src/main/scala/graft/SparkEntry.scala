@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.TextAnalysis.all ++
       _root_.graft.queries.Multimodal.all ++
       _root_.graft.queries.EventWindows.all ++
-      _root_.graft.queries.Relational2.all
+      _root_.graft.queries.Relational2.all ++
+      _root_.graft.sources.Sources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own golden workload: character frequency count

@@ -112,5 +112,28 @@ object EventWindows {
              FROM events GROUP BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling)
+  /** q47 — the same sessionization as q36 through CUSTOM state:
+    * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
+    * built-in session_window — the escape hatch for session semantics the
+    * built-in can't express (per-user gaps, value-dependent splits).
+    * Batch execution here (trailing sessions flushed); the multi-batch
+    * state-store path is exercised in StreamingSessionSpec. Same oracle
+    * as q36: both formulations must agree.
+    */
+  val statefulSessions = Q(
+    "q47_stateful_sessions",
+    (s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize
+        .sessions(events, gapUs = 15L * 60 * 1000000, flushTrailing = true)
+        .toDF()
+        .select(col("session_start"), col("user_id"), col("n"), col("sum_value"))
+    },
+    session.oracle // identical semantics to q36
+  )
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling, statefulSessions)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.CosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,26 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x))"))
 
   /** q27 — brute-force cosine top-k: 8 probe vectors against the whole
-    * corpus. Rank on the 6-digit-rounded score with vec_id tiebreak so the
-    * ordering is engine-portable.
+    * corpus, scored by the native codegen'd CosineSimilarity expression
+    * (one fused loop inside WholeStageCodegen). Rank on the 6-digit-
+    * rounded score with vec_id tiebreak so the ordering is engine-portable.
     */
   val cosineTopK = Q(
     "q27_cosine_topk",
     (s, d) => {
-      val e = withNorm(s, d)
+      val e = vectors(s, d)
       val probes = e.where(col("vec_id") < 8)
       val scored = broadcast(probes).as("q")
         .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
-          round(
-            expr("aggregate(zip_with(q.v, x.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-              / (col("q.nrm") * col("x.nrm")), 6).as("cos_sim"))
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 10)
@@ -89,15 +88,13 @@ object Similarity {
   val annLsh = Q(
     "q28_ann_lsh",
     (s, d) => {
-      val e = withNorm(s, d).withColumn("bucket", bucketCol)
+      val e = vectors(s, d).withColumn("bucket", bucketCol)
       val probes = e.where(col("vec_id") < 8)
       val scored = broadcast(probes).as("q")
         .join(e.as("x"),
           col("x.bucket") === col("q.bucket") && col("x.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
-          round(
-            expr("aggregate(zip_with(q.v, x.v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-              / (col("q.nrm") * col("x.nrm")), 6).as("cos_sim"))
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)

@@ -167,5 +167,44 @@ object TextAnalysis {
             FROM documents d LEFT JOIN sfp ON sfp.doc_id = d.doc_id""")
   )
 
-  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint)
+  /** q46 — TF-IDF: top-3 scoring terms per document. One shuffle for tf,
+    * one small aggregate for df (broadcast back), corpus size via a
+    * broadcast 1-row aggregate — no driver-side collect. Scores are
+    * rounded to 6 digits before ranking (ln() is libm-dependent), with a
+    * term tiebreak, so ordering is engine-portable.
+    */
+  val tfIdf = Q(
+    "q46_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 3)
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                              round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+                       FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+              FROM scored) t
+            WHERE rnk <= 3""")
+  )
+
+  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf)
 }

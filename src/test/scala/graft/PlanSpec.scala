@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the 100 TB design points that a row-count
+  * check can't see: predicate pushdown reaching the parquet scan, column
+  * pruning, broadcast joins for dimensions, whole-stage codegen spans, and
+  * the native cosine expression staying inside codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    assert(p.contains("l_discount"), p)
+  }
+
+  test("q02: scan reads only the referenced columns (pruning)") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q05/q06: dimension joins broadcast the small side") {
+    assert(plan("q05_join_agg").contains("BroadcastHashJoin"))
+    val multi = plan("q06_join_multi")
+    assert(multi.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2)
+  }
+
+  test("q03: aggregation is a two-phase hash aggregate (map-side partial)") {
+    val p = plan("q03_group_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.toLowerCase.contains("partial"), p.take(2000))
+  }
+
+  test("q27: plan uses the native cosine expression") {
+    val p = plan("q27_cosine_topk")
+    assert(p.contains("cosine_similarity"), p.take(2000))
+  }
+
+  test("CosineSimilarity generates fused whole-stage code and evaluates correctly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // range source (not a local relation, which would be constant-folded)
+    val df = spark.range(1).select(
+      expr("array(CAST(id AS DOUBLE), CAST(id + 1 AS DOUBLE), CAST(id + 2 AS DOUBLE))").as("a"),
+      expr("array(CAST(id AS DOUBLE), CAST(id + 1 AS DOUBLE), CAST(id + 2 AS DOUBLE))").as("b"))
+      .select(graft.functions.CosineSimilarity(col("a"), col("b")).as("c"))
+    assert(math.abs(df.head.getDouble(0) - 1.0) < 1e-12)
+    // exchange-free plan → no AQE → codegen subtree visible, containing
+    // the expression's generated loop
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(gen.contains("Math.sqrt"), gen.take(1500))
+  }
+
+  test("q43: range join keeps its equi-join driver (no cartesian)") {
+    val p = plan("q43_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Join"), p.take(2000))
+  }
+
+  test("q23: LSH candidate verification broadcasts the candidate list") {
+    assert(plan("q23_minhash_lsh_dedup").contains("BroadcastHashJoin"))
+  }
+
+  test("no query plan contains a CartesianProduct except intended NL joins") {
+    // q27/q28 broadcast the tiny probe side on a non-equi condition —
+    // BroadcastNestedLoopJoin is the intended strategy there; anything
+    // else appearing as a cartesian is a regression.
+    val allowed = Set("q27_cosine_topk", "q28_ann_lsh", "q46_tfidf")
+    for (q <- SparkEntry.queries.keys if !allowed(q) && !q.startsWith("q37")) {
+      assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+    }
+  }
+}

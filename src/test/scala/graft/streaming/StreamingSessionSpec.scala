@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.time.Instant
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The state-store path of Sessionize: state must carry open sessions
+  * across micro-batches, emitting a session only once its gap has been
+  * observed in a later batch.
+  */
+class StreamingSessionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(user: Long, sec: Long, value: Double) =
+    Sessionize.Event(user, Instant.ofEpochSecond(sec), value)
+
+  test("open sessions survive micro-batch boundaries in the state store") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      input.toDS(), gapUs = 60L * 1000000, flushTrailing = false)
+    val name = "sess_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 30s apart — same session, nothing emitted yet
+      input.addData(ev(1, 0, 1.0), ev(1, 30, 2.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+
+      // batch 2: an event 45s later still extends it; then a 2000s jump
+      // closes it — the closed session must include batch-1 events
+      input.addData(ev(1, 75, 3.0), ev(1, 3000, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") === 1L)
+      assert(r.getAs[Long]("n") === 3L) // events at 0, 30, 75
+      assert(r.getAs[Double]("sum_value") === 6.0)
+    } finally q.stop()
+  }
+
+  test("batch mode with flushTrailing emits every session exactly once") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, 1.0), ev(1, 30, 2.0), ev(1, 5000, 3.0),
+      ev(2, 100, 4.0)).toDS()
+    val out = Sessionize.sessions(events, gapUs = 60L * 1000000, flushTrailing = true)
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(out.map(s => (s.user_id, s.n, s.sum_value)).toSeq ===
+      Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+}
