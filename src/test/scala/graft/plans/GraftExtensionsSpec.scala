@@ -1,0 +1,23 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_similarity is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D), array(2.0D, 1.0D)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(r - 0.8) < 1e-12)
+  }
+
+  test("builder-time extension injection compiles against the public API") {
+    // the extension object is a SparkSessionExtensions => Unit; applying
+    // it to a fresh extensions container must inject without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
