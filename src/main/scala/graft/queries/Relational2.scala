@@ -143,5 +143,55 @@ object Relational2 {
              GROUP BY o_orderpriority""")
   )
 
-  val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin, rangeJoin)
+  /** q48 — skew-resistant two-phase aggregation with an explicit salt:
+    * phase 1 aggregates on (key, salt) spreading any hot key over 16
+    * reducers; phase 2 merges the partials per key. Result is identical
+    * to the direct aggregation (the oracle computes it directly) because
+    * every partial — decimal sums, counts, min/max — re-aggregates
+    * exactly. At 100 TB this is the pattern for keys too hot for AQE's
+    * skew handling (which only splits join partitions, not agg groups).
+    */
+  val saltedAgg = Q(
+    "q48_salted_agg",
+    (s, d) => {
+      val phase1 = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+          min(col("l_quantity")).as("pmin"),
+          max(col("l_quantity")).as("pmax"))
+      phase1
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty"),
+          min(col("pmin")).as("min_qty"),
+          max(col("pmax")).as("max_qty"))
+    },
+    Some(s"""SELECT l_returnflag, count(*) AS n,
+             ${sqlSum2("l_quantity")} AS sum_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+             FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  /** q49 — approximate percentile sketch (GK/KLL-family): mergeable,
+    * bounded-memory — the 100 TB answer when exact percentiles (q40)
+    * would need a full sort. No SQL oracle (approximate by definition);
+    * the spec bounds it against q40's exact values.
+    */
+  val approxPercentile = Q(
+    "q49_approx_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90")),
+    None
+  )
+
+  val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
+    rangeJoin, saltedAgg, approxPercentile)
 }

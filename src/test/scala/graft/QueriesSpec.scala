@@ -300,4 +300,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(run("q43_range_join").agg(sum("n")).head.getLong(0) <=
       Tables.lineitem(spark, d).count())
   }
+
+  test("q44/q45: csv and json round-trips preserve every row") {
+    val n = Tables.documents(spark, d).count()
+    assert(run("q44_csv_roundtrip").count() === n)
+    assert(run("q45_json_roundtrip").count() === n)
+  }
+
+  test("q46_tfidf: 3 terms per doc, positive scores, rank order") {
+    val df = run("q46_tfidf")
+    assert(df.groupBy("doc_id").count().where(col("count") =!= 3).count() === 0)
+    assert(df.where(col("tfidf") < 0).count() === 0)
+  }
+
+  test("q47_stateful_sessions ≡ q36 built-in session windows") {
+    val a = run("q47_stateful_sessions")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val b = run("q36_session_window")
+      .select("session_start", "user_id", "n", "sum_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(a === b)
+  }
+
+  test("q48_salted_agg ≡ direct aggregation") {
+    val salted = run("q48_salted_agg").orderBy("l_returnflag").collect().toSeq
+    val direct = Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Q.dsum2(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted === direct)
+  }
+
+  test("q49_approx_percentile: within 5% of exact q40 values") {
+    val exact = run("q40_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap // p50, p90
+    run("q49_approx_percentile").collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) <= math.max(1.0, 0.05 * p50))
+      assert(math.abs(r.getDouble(2) - p90) <= math.max(1.0, 0.05 * p90))
+    }
+  }
 }
