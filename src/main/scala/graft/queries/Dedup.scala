@@ -36,18 +36,21 @@ object Dedup {
       |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       |          FROM idx WHERE i + 2 <= len(ws))""".stripMargin
 
-  /** q22 — exact deduplication: hash-groupBy on full text, keeping the
-    * smallest doc_id per distinct text. One shuffle; map-side partial min.
+  /** q22 — exact deduplication: hash-groupBy on the md5 fingerprint (not
+    * the full text — at 100 TB shuffling a 32-char hash instead of the
+    * document body is the difference between a metadata shuffle and
+    * re-shuffling the corpus), keeping the smallest doc_id per distinct
+    * fingerprint. One shuffle; map-side partial min.
     */
   val exactDedup = Q(
     "q22_exact_dedup",
     (s, d) =>
       Tables.documents(s, d)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-        .select(TextFns.md5Hex(col("text")).as("fp"), col("keeper_id"), col("n_copies")),
+        .select(TextFns.md5Hex(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
     Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
-            FROM documents GROUP BY text""")
+            FROM documents GROUP BY md5(text)""")
   )
 
   /** q23 — MinHash + LSH near-duplicate detection, the scale path:

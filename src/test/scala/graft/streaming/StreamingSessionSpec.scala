@@ -45,6 +45,34 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late events in append-mode windowed aggregation") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val name = "late_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: events in window [0,60); watermark advances to 300-10
+      input.addData((t(10), 1.0), (t(300), 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event for the long-closed [0,60) window — dropped;
+      // plus one more beyond, closing nothing new
+      input.addData((t(20), 1.0), (t(600), 1.0))
+      q.processAllAvailable()
+      val out = spark.table(name).collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toMap
+      // [0,60) must have been emitted with ONLY the on-time event
+      assert(out.get(0L).contains(1L), s"got $out")
+    } finally q.stop()
+  }
+
   test("batch mode with flushTrailing emits every session exactly once") {
     import spark.implicits._
     val events = Seq(
