@@ -192,6 +192,53 @@ object Relational2 {
     None
   )
 
+  /** q50 — array-function surface over the embedding column: length,
+    * indexing, extrema, slicing, and an ordered fold — all codegen'd
+    * built-ins (plus `aggregate`, the one higher-order op, over a 4-slice).
+    */
+  val arrayFuncs = Q(
+    "q50_array_funcs",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(
+          col("vec_id"),
+          size(col("v")).cast("long").as("dim"),
+          element_at(col("v"), 1).as("first_elem"),
+          array_max(col("v")).as("max_elem"),
+          array_min(col("v")).as("min_elem"),
+          expr("aggregate(slice(v, 1, 4), 0.0D, (a, x) -> a + x)").as("head4_sum")),
+    Some("""SELECT vec_id,
+            len(embedding) AS dim,
+            CAST(embedding[1] AS DOUBLE) AS first_elem,
+            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+            CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+              + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum
+            FROM embeddings""")
+  )
+
+  /** q51 — correlated scalar subquery + IN subquery (Catalyst rewrites
+    * both to joins: the scalar one to a left outer aggregate join, the IN
+    * to a left semi — no per-row re-execution, unlike a naive engine).
+    */
+  val subqueries = Q(
+    "q51_subqueries",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v2")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT o_orderkey, o_totalprice,
+               coalesce((SELECT count(*) FROM lineitem_v2 WHERE l_orderkey = o_orderkey), 0) AS n_items
+               FROM orders_v
+               WHERE o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_nationkey < 5)""")
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+            coalesce((SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey), 0) AS n_items
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
-    rangeJoin, saltedAgg, approxPercentile)
+    rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries)
 }

@@ -334,6 +334,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("q50_array_funcs: row-preserving; extrema bracket elements") {
+    val df = run("q50_array_funcs")
+    assert(df.count() === Tables.embeddings(spark, d).count())
+    assert(df.where(col("min_elem") > col("first_elem")
+      || col("max_elem") < col("first_elem")).count() === 0)
+  }
+
+  test("q51_subqueries: item counts match a direct join") {
+    val viaJoin = Tables.orders(spark, d).join(
+      Tables.lineitem(spark, d),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").count()
+    val sub = run("q51_subqueries")
+    val joined = sub.join(viaJoin, Seq("o_orderkey"), "left")
+      .where(col("n_items") =!= coalesce(col("count"), lit(0L)))
+    assert(joined.count() === 0)
+  }
+
   test("q49_approx_percentile: within 5% of exact q40 values") {
     val exact = run("q40_percentiles").collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap // p50, p90
