@@ -77,6 +77,26 @@ class MapReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("ScalaCheck property: result invariant under input permutation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      pairs <- Gen.listOfN(40, Gen.zip(Gen.choose(0, 6), Gen.choose(-50, 50)))
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (pairs, seed)
+    val prop = Prop.forAll(gen) { case (pairs, seed) =>
+      def job(in: List[(Int, Int)]) =
+        MapReduce.runLocal[Int, Int, Int, Int, Int, Int](
+          spark, in,
+          map = (k, v) => Iterator((k, v)),
+          reduce = (k, g) => Iterator((k, g.map(_._2).sum)),
+          parallelism = 3).sorted
+      job(pairs) == job(new scala.util.Random(seed).shuffle(pairs))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reduce sees each whole key-group exactly once") {
     import spark.implicits._
     val input = (1 to 100).map(i => (i % 10, i)).toList
