@@ -75,10 +75,11 @@ object Similarity {
       .reduce(_ + _)
   }
 
-  /** q28 — ANN via random-hyperplane LSH: 4 signed projections → 16
-    * buckets; probes search only their own bucket, ranked by exact cosine.
-    * No SQL oracle (the driver records a rows-only check); recall against
-    * q27's exact top-k is asserted in SimilaritySpec.
+  /** q28 — ANN via multi-probe random-hyperplane LSH: 4 signed
+    * projections → 16 buckets; each probe searches its own bucket plus
+    * the 4 at Hamming distance 1, ranked by exact cosine. No SQL oracle
+    * (the driver records a rows-only check); recall against q27's exact
+    * top-k is asserted in QueriesSpec.
     *
     * At scale: bucketing is a narrow map; the within-bucket join shuffles
     * on the bucket id. More planes (sparser buckets) + multi-probe give
@@ -89,12 +90,18 @@ object Similarity {
     "q28_ann_lsh",
     (s, d) => {
       val e = vectors(s, d).withColumn("bucket", bucketCol)
+      // multi-probe: own bucket + the NPlanes buckets at Hamming distance
+      // 1 (one flipped hyperplane sign — where straddling neighbors land)
+      val probeBuckets = (0 until NPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
       val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("v"),
+          explode(array(col("bucket") +: probeBuckets: _*)).as("bucket"))
       val scored = broadcast(probes).as("q")
         .join(e.as("x"),
           col("x.bucket") === col("q.bucket") && col("x.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
           round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+        .distinct() // a neighbor can match via several probe buckets
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)

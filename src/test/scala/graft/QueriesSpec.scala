@@ -201,10 +201,11 @@ class QueriesSpec extends AnyFunSuite {
     val ann = run("q28_ann_lsh").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ann.nonEmpty)
-    // 4 hyperplanes at 16 buckets: a true top-5 neighbor shares the
-    // probe's bucket with decent probability; require non-trivial recall.
+    // multi-probe (own bucket + 4 Hamming-1 buckets) searches 5/16 of the
+    // corpus worst-case and catches plane-straddling neighbors; require
+    // solid recall of the exact top-5.
     val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.2, s"ANN recall $recall too low")
+    assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
   // --- text analysis -----------------------------------------------------

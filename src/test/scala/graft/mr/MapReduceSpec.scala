@@ -3,6 +3,11 @@ package graft.mr
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Opaque composite key for the custom-ordering grouping test — top
+  * level so the product encoder can be derived.
+  */
+case class VKey(major: Int, minor: Int)
+
 /** The reference's client contract on the Spark façade (SURVEY.md §5):
   * golden character-count fixture, plus property tests that the façade is
   * equivalent to sequential groupBy-then-reduce and invariant to partition
@@ -95,6 +100,22 @@ class MapReduceSpec extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("opaque composite key type with custom ordering groups correctly") {
+    // the reference's contract: keys are opaque, grouping derives from
+    // ordering-equality (cpp:197); here equality must be consistent with
+    // the Ordering (SURVEY.md §7 hard-parts note)
+    import spark.implicits._
+    implicit val ord: Ordering[VKey] = Ordering.by(k => (k.minor, k.major))
+    val input = (1 to 60).map(i => (VKey(i % 3, i % 2), i)).toList
+    val out = MapReduce.runLocal[VKey, Int, VKey, Int, VKey, Int](
+      spark, input,
+      map = (k, v) => Iterator((k, v)),
+      reduce = (k, g) => Iterator((k, g.size)),
+      parallelism = 4)
+    assert(out.size === 6) // 3 majors × 2 minors
+    assert(out.map(_._2).sum === 60)
   }
 
   test("reduce sees each whole key-group exactly once") {
