@@ -239,6 +239,28 @@ object Relational2 {
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)""")
   )
 
+  /** q53 — statistical aggregates: stddev/variance/correlation/
+    * covariance per group. Engines use different one-pass algorithms
+    * (Welford vs sum-of-squares), so results are rounded to 6 digits.
+    */
+  val statsAgg = Q(
+    "q53_stats_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp")),
+    Some("""SELECT l_returnflag,
+            round(stddev_samp(l_quantity), 6) AS sd_qty,
+            round(var_samp(l_quantity), 6) AS var_qty,
+            round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+            round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
-    rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries)
+    rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg)
 }
