@@ -19,7 +19,9 @@ final case class MediaFeatures(
     mean_byte: Double,
     head_b64: String,
     n_frames: Long,
-    n_sampled: Long)
+    n_sampled: Long,
+    resize_n: Long,
+    resize_fp: String)
 
 /** Multimodal-column suite: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by a typed `mapPartitions` pipeline.
@@ -47,31 +49,51 @@ object Multimodal {
         .as[MediaRecord]
         .mapPartitions { it =>
           // decoder init would go here, once per partition
+          val md = java.security.MessageDigest.getInstance("MD5")
           it.map { r =>
             val n = r.payload.length.toLong
             var sum = 0L
             var i = 0
             while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
             val frames = (n + 15) / 16
+            // "resize": stride-subsample the payload down to ~32 bytes —
+            // the stub for a thumbnail/downsample step; fingerprint it
+            val stride = math.max(1L, n / 32).toInt
+            val resized = Iterator.range(0, r.payload.length, stride)
+              .map(r.payload(_)).toArray
+            md.reset()
+            val fp = md.digest(resized).map("%02x".format(_)).mkString
             MediaFeatures(
               r.doc_id, r.format, n, sum,
               sum.toDouble / n.toDouble,
               java.util.Base64.getEncoder.encodeToString(r.payload.take(8)),
-              frames, (frames + 3) / 4)
+              frames, (frames + 3) / 4,
+              resized.length.toLong, fp)
           }
         }
         .toDF()
     },
-    Some("""SELECT doc_id, source AS format,
-            CAST(length(text) AS BIGINT) AS n_bytes,
-            CAST(list_aggregate(list_transform(string_split(text, ''), c -> ord(c)), 'sum') AS BIGINT)
+    Some("""WITH resized AS (
+              SELECT doc_id,
+                     string_agg(substr(text, i, 1), '' ORDER BY i) AS rs
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text),
+                              greatest(1, length(text) // 32))) AS i
+                FROM documents) t
+              GROUP BY doc_id)
+            SELECT d.doc_id, d.source AS format,
+            CAST(length(d.text) AS BIGINT) AS n_bytes,
+            CAST(list_aggregate(list_transform(string_split(d.text, ''), c -> ord(c)), 'sum') AS BIGINT)
               AS sum_bytes,
-            CAST(list_aggregate(list_transform(string_split(text, ''), c -> ord(c)), 'sum') AS DOUBLE)
-              / length(text) AS mean_byte,
-            to_base64(substr(text, 1, 8)::BLOB) AS head_b64,
-            CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
-            CAST(ceil(ceil(length(text) / 16.0) / 4.0) AS BIGINT) AS n_sampled
-            FROM documents""")
+            CAST(list_aggregate(list_transform(string_split(d.text, ''), c -> ord(c)), 'sum') AS DOUBLE)
+              / length(d.text) AS mean_byte,
+            to_base64(substr(d.text, 1, 8)::BLOB) AS head_b64,
+            CAST(ceil(length(d.text) / 16.0) AS BIGINT) AS n_frames,
+            CAST(ceil(ceil(length(d.text) / 16.0) / 4.0) AS BIGINT) AS n_sampled,
+            CAST(length(r.rs) AS BIGINT) AS resize_n,
+            md5(r.rs) AS resize_fp
+            FROM documents d JOIN resized r ON r.doc_id = d.doc_id""")
   )
 
   val all: Seq[Q] = Seq(mediaFeatures)

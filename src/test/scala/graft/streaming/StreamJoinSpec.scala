@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-stream join and streaming deduplication — the two remaining
+  * Structured Streaming operator families: watermarked interval joins
+  * (both sides' state bounded by the time condition) and
+  * dropDuplicatesWithinWatermark (bounded dedup state).
+  */
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("watermarked stream-stream interval join matches purchases to prior clicks") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("user", "cts").withWatermark("cts", "1 minute")
+    val b = buys.toDS().toDF("buser", "bts").withWatermark("bts", "1 minute")
+    // purchase joins a click by the same user within the preceding 5 min
+    val joined = c.join(b,
+      col("user") === col("buser") &&
+        col("bts") >= col("cts") &&
+        col("bts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+    val name = "ssj_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(10)), (2L, ts(20)))
+      buys.addData((1L, ts(100)), (2L, ts(2000))) // user 2 buys too late
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = input.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "sdd_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(10)), (2L, ts(20)))
+      q.processAllAvailable()
+      // batch 2 replays event 1 (at-least-once delivery) within watermark
+      input.addData((1L, ts(15)), (3L, ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table(name).collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
