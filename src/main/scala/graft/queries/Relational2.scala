@@ -261,6 +261,71 @@ object Relational2 {
             FROM lineitem GROUP BY l_returnflag""")
   )
 
+  /** q54 — RANGE-frame window over event time: per customer, orders and
+    * spend within the 30 days preceding each order (value-based frame,
+    * complementing q15's ROWS frames).
+    */
+  val rangeFrame = Q(
+    "q54_range_frame",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rf")
+      s.sql("""SELECT o_orderkey, o_custkey,
+               count(*) OVER w AS n_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+               FROM orders_rf
+               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+            count(*) OVER w AS n_30d,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""")
+  )
+
+  /** q55 — multiset set-ops: EXCEPT ALL / INTERSECT ALL (bag semantics,
+    * complementing q16's distinct set-ops).
+    */
+  val exceptAll = Q(
+    "q55_except_all",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+      val o = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+      l.exceptAll(o).groupBy("k").agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT k, count(*) AS n FROM (
+              SELECT l_suppkey AS k FROM lineitem
+              EXCEPT ALL
+              SELECT s_suppkey FROM supplier) t
+            GROUP BY k""")
+  )
+
+  /** q56 — string-transform surface: regexp_replace, translate, trim
+    * variants, lpad, repeat, reverse, split_part-style extraction.
+    */
+  val stringTransforms = Q(
+    "q56_string_transforms",
+    (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        translate(col("p_brand"), "B#", "b-").as("brand_t"),
+        trim(lit(" pad "), lit(" ")).as("trimmed"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        reverse(col("p_type")).as("type_rev"),
+        element_at(split(col("p_type"), " "), 1).as("type_first")),
+    Some("""SELECT p_partkey,
+            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+            translate(p_brand, 'B#', 'b-') AS brand_t,
+            trim(' pad ') AS trimmed,
+            lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+            reverse(p_type) AS type_rev,
+            string_split(p_type, ' ')[1] AS type_first
+            FROM part""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
-    rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg)
+    rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
+    rangeFrame, exceptAll, stringTransforms)
 }
