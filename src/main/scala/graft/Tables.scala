@@ -27,12 +27,19 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. Read it as a raw nanos long (legacy conf),
     * then convert to a microsecond timestamp — lossless here (the
-    * generated data is µs-aligned; TESTDATA.md).
+    * generated data is µs-aligned; TESTDATA.md). `eventsNanosConf` +
+    * `nanosTsToMicros` are shared with the streaming twin (q37) so batch
+    * and stream can never diverge on the conversion.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsNanosConf(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    eventsNanosConf(s)
+    nanosTsToMicros(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

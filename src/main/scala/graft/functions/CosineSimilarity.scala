@@ -23,8 +23,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must both be array<double>; construction is library-internal
-  // (via the typed apply below), so no analyzer-time type check is wired.
+  // SQL-reachable (GraftExtensions registers it), so mistyped arguments
+  // must fail analysis — toDoubleArray on a non-double array would
+  // reinterpret memory silently.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_similarity"

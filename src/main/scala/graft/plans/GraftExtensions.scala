@@ -32,7 +32,11 @@ object GraftExtensions {
     Seq((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${args.length}")
+        CosineSimilarity(args(0), args(1))
+      }))
 
   /** Register all engine functions on a live session. */
   def register(spark: SparkSession): Unit =

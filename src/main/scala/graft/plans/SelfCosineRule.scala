@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.DoubleType
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSimilarity(a, b) if a.semanticEquals(b) && a.deterministic =>
+      // !nullable guard: a NULL input must keep returning NULL, and the
+      // rewritten literal is non-nullable — only fold when the child
+      // can't be NULL.
+      case CosineSimilarity(a, b)
+          if a.semanticEquals(b) && a.deterministic && !a.nullable =>
         Literal(1.0, DoubleType)
     }
 }

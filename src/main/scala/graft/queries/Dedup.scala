@@ -228,7 +228,12 @@ object Dedup {
               while (i < va.length) { acc += va(i) * vb(i); i += 1 }
               acc
             }
-            cos = BigDecimal.valueOf(dot / (norms(a) * norms(b)))
+            raw = dot / (norms(a) * norms(b))
+            // zero-norm or NaN-element vectors yield non-finite cosines:
+            // drop the pair (the SQL oracle's >= threshold drops NaN too)
+            // rather than crash BigDecimal.valueOf
+            if java.lang.Double.isFinite(raw)
+            cos = BigDecimal.valueOf(raw)
               .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).doubleValue
             if cos >= 0.38
           } yield (block(a)._2, block(b)._2, cos)

@@ -89,14 +89,14 @@ object EventWindows {
   val streamTumbling = Q(
     "q37_stream_tumbling",
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.take(8)
       // The file-stream source wants a directory: stream the sf dir,
       // filtered down to the events file.
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // as Tables.events
+      val q = Tables.nanosTsToMicros(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))

@@ -45,6 +45,9 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
+        // empty payloads would divide by zero (mean) and vanish from the
+        // oracle's generate_series join — excluded by contract
+        .where(length(col("text")) > 0)
         .select(col("doc_id"), col("source").as("format"), col("text").cast("binary").as("payload"))
         .as[MediaRecord]
         .mapPartitions { it =>
@@ -93,7 +96,8 @@ object Multimodal {
             CAST(ceil(ceil(length(d.text) / 16.0) / 4.0) AS BIGINT) AS n_sampled,
             CAST(length(r.rs) AS BIGINT) AS resize_n,
             md5(r.rs) AS resize_fp
-            FROM documents d JOIN resized r ON r.doc_id = d.doc_id""")
+            FROM documents d JOIN resized r ON r.doc_id = d.doc_id
+            WHERE length(d.text) > 0""")
   )
 
   val all: Seq[Q] = Seq(mediaFeatures)

@@ -47,8 +47,16 @@ object Sessionize {
       val t = us(e.ts)
       val cents = math.round(e.value * 100)
       cur match {
-        case Some(st) if t - st.lastUs < gapUs =>
-          cur = Some(st.copy(lastUs = t, n = st.n + 1, cents = st.cents + cents))
+        // merge window is [start - gap, last + gap): an out-of-order
+        // event from a later micro-batch may land before the open
+        // session's start — extend with min/max so boundaries never
+        // corrupt. (Disorder beyond the gap still splits; true late-data
+        // handling needs watermark-driven reordering upstream.)
+        case Some(st) if t - st.lastUs < gapUs && st.startUs - t < gapUs =>
+          cur = Some(st.copy(
+            startUs = math.min(st.startUs, t),
+            lastUs = math.max(st.lastUs, t),
+            n = st.n + 1, cents = st.cents + cents))
         case Some(st) =>
           out += close(user, st)
           cur = Some(SessionState(t, t, 1, cents))

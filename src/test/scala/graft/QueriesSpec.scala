@@ -37,9 +37,11 @@ class QueriesSpec extends AnyFunSuite {
     val df = run("q02_filter_project")
     assert(df.columns.toSeq ===
       Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"))
-    // predicate columns are pruned from the output but enforced in-plan
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") || df.count() >= 0)
+    // row set equals an independently-applied predicate
+    val expected = Tables.lineitem(spark, d)
+      .where(col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+        && col("l_discount") > 0.05).count()
+    assert(df.count() === expected)
   }
 
   test("q03_group_agg: avg consistent with sum/count") {

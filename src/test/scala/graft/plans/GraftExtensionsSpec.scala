@@ -14,6 +14,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r - 0.8) < 1e-12)
   }
 
+  test("cosine_similarity rejects non-double arrays at analysis time") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1, 2), array(2, 1)) AS c").collect()
+    }
+    val msg = e.getMessage
+    assert(msg.contains("array<double>") || msg.contains("DATATYPE_MISMATCH"), msg)
+  }
+
+  test("cosine_similarity rejects wrong arity") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0D)) AS c").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("builder-time extension injection compiles against the public API") {
     // the extension object is a SparkSessionExtensions => Unit; applying
     // it to a fresh extensions container must inject without error
