@@ -77,9 +77,11 @@ object Similarity {
 
   /** q28 — ANN via multi-probe random-hyperplane LSH: 4 signed
     * projections → 16 buckets; each probe searches its own bucket plus
-    * the 4 at Hamming distance 1, ranked by exact cosine. No SQL oracle
-    * (the driver records a rows-only check); recall against q27's exact
-    * top-k is asserted in QueriesSpec.
+    * the 4 at Hamming distance 1, ranked by exact cosine. The hyperplanes
+    * are hash-derived (md5(p,i) → uniform component), so the ENTIRE ANN
+    * pipeline — planes, buckets, multi-probe, ranking — is reproducible
+    * in the DuckDB oracle. Recall against q27's exact top-k is asserted
+    * in QueriesSpec.
     *
     * At scale: bucketing is a narrow map; the within-bucket join shuffles
     * on the bucket id. More planes (sparser buckets) + multi-probe give
@@ -106,7 +108,32 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
     },
-    None
+    Some("""WITH planes AS (
+              SELECT p, list_transform(generate_series(0, 63),
+                       i -> (('0x' || substr(md5(concat(p, ',', i)), 1, 8))::BIGINT
+                             / 4294967296.0) - 0.5) AS pl
+              FROM (SELECT unnest(generate_series(0, 3)) AS p) ps),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            bucketed AS (
+              SELECT e.vec_id, e.v,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, planes.pl) >= 0
+                                   THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+              FROM e, planes GROUP BY e.vec_id, e.v),
+            probes AS (
+              SELECT b.vec_id, b.v,
+                     unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
+                             xor(b.bucket, 4), xor(b.bucket, 8)]) AS bucket
+              FROM bucketed b WHERE b.vec_id < 8),
+            scored AS (
+              SELECT DISTINCT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM probes q JOIN bucketed x
+                ON x.bucket = q.bucket AND x.vec_id <> q.vec_id)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM scored) t
+            WHERE rnk <= 5""")
   )
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh)
