@@ -325,7 +325,68 @@ object Relational2 {
             FROM part""")
   )
 
+  /** q57 — outer joins: customers FULL OUTER joined to their big-order
+    * aggregate — null-extending both ways (customers without big orders;
+    * the aggregate side can't orphan here, but the plan is a true full
+    * outer). Null counts made explicit so the driver compare is
+    * null-free.
+    */
+  val outerJoin = Q(
+    "q57_outer_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d)
+        .where(col("o_totalprice") > 250000.0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_big"), dsum2(col("o_totalprice")).as("spend_big"))
+      c.join(big, c("c_custkey") === big("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          col("c_mktsegment"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("spend_big"), lit(0.0)).as("spend_big"))
+    },
+    Some(s"""SELECT coalesce(c_custkey, -1) AS custkey, c_mktsegment,
+             coalesce(n_big, 0) AS n_big, coalesce(spend_big, 0.0) AS spend_big
+             FROM customer
+             FULL OUTER JOIN (
+               SELECT o_custkey, count(*) AS n_big,
+                      ${sqlSum2("o_totalprice")} AS spend_big
+               FROM orders WHERE o_totalprice > 250000.0
+               GROUP BY o_custkey) b
+             ON c_custkey = o_custkey""")
+  )
+
+  /** q58 — ranking-function family: dense_rank, ntile, percent_rank,
+    * cume_dist over a fully-deterministic ordering. percent_rank and
+    * cume_dist are exact small-integer ratios — engine-portable doubles.
+    */
+  val rankFuncs = Q(
+    "q58_rank_funcs",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .where(col("o_totalprice") > 300000.0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            percent_rank() OVER w AS prnk,
+            cume_dist() OVER w AS cdist
+            FROM orders
+            WHERE o_totalprice > 300000.0
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
-    rangeFrame, exceptAll, stringTransforms)
+    rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs)
 }
