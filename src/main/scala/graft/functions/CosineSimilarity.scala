@@ -25,7 +25,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // SQL-reachable (GraftExtensions registers it), so mistyped arguments
   // must fail analysis — toDoubleArray on a non-double array would
-  // reinterpret memory silently.
+  // reinterpret memory silently. Element-NULLs are accepted by the type
+  // check (cast array<float> → array<double> keeps containsNull=true for
+  // the engine's own columns) and read as 0.0 — the documented kernel
+  // semantics, matching toDoubleArray.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (org.apache.spark.sql.types.ArrayType(DoubleType, _),

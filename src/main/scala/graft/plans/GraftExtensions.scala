@@ -19,10 +19,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // SelfCosineRule is NOT injected by default: its fold assumes non-zero
+    // finite vectors (cosine(x,x) of a zero vector is NaN, not 1.0). Use
+    // GraftExtensions.withSelfCosineRule where that contract holds.
+}
+
+/** Opt-in variant that also injects [[SelfCosineRule]] — only for
+  * sessions whose vector data is guaranteed non-zero and NaN-free
+  * (e.g. unit-normalized embeddings).
+  */
+class GraftExtensionsWithSelfCosine extends GraftExtensions {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    super.apply(ext)
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

@@ -230,8 +230,10 @@ object Dedup {
             }
             raw = dot / (norms(a) * norms(b))
             // zero-norm or NaN-element vectors yield non-finite cosines:
-            // drop the pair (the SQL oracle's >= threshold drops NaN too)
-            // rather than crash BigDecimal.valueOf
+            // drop the pair rather than crash BigDecimal.valueOf. The SQL
+            // oracle filters with isfinite() explicitly — DuckDB orders
+            // NaN as GREATER than all values, so a bare >= threshold
+            // would keep NaN there.
             if java.lang.Double.isFinite(raw)
             cos = BigDecimal.valueOf(raw)
               .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).doubleValue
@@ -245,7 +247,8 @@ object Dedup {
                      AS cos_sim
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
+            WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
   )
 
   val all: Seq[Q] = Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup)

@@ -45,9 +45,11 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        // empty payloads would divide by zero (mean) and vanish from the
-        // oracle's generate_series join — excluded by contract
-        .where(length(col("text")) > 0)
+        // contract guards, enforced identically in the oracle: empty
+        // payloads would divide by zero (mean) and vanish from the
+        // generate_series join; non-ASCII text would make the byte-based
+        // Spark resize disagree with the character-based SQL mirror
+        .where(length(col("text")) > 0 && !col("text").rlike("[^\\x00-\\x7F]"))
         .select(col("doc_id"), col("source").as("format"), col("text").cast("binary").as("payload"))
         .as[MediaRecord]
         .mapPartitions { it =>
@@ -97,7 +99,7 @@ object Multimodal {
             CAST(length(r.rs) AS BIGINT) AS resize_n,
             md5(r.rs) AS resize_fp
             FROM documents d JOIN resized r ON r.doc_id = d.doc_id
-            WHERE length(d.text) > 0""")
+            WHERE length(d.text) > 0 AND NOT d.text ~ '[^\x00-\x7F]'""")
   )
 
   val all: Seq[Q] = Seq(mediaFeatures)

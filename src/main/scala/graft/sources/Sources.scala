@@ -16,9 +16,10 @@ object Sources {
 
   private def roundTrip(s: SparkSession, d: String, format: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars", "text")
-    // absolute path: the driver may launch the JVM from any cwd
-    val out = s"/root/repo/target/tmp/roundtrip_$format/" +
-      java.lang.Integer.toHexString(d.hashCode)
+    // absolute, cwd-independent scratch path (the driver may launch the
+    // JVM from anywhere; tmpdir is writable on any host)
+    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_roundtrip_$format/" + java.lang.Integer.toHexString(d.hashCode)
     val w = docs.write.mode(SaveMode.Overwrite)
     val r = s.read.schema(docs.schema)
     format match {

@@ -50,13 +50,17 @@ object Sessionize {
         // merge window is [start - gap, last + gap): an out-of-order
         // event from a later micro-batch may land before the open
         // session's start — extend with min/max so boundaries never
-        // corrupt. (Disorder beyond the gap still splits; true late-data
-        // handling needs watermark-driven reordering upstream.)
+        // corrupt.
         case Some(st) if t - st.lastUs < gapUs && st.startUs - t < gapUs =>
           cur = Some(st.copy(
             startUs = math.min(st.startUs, t),
             lastUs = math.max(st.lastUs, t),
             n = st.n + 1, cents = st.cents + cents))
+        // stray FAR-late event (≥ gap before the open session's start):
+        // emit it as its own closed session and keep the live session —
+        // replacing the live session with the stray would fragment it.
+        case Some(st) if st.startUs - t >= gapUs =>
+          out += close(user, SessionState(t, t, 1, cents))
         case Some(st) =>
           out += close(user, st)
           cur = Some(SessionState(t, t, 1, cents))

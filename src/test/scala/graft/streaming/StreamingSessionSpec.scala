@@ -45,6 +45,29 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("far-late stray event is emitted alone and does not fragment the live session") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      input.toDS(), gapUs = 60L * 1000000, flushTrailing = false)
+    val name = "stray_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1.0))
+      q.processAllAvailable()
+      // a stray event 1000s before the open session plus a live extension
+      input.addData(ev(1, 0, 5.0), ev(1, 1010, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      // only the stray closed; the live session (1000..1010) stays open
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("n") === 1L)
+      assert(rows.head.getAs[Double]("sum_value") === 5.0)
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append-mode windowed aggregation") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
