@@ -49,6 +49,27 @@ object MapReduce {
       .flatMapGroups((k2, it) => reduce(k2, it))          // REDUCE (emit3 = iterator)
   }
 
+  /** Run a MapReduce job with a COMBINER (Dean & Ghemawat, OSDI 2004,
+    * §4.3): when reduce is an associative-commutative fold, partial
+    * reduction runs map-side BEFORE the shuffle, so the wire carries one
+    * record per (task, key) instead of one per emission — the single
+    * biggest scale lever for aggregation-shaped jobs. The reference has
+    * no combiner (its shuffle is in-memory, `MapReduceFramework.cpp:159-218`);
+    * on a distributed engine it's essential. Spark's `reduceGroups`
+    * compiles to a partial+final aggregate pair.
+    */
+  def runCombine[K1, V1, K2, V2](
+      input: Dataset[(K1, V1)],
+      map: (K1, V1) => IterableOnce[(K2, V2)],
+      combine: (V2, V2) => V2)(
+      implicit e2: Encoder[(K2, V2)], ek: Encoder[K2]): Dataset[(K2, V2)] = {
+    input
+      .flatMap { case (k1, v1) => map(k1, v1) }
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, combine(a._2, b._2)))
+      .map { case (k, (_, v)) => (k, v) }
+  }
+
   /** Convenience for in-memory inputs, mirroring the reference's
     * `InputVec` + `multiThreadLevel` signature: parallelism is capped at
     * `min(parallelism, input.size)` exactly like `MapReduceFramework.cpp:264`,

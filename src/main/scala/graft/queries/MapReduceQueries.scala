@@ -55,5 +55,26 @@ object MapReduceQueries {
             GROUP BY lang, c""")
   )
 
-  val all: Seq[Q] = Seq(wordCount, charByLang)
+  /** q59 — word count through the combiner path (runCombine): identical
+    * semantics to q20 (same oracle) but the plan carries one record per
+    * (task, word) across the shuffle instead of one per emission —
+    * reduceGroups compiles to partial+final aggregation.
+    */
+  val wordCountCombine = Q(
+    "q59_mr_wordcount_combine",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text").as[(Long, String)]
+      MapReduce.runCombine[Long, String, String, Long](
+        docs,
+        map = (_, text) =>
+          text.split(' ').iterator.filter(_.nonEmpty).map(w => (w, 1L)),
+        combine = _ + _
+      ).toDF("word", "cnt")
+    },
+    wordCount.oracle
+  )
+
+  val all: Seq[Q] = Seq(wordCount, charByLang, wordCountCombine)
 }

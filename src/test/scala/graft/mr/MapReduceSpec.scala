@@ -102,6 +102,29 @@ class MapReduceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("combiner path ≡ whole-group reduce for associative folds") {
+    import spark.implicits._
+    forAllInputs(seed = 3) { input =>
+      val ds = spark.createDataset(input).repartition(4)
+      val viaCombine = MapReduce.runCombine[Int, Int, Int, Long](
+        ds, (k, v) => Iterator((k % 4, v.toLong)), _ + _).collect().toMap
+      val viaReduce = MapReduce.run[Int, Int, Int, Long, Int, Long](
+        ds, (k, v) => Iterator((k % 4, v.toLong)),
+        (k, g) => Iterator((k, g.map(_._2).sum))).collect().toMap
+      assert(viaCombine === viaReduce)
+    }
+  }
+
+  test("combiner plan performs partial (map-side) aggregation") {
+    import spark.implicits._
+    val ds = spark.createDataset((1 to 1000).map(i => (i % 5, i))).repartition(4)
+    val df = MapReduce.runCombine[Int, Int, Int, Long](
+      ds, (k, v) => Iterator((k, v.toLong)), _ + _)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partial_reduceaggregator") || plan.contains("partial"),
+      plan.take(2000))
+  }
+
   test("opaque composite key type with custom ordering groups correctly") {
     // the reference's contract: keys are opaque, grouping derives from
     // ordering-equality (cpp:197); here equality must be consistent with
