@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): the MinHash signature build is
   * explode → hash → groupBy(doc) — one shuffle on doc_id with map-side
   * partial min. Band buckets shuffle on the 128-bit band key (uniform, no
-  * skew). Candidate verification joins gram sets only for candidate pairs
-  * (broadcast of the candidate list), never all-pairs; the exact-Jaccard
-  * query (q24) is the small-scale oracle twin, not the scale path.
+  * skew). Candidate verification joins gram sets only for candidate pairs,
+  * never all-pairs; the exact-Jaccard query (q24) is the small-scale oracle
+  * twin, not the scale path. No O(corpus) broadcast hints anywhere — small
+  * sides are left to AQE's runtime decision.
   */
 object Dedup {
 
@@ -59,7 +60,18 @@ object Dedup {
     *
     * At 100 TB the only all-pairs work is within LSH buckets (expected
     * O(1) docs per bucket for non-dups); the verify join touches gram sets
-    * of candidate docs only, with the candidate list broadcast.
+    * of candidate docs only. No explicit broadcast hints anywhere: the
+    * only small relations (candidate pairs / candidate doc ids) are left
+    * to AQE, which broadcasts them when they fit and shuffle-joins when
+    * they don't — an O(#documents) broadcast hint would OOM at scale.
+    *
+    * Dataflow note: the gram relation is consumed by exactly TWO
+    * exchanges — the signature aggregation (shuffle by doc_id, with the
+    * gram count folded in as one more agg column, so no separate `sizes`
+    * scan) and the verify self-join (shuffle by gram, candidate-scoped,
+    * canonically identical on both sides so Spark plans one exchange and
+    * reuses it). `persist()` on grams is a measured regression (SURVEY
+    * round-2 notes); this shape gets the same effect from exchange reuse.
     */
   val minhashLsh = Q(
     "q23_minhash_lsh_dedup",
@@ -68,31 +80,46 @@ object Dedup {
       val grams = TextFns.wordGrams(docs, GramsN)
       // All k minhashes in ONE aggregation pass: k min-columns over the
       // (doc, gram) relation — a single shuffle of |grams| rows with
-      // map-side partial min, instead of exploding k× rows. Band keys are
-      // then row-local (no second shuffle); the band index is baked into
-      // the hash so collisions can't cross bands.
+      // map-side partial min, instead of exploding k× rows. The gram count
+      // `n` rides along in the same groupBy — the Jaccard denominator
+      // comes for free with the signature. Band keys are then row-local
+      // (no second shuffle); the band index is baked into the hash so
+      // collisions can't cross bands.
       val sigCols = (0 until MinhashK)
-        .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i"))
+        .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i")) :+
+        count(lit(1)).as("n")
       val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bandKeys = (0 until MinhashK / 2).map { b =>
         TextFns.md5Hex(concat(lit(s"$b#"), col(s"mh${2 * b}"), lit(","), col(s"mh${2 * b + 1}")))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      // Carry each doc's gram count through the band explosion and the
+      // candidate join: a candidate pair arrives with both denominators
+      // attached, so the final Jaccard needs no join back to a sizes
+      // relation at all.
+      val bands = sig.select(col("doc_id"), col("n"), explode(array(bandKeys: _*)).as("bk"))
       val cand = bands.as("x")
         .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.n").as("na"), col("y.n").as("nb"))
         .distinct()
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(grams.as("ga"), col("da") === col("ga.doc_id"))
-        .join(grams.as("gb"), col("db") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+      // Verify on a single candidate-scoped gram relation: restrict grams
+      // to candidate docs (semi-join against the tiny candidate-id set),
+      // then self-join on the gram. Both self-join inputs are the same
+      // canonical plan, so the shuffle-by-gram exchange is computed once
+      // and reused for the other side.
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id")))
+        .distinct()
+      val cg = grams.join(candDocs, "doc_id")
+      val inter = cg.as("ga")
+        .join(cg.as("gb"), col("ga.g") === col("gb.g") && col("ga.doc_id") < col("gb.doc_id"))
+        .select(col("ga.doc_id").as("da"), col("gb.doc_id").as("db"))
         .groupBy("da", "db")
         .agg(count(lit(1)).as("c"))
       inter
-        .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
-        .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+        .join(cand, Seq("da", "db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
         .where(col("jaccard") >= JaccardThresholdLsh)
     },
     Some(s"""WITH $sqlGrams,
@@ -134,9 +161,11 @@ object Dedup {
         .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("c"))
+      // No broadcast hints: `sizes` is O(#documents) — AQE may broadcast
+      // it at small scale, but forcing it would OOM at 100 TB.
       inter
-        .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
-        .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
         .where(col("jaccard") >= JaccardThresholdExact)

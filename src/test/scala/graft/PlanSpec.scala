@@ -66,8 +66,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p.take(2000))
   }
 
-  test("q23: LSH candidate verification broadcasts the candidate list") {
-    assert(plan("q23_minhash_lsh_dedup").contains("BroadcastHashJoin"))
+  test("q23/q24: no user-forced broadcast hints (O(corpus) sides stay AQE-decided)") {
+    // A forced broadcast of a per-document relation OOMs at 100 TB; the
+    // planner may still CHOOSE broadcasts at runtime when a side is small.
+    for (q <- Seq("q23_minhash_lsh_dedup", "q24_ngram_jaccard")) {
+      val analyzed = SparkEntry.queries(q)(spark, d).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), s"$q still carries a broadcast hint")
+    }
+  }
+
+  test("q23: repeated subtrees share exchanges at runtime (AQE stage reuse)") {
+    // The gram pipeline feeds the signature aggregation and the verify
+    // self-join; the candidate pipeline feeds three consumers. The
+    // restructure keeps those subtrees canonically identical so AQE
+    // materializes each shuffle once and reuses it — the dataflow answer
+    // that replaced the (measured-regression) persist() of the grams.
+    // Must EXECUTE the query: AQE's reuse decision is a runtime one.
+    val df = SparkEntry.queries("q23_minhash_lsh_dedup")(spark, d)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    assert(finalPlan.contains("ReusedExchange"),
+      "expected AQE to reuse at least one exchange across the repeated gram/candidate subtrees")
   }
 
   test("no query plan contains a CartesianProduct except intended NL joins") {
