@@ -2,6 +2,7 @@ package graft.mr
 
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.Success
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
@@ -21,11 +22,31 @@ final case class JobState(stage: Stage.Value, percentage: Float)
   * `getJobState` exactly like the reference's packed 64-bit atomic
   * (`/root/reference/MapReduceFramework.cpp:36-41,87-114`).
   *
-  * Mapping: Spark stages that produce shuffle output ("map stages" in DAG
-  * terms) report as MAP while their tasks run; the transition between a
-  * completed shuffle-map stage and the first task of the next stage is
-  * SHUFFLE; the final result stage reports as REDUCE. Progress within a
-  * phase is completedTasks / totalTasks of the stages in that phase.
+  * Phase classification is by SHUFFLE DEPENDENCY, not stage position:
+  * a Spark stage that writes shuffle output (running `ShuffleMapTask`s)
+  * is MAP work; a result stage (running `ResultTask`s) is REDUCE work.
+  * The public signal is `SparkListenerTaskEnd.taskType` (the
+  * `StageInfo.shuffleDepId` field says the same thing at submission time
+  * but is `private[spark]`), so a stage's kind is pinned by its first
+  * task-end event; until then it counts toward MAP — the job's opening
+  * phase in the reference (`cpp:127-129`). A shuffle-free single-stage
+  * job therefore reports REDUCE from its first completed task — the
+  * reference's degenerate case where map output goes straight to reduce.
+  *
+  * Percentage is WITHIN the current phase with per-phase totals, matching
+  * the reference exactly (`MapReduceFramework.cpp:312-324`; totals at
+  * `cpp:128,162-167,217`): MAP = successful map-stage tasks over total
+  * map-stage tasks; REDUCE = successful result-stage tasks over total
+  * result-stage tasks. The SHUFFLE phase (between the last map task and
+  * the first result task) reports completed map stages over total — by
+  * then 100%, i.e. "shuffle files fully written, awaiting reduce"; Spark
+  * exposes no merge progress because the distributed shuffle has no
+  * single merging thread (`cpp:159-218` is thread-0-only by design).
+  *
+  * Only `ev.reason == Success` task completions count, and a task index
+  * that succeeds twice (speculative/retried attempts) counts once — so
+  * `done` can never exceed `total` (the reference increments exactly once
+  * per item, `cpp:144-145,237-238`).
   *
   * State is packed into one 64-bit long — stage in the top 2 bits,
   * completed in bits 31..61, total in bits 0..30, the reference's exact
@@ -36,6 +57,13 @@ final case class JobState(stage: Stage.Value, percentage: Float)
 final class JobTracker extends SparkListener {
   private val packed = new AtomicLong(0L)
 
+  /** Once `markDone()` fires, late async listener events must not regress
+    * the terminal state — the reference's waitForJob → getJobState ==
+    * (REDUCE, 100%) contract holds unconditionally after the action
+    * returns.
+    */
+  @volatile private var terminal = false
+
   private def pack(stage: Int, done: Long, total: Long): Long =
     (stage.toLong << 62) |
       ((done & 0x7FFFFFFFL) << 31) |
@@ -45,6 +73,7 @@ final class JobTracker extends SparkListener {
   private def publish(stage: Int, done: Long, total: Long): Unit = {
     var updated = false
     while (!updated) {
+      if (terminal) return
       val cur = packed.get()
       val curStage = (cur >>> 62).toInt
       val curDone = (cur >>> 31) & 0x7FFFFFFFL
@@ -54,40 +83,69 @@ final class JobTracker extends SparkListener {
     }
   }
 
-  // stageId -> (isShuffleMapStage, numTasks, completed)
-  private val stages = scala.collection.concurrent.TrieMap.empty[Int, (Boolean, Int, Int)]
+  /** Per-stage record. `doneIdx` holds the indices of tasks that ended
+    * with Success (a set, so a retried attempt of the same index is
+    * counted once); `completed` marks the whole stage finished. `kind`
+    * starts Unknown and is pinned by the first task-end's taskType.
+    */
+  private final class Rec(val total: Int) {
+    @volatile var kind: Int = Rec.Unknown
+    val doneIdx = scala.collection.concurrent.TrieMap.empty[Int, Unit]
+    @volatile var completed = false
+    def done: Int = if (completed) total else math.min(doneIdx.size, total)
+  }
+  private object Rec { val Unknown = 0; val Map = 1; val Result = 2 }
+
+  private val stages = scala.collection.concurrent.TrieMap.empty[Int, Rec]
+
+  private def phaseTotals(): (Long, Long, Long, Long, Int, Int) = {
+    var mapDone = 0L; var mapTotal = 0L; var resDone = 0L; var resTotal = 0L
+    var mapStagesDone = 0; var mapStages = 0
+    stages.values.foreach { r =>
+      if (r.kind != Rec.Result) { // Unknown counts as the opening MAP phase
+        mapDone += r.done; mapTotal += r.total
+        mapStages += 1; if (r.completed) mapStagesDone += 1
+      } else { resDone += r.done; resTotal += r.total }
+    }
+    (mapDone, mapTotal, resDone, resTotal, mapStagesDone, mapStages)
+  }
+
+  /** Recompute the phase + within-phase progress and publish. */
+  private def publishCurrent(): Unit = {
+    val (mapDone, mapTotal, resDone, resTotal, mapStagesDone, mapStages) = phaseTotals()
+    if (resTotal > 0)
+      // a result stage exists: its tasks are the REDUCE denominator
+      // (#groups in the reference, `cpp:217,224`)
+      publish(Stage.REDUCE.id, resDone, resTotal)
+    else if (mapStages > 0 && mapStagesDone == mapStages)
+      // all known map stages done, no result stage yet: the shuffle gap
+      publish(Stage.SHUFFLE.id, mapStagesDone.toLong, mapStages.toLong)
+    else if (mapStages > 0)
+      publish(Stage.MAP.id, mapDone, mapTotal)
+  }
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
-    // A stage with shuffle-dependency output is a "map" stage; the result
-    // stage (no shuffle write) is the "reduce" stage. Spark exposes this
-    // indirectly: result stages have no shuffle dep in their details, but
-    // the listener API doesn't say directly — we approximate: the stage
-    // with the highest id in a job is its result stage.
     val info = ev.stageInfo
-    stages.put(info.stageId, (true, info.numTasks, 0))
-    publish(Stage.MAP.id, totalDone(), totalTasks())
+    stages.putIfAbsent(info.stageId, new Rec(info.numTasks))
+    publishCurrent()
   }
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
-    stages.updateWith(ev.stageId) {
-      case Some((m, n, c)) => Some((m, n, c + 1))
-      case None            => Some((true, 1, 1))
+    stages.get(ev.stageId).foreach { r =>
+      if (r.kind == Rec.Unknown)
+        r.kind = if (ev.taskType.contains("ShuffleMap")) Rec.Map else Rec.Result
+      if (ev.reason == Success)
+        r.doneIdx.putIfAbsent(Option(ev.taskInfo).map(_.index).getOrElse(r.doneIdx.size), ())
     }
-    val maxStage = stages.keys.max
-    val isResultStage = ev.stageId == maxStage && stages.size > 1
-    val phase = if (isResultStage) Stage.REDUCE.id else Stage.MAP.id
-    publish(phase, totalDone(), totalTasks())
+    publishCurrent()
   }
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
-    // A completed non-final stage means its shuffle files are written:
-    // the job is at least in SHUFFLE until the next stage's tasks start.
-    if (stages.size > 1 && ev.stageInfo.stageId != stages.keys.max)
-      publish(Stage.SHUFFLE.id, totalDone(), totalTasks())
+    // a stage that completed without a failure reason ran all its tasks
+    if (ev.stageInfo.failureReason.isEmpty)
+      stages.get(ev.stageInfo.stageId).foreach(_.completed = true)
+    publishCurrent()
   }
-
-  private def totalDone(): Long = stages.values.map(_._3.toLong).sum
-  private def totalTasks(): Long = stages.values.map(_._2.toLong).sum
 
   /** Lock-free read of the packed word — `getJobState`
     * (`MapReduceFramework.cpp:312-324`): one atomic load, then unpack.
@@ -103,10 +161,15 @@ final class JobTracker extends SparkListener {
     JobState(Stage(stage), math.min(100f, pct))
   }
 
-  /** Force terminal state (REDUCE, 100%) — called when the action returns,
-    * the analogue of `waitForJob` observing completion.
+  /** Force the terminal state (REDUCE, 100%) unconditionally — called when
+    * the action returns, the analogue of `waitForJob` observing
+    * completion. Bypasses the monotonic guard (a straggling listener
+    * event must not undo it; `terminal` blocks all later publishes).
     */
-  def markDone(): Unit = publish(Stage.REDUCE.id, 1, 1)
+  def markDone(): Unit = {
+    terminal = true
+    packed.set(pack(Stage.REDUCE.id, 1, 1))
+  }
 }
 
 object JobTracker {

@@ -303,7 +303,11 @@ object Core {
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 8).as("name8"),
         length(col("p_name")).cast("long").as("name_len"),
-        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        // concat (not concat_ws) to match the oracle's NULL semantics:
+        // concat_ws silently drops NULL inputs AND the separator, DuckDB's
+        // concat keeps the separator — a latent mismatch if the data ever
+        // gains NULLs.
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
         abs(col("p_retailprice") - 1000.0).as("price_dev"),
         floor(col("p_retailprice")).as("price_floor"),
         sqrt(col("p_size").cast("double")).as("size_sqrt"),
@@ -312,7 +316,7 @@ object Core {
             upper(p_brand) AS brand_u,
             substr(p_name, 1, 8) AS name8,
             CAST(length(p_name) AS BIGINT) AS name_len,
-            concat(p_brand, ':', p_type) AS brand_type,
+            p_brand || ':' || p_type AS brand_type,
             abs(p_retailprice - 1000.0) AS price_dev,
             CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
             sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,

@@ -14,12 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Scratch root for write-then-read round-trips. On a real cluster every
+    * executor must read back what every other executor wrote, so a SHARED
+    * filesystem (HDFS/S3 URI or shared mount) via SPARK_GRAFT_SCRATCH takes
+    * precedence; the local tmpdir fallback is only correct in local[*].
+    * The leaf directory is unique per JVM (pid + UUID) so two concurrent
+    * runs on the same sf dir can never race each other's
+    * SaveMode.Overwrite, and a shutdown hook removes local scratch.
+    */
+  private lazy val jvmScratch: String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+      .stripSuffix("/")
+    val path = root +
+      s"/graft_scratch_${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (!path.contains("://")) { // remote URIs: cluster retention policy
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    }
+    path
+  }
+
   private def roundTrip(s: SparkSession, d: String, format: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars", "text")
-    // absolute, cwd-independent scratch path (the driver may launch the
-    // JVM from anywhere; tmpdir is writable on any host)
-    val out = sys.props("java.io.tmpdir").stripSuffix("/") +
-      s"/graft_roundtrip_$format/" + java.lang.Integer.toHexString(d.hashCode)
+    val out = s"$jvmScratch/roundtrip_$format"
     val w = docs.write.mode(SaveMode.Overwrite)
     val r = s.read.schema(docs.schema)
     format match {

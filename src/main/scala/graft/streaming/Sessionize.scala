@@ -42,6 +42,11 @@ object Sessionize {
       : Iterator[SessionOut] = {
     val evs = events.toArray.sortBy(e => (us(e.ts), e.value))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    // FAR-late strays (≥ gap before the open session's start) are buffered
+    // for the batch and merged among themselves below — two mutually-close
+    // strays belong to ONE replayed session, matching what batch
+    // session_window semantics (q36) would produce for those events.
+    val strays = scala.collection.mutable.ArrayBuffer.empty[SessionState]
     var cur = state.getOption
     evs.foreach { e =>
       val t = us(e.ts)
@@ -56,11 +61,16 @@ object Sessionize {
             startUs = math.min(st.startUs, t),
             lastUs = math.max(st.lastUs, t),
             n = st.n + 1, cents = st.cents + cents))
-        // stray FAR-late event (≥ gap before the open session's start):
-        // emit it as its own closed session and keep the live session —
-        // replacing the live session with the stray would fragment it.
+        // stray FAR-late event: keep the live session (replacing it with
+        // the stray would fragment it) and buffer the stray for merging.
         case Some(st) if st.startUs - t >= gapUs =>
-          out += close(user, SessionState(t, t, 1, cents))
+          strays.lastOption match {
+            case Some(prev) if t - prev.lastUs < gapUs =>
+              strays(strays.length - 1) = prev.copy(
+                lastUs = t, n = prev.n + 1, cents = prev.cents + cents)
+            case _ =>
+              strays += SessionState(t, t, 1, cents)
+          }
         case Some(st) =>
           out += close(user, st)
           cur = Some(SessionState(t, t, 1, cents))
@@ -68,6 +78,11 @@ object Sessionize {
           cur = Some(SessionState(t, t, 1, cents))
       }
     }
+    // Strays arrive in ascending ts order (evs is sorted), so the
+    // lastOption check above already merged mutually-close runs; each
+    // buffered stray session is closed — by definition it ended ≥ gap
+    // before the open session started.
+    strays.foreach(st => out += close(user, st))
     if (flushTrailing) {
       cur.foreach(st => out += close(user, st))
       state.remove()

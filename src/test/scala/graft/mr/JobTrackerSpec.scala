@@ -1,18 +1,103 @@
 package graft.mr
 
+import org.apache.spark.{Success, TaskKilled}
+import org.apache.spark.scheduler.{SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd, StageInfo, TaskInfo, TaskLocality}
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Progress/JobState semantics from the reference
   * (`/root/reference/MapReduceFramework.cpp:87-114,312-324`): monotonic
-  * stage and percentage, terminal REDUCE/100%, zero-state before any work.
+  * stage and percentage, per-phase totals, terminal REDUCE/100%,
+  * zero-state before any work. Synthetic listener events drive the
+  * phase machine deterministically; real-job cases cover the live
+  * listener path.
   */
 class JobTrackerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // --- synthetic listener events -----------------------------------------
+  private def stageInfo(id: Int, numTasks: Int): StageInfo =
+    new StageInfo(id, 0, s"stage$id", numTasks, Seq.empty, Seq.empty, "",
+      null, Seq.empty, None, 0, false, 0)
+
+  private def submit(t: JobTracker, si: StageInfo): Unit =
+    t.onStageSubmitted(SparkListenerStageSubmitted(si, null))
+
+  private def taskEnd(t: JobTracker, stageId: Int, index: Int,
+      taskType: String = "ResultTask",
+      reason: org.apache.spark.TaskEndReason = Success): Unit = {
+    val ti = new TaskInfo(index.toLong, index, 0, index, 0L, "exec", "host",
+      TaskLocality.ANY, false)
+    t.onTaskEnd(SparkListenerTaskEnd(stageId, 0, taskType, reason, ti, null, null))
+  }
+
+  private def complete(t: JobTracker, si: StageInfo): Unit =
+    t.onStageCompleted(SparkListenerStageCompleted(si))
+
+  // -----------------------------------------------------------------------
+
   test("fresh tracker reports UNDEFINED 0% (total=0 ⇒ 0, cpp:103-114)") {
     val t = new JobTracker
     assert(t.getJobState === JobState(Stage.UNDEFINED, 0f))
+  }
+
+  test("single-stage (shuffle-free) job reports REDUCE from its first task, no markDone needed") {
+    val t = new JobTracker
+    submit(t, stageInfo(0, 4))
+    // before any task ends the stage kind is unknown → the job's opening
+    // MAP phase (cpp:127-129)
+    assert(t.getJobState === JobState(Stage.MAP, 0f))
+    taskEnd(t, 0, 0) // ResultTask pins the stage as REDUCE work
+    assert(t.getJobState === JobState(Stage.REDUCE, 25f))
+    taskEnd(t, 0, 1)
+    assert(t.getJobState === JobState(Stage.REDUCE, 50f))
+    taskEnd(t, 0, 2); taskEnd(t, 0, 3)
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
+  }
+
+  test("two-stage job: MAP % over map tasks, SHUFFLE gap, REDUCE % over result tasks (cpp:312-324)") {
+    val t = new JobTracker
+    val mapStage = stageInfo(0, 4)
+    submit(t, mapStage)
+    assert(t.getJobState === JobState(Stage.MAP, 0f))
+    taskEnd(t, 0, 0, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 25f)) // within-phase: 1/4
+    taskEnd(t, 0, 1, taskType = "ShuffleMapTask")
+    taskEnd(t, 0, 2, taskType = "ShuffleMapTask")
+    taskEnd(t, 0, 3, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 100f))
+    complete(t, mapStage) // shuffle files written, no result stage running yet
+    assert(t.getJobState.stage === Stage.SHUFFLE)
+    submit(t, stageInfo(1, 2))
+    taskEnd(t, 1, 0) // first ResultTask: REDUCE with its own denominator (#groups)
+    assert(t.getJobState === JobState(Stage.REDUCE, 50f))
+    taskEnd(t, 1, 1)
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
+  }
+
+  test("failed and duplicate task attempts don't inflate progress") {
+    val t = new JobTracker
+    submit(t, stageInfo(0, 4))
+    taskEnd(t, 0, 0, taskType = "ShuffleMapTask",
+      reason = TaskKilled("speculative", Seq.empty, Seq.empty, Seq.empty))
+    assert(t.getJobState === JobState(Stage.MAP, 0f)) // killed attempt: not counted
+    taskEnd(t, 0, 1, taskType = "ShuffleMapTask")
+    taskEnd(t, 0, 1, taskType = "ShuffleMapTask") // SAME index succeeds twice (retry)
+    assert(t.getJobState === JobState(Stage.MAP, 25f)) // counted once
+  }
+
+  test("markDone is terminal: straggling listener events cannot regress it") {
+    val t = new JobTracker
+    submit(t, stageInfo(0, 4))
+    taskEnd(t, 0, 0, taskType = "ShuffleMapTask")
+    t.markDone()
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
+    // late async events after the action returned (the listener bus is
+    // async; tracked() removes the listener without draining it)
+    taskEnd(t, 0, 1, taskType = "ShuffleMapTask")
+    submit(t, stageInfo(1, 8))
+    taskEnd(t, 1, 0)
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
   }
 
   test("tracked job ends in terminal REDUCE/100% and observes progress monotonically") {
@@ -26,13 +111,25 @@ class JobTrackerSpec extends AnyFunSuite {
     assert(tracker.getJobState === JobState(Stage.REDUCE, 100f))
   }
 
+  test("real shuffle-free job reaches REDUCE through the live listener (no markDone)") {
+    import spark.implicits._
+    val t = new JobTracker
+    spark.sparkContext.addSparkListener(t)
+    try {
+      spark.createDataset(1 to 1000).map(_ + 1).collect()
+      // listener bus is async: poll briefly for the events to land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (t.getJobState.stage != Stage.REDUCE && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(t.getJobState.stage === Stage.REDUCE)
+      assert(t.getJobState.percentage === 100f)
+    } finally spark.sparkContext.removeSparkListener(t)
+  }
+
   test("publication is monotonic under out-of-order updates (cpp:94-99)") {
     val t = new JobTracker
     t.markDone() // REDUCE 100%
-    // a stale MAP-stage event after completion must not regress the state
     val before = t.getJobState
-    // simulate by reflection-free API: tracked listener path is already
-    // covered; here assert markDone is idempotent and terminal
     t.markDone()
     assert(t.getJobState === before)
     assert(t.getJobState.stage === Stage.REDUCE)

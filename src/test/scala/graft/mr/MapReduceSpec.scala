@@ -55,6 +55,21 @@ class MapReduceSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("null input keys pass through the façade (SampleClient.cpp:77-79)") {
+    // The reference's sample client hands the framework nullptr K1 for
+    // every input pair — input keys are opaque and may be absent. The
+    // façade must accept null K1 through the encoder and never inspect it.
+    val inputs = Seq[(String, String)](
+      (null, "aa"), (null, "ab"), (null, "b"))
+    import spark.implicits._
+    val out = MapReduce.runLocal[String, String, String, Int, String, Int](
+      spark, inputs,
+      map = (_, text) => text.map(c => (c.toString, 1)),
+      reduce = (c, group) => Iterator((c, group.map(_._2).sum)),
+      parallelism = 2)
+    assert(out.toMap === Map("a" -> 3, "b" -> 2))
+  }
+
   test("mapReduce ≡ sequential groupBy-then-fold (word-count-style job)") {
     import spark.implicits._
     forAllInputs(seed = 1) { input =>

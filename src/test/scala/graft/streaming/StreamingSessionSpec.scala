@@ -68,6 +68,31 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mutually-close far-late strays merge into ONE closed session") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      input.toDS(), gapUs = 60L * 1000000, flushTrailing = false)
+    val name = "straymerge_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1.0))
+      q.processAllAvailable()
+      // two strays 30s apart (within gap of each other, both ≥ gap before
+      // the open session's start) — batch session_window semantics would
+      // put them in one session, so the replay must too
+      input.addData(ev(1, 0, 5.0), ev(1, 30, 7.0), ev(1, 1010, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length === 1, rows.mkString(", "))
+      assert(rows.head.getAs[Long]("n") === 2L)
+      assert(rows.head.getAs[Double]("sum_value") === 12.0)
+      assert(rows.head.getAs[java.sql.Timestamp]("session_start").getTime === 0L)
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append-mode windowed aggregation") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
