@@ -83,8 +83,9 @@ object EventWindows {
     * Same oracle as q34 — the streaming and batch plans must agree.
     *
     * (Complete mode so the final window — never closed by the watermark —
-    * is emitted too; in production an append-mode sink with a real
-    * watermark is the unbounded-state answer.)
+    * is emitted too, letting this query share q34's full oracle; the
+    * production path with bounded state is the append-mode watermarked
+    * variant, q61.)
     */
   val streamTumbling = Q(
     "q37_stream_tumbling",
@@ -112,6 +113,50 @@ object EventWindows {
              FROM events GROUP BY 1, 2""")
   )
 
+  /** q61 — the PRODUCTION streaming path: the q37 aggregation in APPEND
+    * output mode with a real 1-hour watermark, so state for a window is
+    * dropped as soon as the watermark passes its end — bounded state on
+    * an unbounded stream, unlike q37's complete-mode variant (kept as the
+    * all-windows oracle twin). Only watermark-closed windows are emitted;
+    * the registered result applies the same closed-window predicate
+    * (window end ≤ max event time − 1 h) explicitly on both the Spark
+    * and oracle sides, so the row set is engine-deterministic rather
+    * than dependent on the engine's exact eviction boundary. The cutoff
+    * comes from a 1-row aggregate joined in — no driver collect.
+    */
+  val streamTumblingAppend = Q(
+    "q61_stream_tumbling_append",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_append_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = Tables.nanosTsToMicros(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("closed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(col("wend") <= col("closed_before"))
+        .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+             count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events
+             GROUP BY 1, 2
+             HAVING wstart + INTERVAL '1 hour' <=
+                    (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -135,5 +180,6 @@ object EventWindows {
     session.oracle // identical semantics to q36
   )
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling, statefulSessions)
+  val all: Seq[Q] =
+    Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend, statefulSessions)
 }

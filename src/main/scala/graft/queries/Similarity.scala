@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, ScoredId, TopKAggregator}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,17 +62,75 @@ object Similarity {
     u.toDouble / (1L << 32).toDouble - 0.5
   }
 
-  private val NPlanes = 4
   private val Dim = 64
 
-  private def bucketCol: Column = {
+  private def bucketCol(nPlanes: Int): Column = {
     def dotPlane(p: Int): Column = {
       val plane = typedLit((0 until Dim).map(i => planeComponent(p, i)))
       aggregate(zip_with(col("v"), plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     }
-    (0 until NPlanes)
+    (0 until nPlanes)
       .map(p => when(dotPlane(p) >= 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
+  }
+
+  /** Multi-probe ANN over `2^nPlanes` random-hyperplane buckets: each
+    * probe searches every bucket within Hamming distance `radius` of its
+    * own (sign flips where straddling neighbors land), ranked by exact
+    * cosine. The (planes, radius) pair is the recall/cost dial: more
+    * planes → sparser buckets → cheaper within-bucket joins; larger
+    * radius → more probe buckets → higher recall. Both the 4-plane/H1
+    * oracle query (q28) and the 8-plane/H2 scale setting (q62) come from
+    * this one builder, so the dial itself is oracle-verified.
+    */
+  private def annPipeline(s: SparkSession, d: String,
+      nPlanes: Int, radius: Int, topK: Int): DataFrame = {
+    val masks = (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)
+    val e = vectors(s, d).withColumn("bucket", bucketCol(nPlanes))
+    val probes = e.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("v"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = broadcast(probes).as("q")
+      .join(e.as("x"),
+        col("x.bucket") === col("q.bucket") && col("x.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+        round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+      .distinct() // a neighbor can match via several probe buckets
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= topK)
+  }
+
+  /** The DuckDB twin of [[annPipeline]] — same hash-derived planes, same
+    * XOR-mask probe set (inlined as a literal list), same ranking.
+    */
+  private def annOracle(nPlanes: Int, radius: Int, topK: Int): String = {
+    val masks = (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)
+    val maskList = masks.map(m => s"xor(b.bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH planes AS (
+          SELECT p, list_transform(generate_series(0, ${Dim - 1}),
+                   i -> (('0x' || substr(md5(concat(p, ',', i)), 1, 8))::BIGINT
+                         / 4294967296.0) - 0.5) AS pl
+          FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (
+          SELECT e.vec_id, e.v,
+                 CAST(sum(CASE WHEN list_dot_product(e.v, planes.pl) >= 0
+                               THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+          FROM e, planes GROUP BY e.vec_id, e.v),
+        probes AS (
+          SELECT b.vec_id, b.v, unnest($maskList) AS bucket
+          FROM bucketed b WHERE b.vec_id < 8),
+        scored AS (
+          SELECT DISTINCT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+          FROM probes q JOIN bucketed x
+            ON x.bucket = q.bucket AND x.vec_id <> q.vec_id)
+        SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM scored) t
+        WHERE rnk <= $topK"""
   }
 
   /** q28 — ANN via multi-probe random-hyperplane LSH: 4 signed
@@ -90,51 +148,52 @@ object Similarity {
     */
   val annLsh = Q(
     "q28_ann_lsh",
-    (s, d) => {
-      val e = vectors(s, d).withColumn("bucket", bucketCol)
-      // multi-probe: own bucket + the NPlanes buckets at Hamming distance
-      // 1 (one flipped hyperplane sign — where straddling neighbors land)
-      val probeBuckets = (0 until NPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
-      val probes = e.where(col("vec_id") < 8)
-        .select(col("vec_id"), col("v"),
-          explode(array(col("bucket") +: probeBuckets: _*)).as("bucket"))
-      val scored = broadcast(probes).as("q")
-        .join(e.as("x"),
-          col("x.bucket") === col("q.bucket") && col("x.vec_id") =!= col("q.vec_id"))
-        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
-          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
-        .distinct() // a neighbor can match via several probe buckets
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
-    },
-    Some("""WITH planes AS (
-              SELECT p, list_transform(generate_series(0, 63),
-                       i -> (('0x' || substr(md5(concat(p, ',', i)), 1, 8))::BIGINT
-                             / 4294967296.0) - 0.5) AS pl
-              FROM (SELECT unnest(generate_series(0, 3)) AS p) ps),
-            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            bucketed AS (
-              SELECT e.vec_id, e.v,
-                     CAST(sum(CASE WHEN list_dot_product(e.v, planes.pl) >= 0
-                                   THEN (1 << p) ELSE 0 END) AS INT) AS bucket
-              FROM e, planes GROUP BY e.vec_id, e.v),
-            probes AS (
-              SELECT b.vec_id, b.v,
-                     unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
-                             xor(b.bucket, 4), xor(b.bucket, 8)]) AS bucket
-              FROM bucketed b WHERE b.vec_id < 8),
-            scored AS (
-              SELECT DISTINCT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
-              FROM probes q JOIN bucketed x
-                ON x.bucket = q.bucket AND x.vec_id <> q.vec_id)
-            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
-              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
-                             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
-              FROM scored) t
-            WHERE rnk <= 5""")
+    (s, d) => annPipeline(s, d, nPlanes = 4, radius = 1, topK = 5),
+    Some(annOracle(nPlanes = 4, radius = 1, topK = 5))
   )
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh)
+  /** q62 — the ANN recall/cost dial at its scale setting: 8 hyperplanes
+    * (256 buckets — sparser, so within-bucket joins shrink ~16×) with
+    * Hamming-2 multi-probe (1 + 8 + 28 = 37 probe buckets to win the
+    * recall back). Same builder and oracle family as q28; recall vs the
+    * exact q27 top-k is spec-asserted at BOTH settings in QueriesSpec.
+    */
+  val annLsh8 = Q(
+    "q62_ann_lsh_hamming2",
+    (s, d) => annPipeline(s, d, nPlanes = 8, radius = 2, topK = 5),
+    Some(annOracle(nPlanes = 8, radius = 2, topK = 5))
+  )
+
+  /** q60 — q27's brute-force top-k re-aggregated through the bounded
+    * `TopKAggregator` instead of a window rank: the window plan shuffles
+    * EVERY scored candidate row to rank it; the aggregator keeps k
+    * entries per (probe × map task) in the partial phase, so the shuffle
+    * carries O(k · tasks) rows — at 100 TB that's the difference between
+    * shuffling the corpus and shuffling the answer. Same oracle as q27.
+    */
+  val cosineTopKAgg = Q(
+    "q60_cosine_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      val e = vectors(s, d)
+      val probes = e.where(col("vec_id") < 8)
+      val scored = broadcast(probes).as("q")
+        .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues { case (_, id, sc) => ScoredId(id, sc) }
+        .agg(new TopKAggregator(10).toColumn.name("topk"))
+        .flatMap { case (p, topk) =>
+          topk.iterator.zipWithIndex.map { case (sid, i) =>
+            (p, sid.id, sid.score, (i + 1).toLong)
+          }
+        }
+        .toDF("probe_id", "neighbor_id", "cos_sim", "rnk")
+    },
+    cosineTopK.oracle // identical semantics to q27: same rows, same ranks
+  )
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg)
 }

@@ -210,6 +210,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  test("q62_ann_lsh_hamming2: the 8-plane/H2 dial setting also holds recall ≥ 0.5") {
+    val exact = run("q27_cosine_topk").where(col("rnk") <= 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = run("q62_ann_lsh_hamming2").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ann.nonEmpty)
+    // 256 buckets shrink the within-bucket join ~16× vs q28; Hamming-2
+    // probing (37 of 256 buckets) buys the recall back
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"8-plane ANN recall $recall too low")
+  }
+
+  test("q60_cosine_topk_agg: aggregator top-k ≡ q27's window top-k, without a Window") {
+    val viaWindow = run("q27_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk"))).toSet
+    val viaAgg = run("q60_cosine_topk_agg").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk"))).toSet
+    assert(viaAgg === viaWindow)
+    // the whole point: partial aggregation bounds the shuffle at k rows
+    // per (probe × task) — no window rank over the full candidate set
+    val plan = run("q60_cosine_topk_agg").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial"), plan.take(1500))
+  }
+
   // --- text analysis -----------------------------------------------------
   test("q29_token_stats: distinct ≤ total tokens; avg length positive") {
     val bad = run("q29_token_stats")
