@@ -157,6 +157,37 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q64 — streaming DEDUPLICATION with watermark-bounded state: the
+    * events stream unioned with itself (every record genuinely arrives
+    * twice) through `dropDuplicatesWithinWatermark` on event_id, which
+    * keeps a key's state only until the watermark passes its event time —
+    * the bounded-state streaming form of exact dedup (q22's batch
+    * operator). Output is one row per event regardless of which copy is
+    * kept (copies are identical), so the result is deterministic and the
+    * oracle is simply the events table.
+    */
+  val streamDedup = Q(
+    "q64_stream_dedup",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
+      def src = Tables.nanosTsToMicros(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val q = src.union(src) // duplicate every record
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+    Some("SELECT event_id, user_id, event_type, ts, value FROM events")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -181,5 +212,6 @@ object EventWindows {
   )
 
   val all: Seq[Q] =
-    Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend, statefulSessions)
+    Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
+      streamDedup, statefulSessions)
 }

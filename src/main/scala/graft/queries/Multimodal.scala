@@ -40,16 +40,21 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** q33 — a TOTAL operator: every input row produces a feature row.
+    * Empty payloads get defined zero/empty features (no divide-by-zero,
+    * no dropped rows) and all per-byte work is byte-based on BOTH sides —
+    * the oracle walks the hex encoding of the UTF-8 bytes, so non-ASCII
+    * payloads cannot diverge between Spark's byte view and SQL's
+    * character view. The resize fingerprint is defined as md5 over the
+    * lowercase-hex encoding of the resized bytes (md5 of raw bytes isn't
+    * expressible over a BLOB in the oracle engine; hashing the hex is
+    * equally collision-resistant and engine-portable).
+    */
   val mediaFeatures = Q(
     "q33_multimodal_features",
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        // contract guards, enforced identically in the oracle: empty
-        // payloads would divide by zero (mean) and vanish from the
-        // generate_series join; non-ASCII text would make the byte-based
-        // Spark resize disagree with the character-based SQL mirror
-        .where(length(col("text")) > 0 && !col("text").rlike("[^\\x00-\\x7F]"))
         .select(col("doc_id"), col("source").as("format"), col("text").cast("binary").as("payload"))
         .as[MediaRecord]
         .mapPartitions { it =>
@@ -67,10 +72,12 @@ object Multimodal {
             val resized = Iterator.range(0, r.payload.length, stride)
               .map(r.payload(_)).toArray
             md.reset()
-            val fp = md.digest(resized).map("%02x".format(_)).mkString
+            val fp = md.digest(
+              resized.map("%02x".format(_)).mkString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
             MediaFeatures(
               r.doc_id, r.format, n, sum,
-              sum.toDouble / n.toDouble,
+              if (n == 0) 0.0 else sum.toDouble / n.toDouble,
               java.util.Base64.getEncoder.encodeToString(r.payload.take(8)),
               frames, (frames + 3) / 4,
               resized.length.toLong, fp)
@@ -78,28 +85,36 @@ object Multimodal {
         }
         .toDF()
     },
-    Some("""WITH resized AS (
+    Some("""WITH h AS (
+              SELECT doc_id, source, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents),
+            sums AS (
               SELECT doc_id,
-                     string_agg(substr(text, i, 1), '' ORDER BY i) AS rs
+                     coalesce(list_aggregate(list_transform(
+                       generate_series(1, nb),
+                       i -> ('0x' || substr(hx, 2*i-1, 2))::BIGINT), 'sum'), 0) AS sb
+              FROM h),
+            resized AS (
+              SELECT doc_id, string_agg(substr(hx, 2*i-1, 2), '' ORDER BY i) AS rs_hex
               FROM (
-                SELECT doc_id, text,
-                       unnest(generate_series(1, length(text),
-                              greatest(1, length(text) // 32))) AS i
-                FROM documents) t
+                SELECT doc_id, hx,
+                       unnest(generate_series(1, nb, greatest(1, nb // 32))) AS i
+                FROM h) t
               GROUP BY doc_id)
-            SELECT d.doc_id, d.source AS format,
-            CAST(length(d.text) AS BIGINT) AS n_bytes,
-            CAST(list_aggregate(list_transform(string_split(d.text, ''), c -> ord(c)), 'sum') AS BIGINT)
-              AS sum_bytes,
-            CAST(list_aggregate(list_transform(string_split(d.text, ''), c -> ord(c)), 'sum') AS DOUBLE)
-              / length(d.text) AS mean_byte,
-            to_base64(substr(d.text, 1, 8)::BLOB) AS head_b64,
-            CAST(ceil(length(d.text) / 16.0) AS BIGINT) AS n_frames,
-            CAST(ceil(ceil(length(d.text) / 16.0) / 4.0) AS BIGINT) AS n_sampled,
-            CAST(length(r.rs) AS BIGINT) AS resize_n,
-            md5(r.rs) AS resize_fp
-            FROM documents d JOIN resized r ON r.doc_id = d.doc_id
-            WHERE length(d.text) > 0 AND NOT d.text ~ '[^\x00-\x7F]'""")
+            SELECT h.doc_id, h.source AS format,
+            CAST(h.nb AS BIGINT) AS n_bytes,
+            CAST(s.sb AS BIGINT) AS sum_bytes,
+            CASE WHEN h.nb = 0 THEN 0.0
+                 ELSE CAST(s.sb AS DOUBLE) / h.nb END AS mean_byte,
+            to_base64(unhex(substr(h.hx, 1, 16))) AS head_b64,
+            CAST((h.nb + 15) // 16 AS BIGINT) AS n_frames,
+            CAST(((h.nb + 15) // 16 + 3) // 4 AS BIGINT) AS n_sampled,
+            CAST(coalesce(length(r.rs_hex), 0) // 2 AS BIGINT) AS resize_n,
+            md5(lower(coalesce(r.rs_hex, ''))) AS resize_fp
+            FROM h
+            JOIN sums s ON s.doc_id = h.doc_id
+            LEFT JOIN resized r ON r.doc_id = h.doc_id""")
   )
 
   val all: Seq[Q] = Seq(mediaFeatures)

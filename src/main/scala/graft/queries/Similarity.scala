@@ -195,5 +195,97 @@ object Similarity {
     cosineTopK.oracle // identical semantics to q27: same rows, same ranks
   )
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg)
+  private val IvfCentroids = 8
+  private val IvfNProbe = 3 // random (non-learned) centroids need a wider probe
+
+  /** Hash-derived IVF centroid component (seed prefix 'c' keeps the
+    * family disjoint from the LSH planes).
+    */
+  private def centComponent(j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"c$j,$i".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    u.toDouble / (1L << 32).toDouble - 0.5
+  }
+
+  /** Sequential left-fold dot product of `v` against a literal vector —
+    * the summation ORDER matters for oracle parity: `aggregate` folds
+    * index 0..63 strictly left-to-right, which the oracle mirrors with a
+    * list sum over the same index order, so both engines produce
+    * bit-identical doubles and the argmax assignment can never diverge.
+    */
+  private def seqDot(v: Column, lit64: Seq[Double]): Column =
+    aggregate(zip_with(v, typedLit(lit64), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** q63 — ANN via an IVF (inverted-file) coarse quantizer, the other
+    * classic ANN family next to LSH (q28/q62): assign every vector to its
+    * nearest of 8 hash-derived centroids (a ROW-LOCAL argmax — sort of an
+    * 8-element struct array, no shuffle, unlike a window formulation
+    * which would shuffle 8× the corpus), then probe the 2 nearest cells
+    * per query and rank by exact cosine. Centroids are md5-derived like
+    * the LSH planes, so assignment, probing, and ranking are all
+    * reproducible in the oracle. At scale the centroid set comes from a
+    * k-means sample instead (learned centroids also need fewer probes
+    * than the 3-of-8 a random quantizer needs here), and the
+    * cell-assigned corpus is written once as the inverted file,
+    * partitioned by cell.
+    */
+  val annIvf = Q(
+    "q63_ann_ivf",
+    (s, d) => {
+      val cents = (0 until IvfCentroids)
+        .map(j => (0 until Dim).map(i => centComponent(j, i)))
+      // per-row sorted [(−dot, j)]: element 0 is the nearest centroid
+      val sortedCells = array_sort(array((0 until IvfCentroids).map { j =>
+        struct((-seqDot(col("v"), cents(j))).as("nd"), lit(j).as("j"))
+      }: _*))
+      val e = vectors(s, d).withColumn("cell", element_at(sortedCells, 1)("j"))
+      val probes = vectors(s, d).where(col("vec_id") < 8)
+        .select(col("vec_id"), col("v"),
+          explode(slice(sortedCells, 1, IvfNProbe)).as("sc"))
+        .select(col("vec_id"), col("v"), col("sc")("j").as("cell"))
+      val scored = broadcast(probes).as("q")
+        .join(e.as("x"),
+          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+        .distinct() // a neighbor can sit in both probed cells? (it can't —
+                    // cells partition the corpus — but keep the shape
+                    // identical to q28/q62 for plan comparability)
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+    },
+    Some(s"""WITH cent AS (
+              SELECT j, list_transform(generate_series(0, ${Dim - 1}),
+                       i -> (('0x' || substr(md5(concat('c', j, ',', i)), 1, 8))::BIGINT
+                             / 4294967296.0) - 0.5) AS c
+              FROM (SELECT unnest(generate_series(0, ${IvfCentroids - 1})) AS j) js),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            dots AS (
+              SELECT e.vec_id, e.v, cent.j,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> e.v[i] * cent.c[i]), 'sum') AS dt
+              FROM e, cent),
+            ranked AS (
+              SELECT vec_id, v, j,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dt DESC, j ASC) AS r
+              FROM dots),
+            assigned AS (SELECT vec_id, v, j AS cell FROM ranked WHERE r = 1),
+            probes AS (SELECT vec_id, v, j AS cell FROM ranked
+                       WHERE r <= $IvfNProbe AND vec_id < 8),
+            scored AS (
+              SELECT DISTINCT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM probes q JOIN assigned x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM scored) t
+            WHERE rnk <= 5""")
+  )
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf)
 }

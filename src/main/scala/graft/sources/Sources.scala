@@ -52,6 +52,11 @@ object Sources {
       case "json" =>
         w.json(out)
         r.json(out)
+      case "orc" =>
+        // columnar like parquet: schema-carrying, so the explicit read
+        // schema is a cross-check rather than a requirement
+        w.orc(out)
+        r.orc(out)
     }
   }
 
@@ -69,5 +74,12 @@ object Sources {
     Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
   )
 
-  val all: Seq[Q] = Seq(csvRoundTrip, jsonRoundTrip)
+  /** q65 — ORC write + read round-trip equals the parquet source. */
+  val orcRoundTrip = Q(
+    "q65_orc_roundtrip",
+    (s, d) => roundTrip(s, d, "orc"),
+    Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
+  )
+
+  val all: Seq[Q] = Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip)
 }

@@ -222,6 +222,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"8-plane ANN recall $recall too low")
   }
 
+  test("q63_ann_ivf: IVF cells partition the corpus; recall is nontrivial") {
+    val exact = run("q27_cosine_topk").where(col("rnk") <= 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = run("q63_ann_ivf").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    // nprobe=3 of 8 random cells searches ~3/8 of the corpus; random
+    // (non-learned) centroids bound what recall is achievable — require
+    // clearly-better-than-chance
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("q60_cosine_topk_agg: aggregator top-k ≡ q27's window top-k, without a Window") {
     val viaWindow = run("q27_cosine_topk").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk"))).toSet
@@ -268,9 +281,39 @@ class QueriesSpec extends AnyFunSuite {
     val joined = run("q33_multimodal_features").as("f")
       .join(Tables.documents(spark, d).as("doc"), col("f.doc_id") === col("doc.doc_id"))
       .where(col("f.n_bytes") =!= length(col("doc.text"))
-        || col("f.mean_byte") < 32 || col("f.mean_byte") > 127
+        || (col("f.n_bytes") > 0 &&
+            (col("f.mean_byte") < 32 || col("f.mean_byte") > 127))
         || col("f.n_sampled") > col("f.n_frames"))
     assert(joined.count() === 0)
+  }
+
+  test("q33 is TOTAL: empty and non-ASCII payloads get defined features, no row dropped") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_q33_total").toString
+    Seq(
+      (1L, "", "xx", "synth", 0L),
+      (2L, "aé", "xx", "synth", 2L), // UTF-8 bytes 61 C3 A9
+      (3L, "abcdefgh", "xx", "synth", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q33_multimodal_features")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 3) // every row survives
+    val empty = out(1L)
+    assert(empty.getAs[Long]("n_bytes") === 0L)
+    assert(empty.getAs[Double]("mean_byte") === 0.0)
+    assert(empty.getAs[String]("head_b64") === "")
+    assert(empty.getAs[Long]("n_frames") === 0L)
+    assert(empty.getAs[Long]("resize_n") === 0L)
+    assert(empty.getAs[String]("resize_fp") === md5hex("")) // md5 of empty hex
+    val nonAscii = out(2L)
+    assert(nonAscii.getAs[Long]("n_bytes") === 3L) // bytes, not characters
+    assert(nonAscii.getAs[Long]("sum_bytes") === (0x61 + 0xc3 + 0xa9).toLong)
+    assert(nonAscii.getAs[String]("head_b64") === "YcOp")
+    assert(nonAscii.getAs[String]("resize_fp") === md5hex("61c3a9"))
   }
 
   // --- event windows -----------------------------------------------------
