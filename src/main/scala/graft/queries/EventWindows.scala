@@ -157,6 +157,53 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q66 — time-spine GAP-FILL: hourly totals per event type INCLUDING
+    * empty hours — the time-series completeness operator (downstream
+    * models need explicit zeros, not missing rows). The spine is
+    * generated from the observed min/max hour (`sequence` + `explode` —
+    * narrow, no shuffle), crossed with the distinct type set (a handful
+    * of rows — the planner broadcasts it), then left-joined to the
+    * aggregated hours with zero-filled gaps.
+    */
+  val gapFill = Q(
+    "q66_gapfill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_value"))
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("wstart"))
+      val types = ev.select("event_type").distinct()
+      spine.crossJoin(types)
+        .join(hourly, Seq("wstart", "event_type"), "left")
+        .select(col("wstart"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    },
+    Some(s"""WITH hourly AS (
+               SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+                      count(*) AS n, ${sqlSum2("value")} AS sum_value
+               FROM events GROUP BY 1, 2),
+             spine AS (
+               SELECT unnest(generate_series(
+                        time_bucket(INTERVAL '1 hour', min(ts)),
+                        time_bucket(INTERVAL '1 hour', max(ts)),
+                        INTERVAL '1 hour')) AS wstart
+               FROM events),
+             types AS (SELECT DISTINCT event_type FROM events)
+             SELECT s.wstart, t.event_type,
+                    CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+                    coalesce(h.sum_value, 0.0) AS sum_value
+             FROM spine s CROSS JOIN types t
+             LEFT JOIN hourly h
+               ON h.wstart = s.wstart AND h.event_type = t.event_type""")
+  )
+
   /** q64 — streaming DEDUPLICATION with watermark-bounded state: the
     * events stream unioned with itself (every record genuinely arrives
     * twice) through `dropDuplicatesWithinWatermark` on event_id, which
@@ -213,5 +260,5 @@ object EventWindows {
 
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
-      streamDedup, statefulSessions)
+      streamDedup, statefulSessions, gapFill)
 }

@@ -386,7 +386,40 @@ object Relational2 {
                          ORDER BY o_totalprice DESC, o_orderkey)""")
   )
 
+  /** q68 — unpivot (melt): q39's pivoted wide row back to long form —
+    * (priority, status, cnt) — via the native `unpivot` operator (an
+    * `Expand` node: one pass, no shuffle, each input row fanned to one
+    * row per value column). Together q39+q68 round-trip the
+    * wide↔long reshaping pair.
+    */
+  val unpivotQ = Q(
+    "q68_unpivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .unpivot(
+          ids = Array(col("o_orderpriority")),
+          values = Array(col("F"), col("O"), col("P")),
+          variableColumnName = "status",
+          valueColumnName = "cnt"),
+    Some("""WITH wide AS (
+              SELECT o_orderpriority,
+                     count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+                     count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+                     count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, s.status, CAST(s.cnt AS BIGINT) AS cnt
+            FROM wide, LATERAL (VALUES ('F', f_cnt), ('O', o_cnt), ('P', p_cnt))
+                 AS s(status, cnt)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
-    rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs)
+    rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ)
 }

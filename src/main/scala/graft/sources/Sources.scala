@@ -81,5 +81,26 @@ object Sources {
     Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
   )
 
-  val all: Seq[Q] = Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip)
+  /** q67 — Hive-style PARTITIONED write + partition-PRUNED read: the
+    * documents table written `partitionBy("lang")`, read back with a
+    * lang predicate. At 100 TB partition layout is the first line of
+    * defense — the pruned read must touch only the matching directory
+    * (PlanSpec asserts the predicate lands in PartitionFilters, not as a
+    * post-scan filter).
+    */
+  val partitionPruned = Q(
+    "q67_partition_pruned",
+    (s, d) => {
+      val out = s"$jvmScratch/partitioned_docs"
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .where(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+    },
+    Some("SELECT doc_id, lang, source, n_chars, text FROM documents WHERE lang = 'en'")
+  )
+
+  val all: Seq[Q] = Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned)
 }

@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite {
       "expected AQE to reuse at least one exchange across the repeated gram/candidate subtrees")
   }
 
+  test("q67: partition predicate prunes at the source (PartitionFilters)") {
+    val p = plan("q67_partition_pruned")
+    def bracket(tag: String): String =
+      s"$tag: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(bracket("PartitionFilters").contains("lang"),
+      s"lang predicate not pruning partitions: $p")
+    // and it must NOT degrade to a post-scan data filter on lang
+    assert(!bracket("DataFilters").contains("lang") &&
+      !bracket("PushedFilters").contains("lang"),
+      s"lang fell through to data filters: $p")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
