@@ -122,30 +122,36 @@ object Dedup {
           (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
         .where(col("jaccard") >= JaccardThresholdLsh)
     },
-    Some(s"""WITH $sqlGrams,
-             seeds AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS seed),
-             mh AS (SELECT doc_id, seed, min(md5(concat(seed, '|', g))) AS mh
-                    FROM grams, seeds GROUP BY 1, 2),
-             bnd AS (SELECT doc_id, seed // 2 AS band,
-                            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
-                            min(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
-                     FROM mh GROUP BY 1, 2),
-             bands AS (SELECT doc_id, md5(concat(band, '#', h0, ',', h1)) AS bk FROM bnd),
-             cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-                      FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-             inter AS (SELECT da, db, count(*) AS c
-                       FROM cand
-                       JOIN grams ga ON ga.doc_id = da
-                       JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
-                       GROUP BY 1, 2)
-             SELECT da AS doc_a, db AS doc_b,
-                    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-             FROM inter
-             JOIN sizes sa ON sa.doc_id = da
-             JOIN sizes sb ON sb.doc_id = db
-             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdLsh""")
+    Some(s"WITH $sqlMinhashCtes\n$sqlMinhashPairsSelect")
   )
+
+  /** CTE chain shared by q23's oracle and q70's recursive-CTE oracle. */
+  private lazy val sqlMinhashCtes =
+    s"""$sqlGrams,
+       seeds AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS seed),
+       mh AS (SELECT doc_id, seed, min(md5(concat(seed, '|', g))) AS mh
+              FROM grams, seeds GROUP BY 1, 2),
+       bnd AS (SELECT doc_id, seed // 2 AS band,
+                      min(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
+                      min(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
+               FROM mh GROUP BY 1, 2),
+       bands AS (SELECT doc_id, md5(concat(band, '#', h0, ',', h1)) AS bk FROM bnd),
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       inter AS (SELECT da, db, count(*) AS c
+                 FROM cand
+                 JOIN grams ga ON ga.doc_id = da
+                 JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
+                 GROUP BY 1, 2)"""
+
+  private lazy val sqlMinhashPairsSelect =
+    s"""SELECT da AS doc_a, db AS doc_b,
+              CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = da
+       JOIN sizes sb ON sb.doc_id = db
+       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdLsh"""
 
   /** q24 — exact n-gram Jaccard similarity over all pairs sharing a
     * shingle (complete for any threshold > 0, since J ≥ t implies a shared
@@ -280,5 +286,68 @@ object Dedup {
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
   )
 
-  val all: Seq[Q] = Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup)
+  /** q70 — dedup CLUSTER ASSIGNMENT: connected components over the q23
+    * near-duplicate graph, labeling every involved document with the
+    * smallest doc_id reachable from it (the cluster representative a
+    * production dedup keeps). This is the step after pairwise detection:
+    * near-dup pairs are edges, and transitively-linked documents must
+    * dedupe as ONE group even when the endpoints never compared directly.
+    *
+    * Spark-first shape: iterative min-label propagation — each round is
+    * one distributed join+groupBy ("output of one job is the input of the
+    * next", the reference's multi-round idiom, SURVEY §2b), with
+    * `localCheckpoint` truncating the lineage per round so the plan stays
+    * flat instead of doubling per iteration. Rounds are bounded by the
+    * graph diameter (near-dup clusters are tiny); the driver only reads a
+    * one-scalar convergence count per round. At 100 TB the same loop runs
+    * with large-star/small-star contraction to cut worst-case rounds.
+    * Oracle: a recursive CTE over the same pair set.
+    */
+  val dedupComponents = Q(
+    "q70_dedup_components",
+    (s, d) => {
+      val pairs = minhashLsh.fn(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // materialize the edge list once (q23 runs exactly once), symmetric
+      val edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbr = edges.as("e")
+          .join(labels.as("l"), col("e.b") === col("l.id"))
+          .groupBy(col("e.a").as("id"))
+          .agg(min(col("l.lbl")).as("nlbl"))
+        val next = labels.as("cur")
+          .join(nbr.as("n"), col("cur.id") === col("n.id"), "left")
+          .select(col("cur.id").as("id"),
+            least(col("cur.lbl"), coalesce(col("n.nlbl"), col("cur.lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val changed = next.as("x")
+          .join(labels.as("y"), col("x.id") === col("y.id"))
+          .where(col("x.lbl") =!= col("y.lbl")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+    },
+    Some(s"""WITH RECURSIVE $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             reach(a, b) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
+             SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+             FROM reach GROUP BY a""")
+  )
+
+  val all: Seq[Q] =
+    Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup, dedupComponents)
 }
