@@ -286,6 +286,41 @@ object Dedup {
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
   )
 
+  /** q69 — EDIT-DISTANCE verification of the LSH candidate pairs: exact
+    * Levenshtein distance (and a length-normalized similarity) over the
+    * document texts of each q23 candidate pair — the character-level
+    * complement to set-based Jaccard, catching near-dups whose edits are
+    * within-word (Jaccard on word shingles can miss single-character
+    * typo chains). Only candidate pairs ever compare texts: O(pairs) ×
+    * O(len²) per pair, never all-pairs; the doc bodies are joined to the
+    * tiny pair set (AQE broadcasts it), so full texts never shuffle.
+    */
+  val editDistance = Q(
+    "q69_edit_distance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      minhashLsh.fn(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .join(docs.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(docs.as("tb"), col("doc_b") === col("tb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein(col("ta.text"), col("tb.text")).cast("double") /
+            greatest(length(col("ta.text")), length(col("tb.text"))).cast("double"))
+            .as("edit_sim"))
+    },
+    Some(s"""WITH $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect)
+             SELECT p.doc_a, p.doc_b,
+                    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+                    1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                        / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+                      AS edit_sim
+             FROM pairs p
+             JOIN documents ta ON ta.doc_id = p.doc_a
+             JOIN documents tb ON tb.doc_id = p.doc_b""")
+  )
+
   /** q70 — dedup CLUSTER ASSIGNMENT: connected components over the q23
     * near-duplicate graph, labeling every involved document with the
     * smallest doc_id reachable from it (the cluster representative a
@@ -349,5 +384,6 @@ object Dedup {
   )
 
   val all: Seq[Q] =
-    Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup, dedupComponents)
+    Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
+      editDistance, dedupComponents)
 }

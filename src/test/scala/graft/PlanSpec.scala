@@ -40,6 +40,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial"), p.take(2000))
   }
 
+  test("hot scan-aggregate queries run inside WholeStageCodegen") {
+    // the Tungsten design point: scan → filter → partial agg fused into
+    // one generated loop, no interpreted row-at-a-time operators
+    // codegen'd operators print with the `*(stageId)` prefix; under AQE
+    // the markers only appear once stages are planned, so execute first
+    for (q <- Seq("q02_filter_project", "q03_group_agg")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("*(") && (l.contains("HashAggregate") || l.contains("Filter"))),
+        s"$q: neither aggregate nor filter is codegen'd: ${p.take(800)}")
+    }
+  }
+
   test("q27: plan uses the native cosine expression") {
     val p = plan("q27_cosine_topk")
     assert(p.contains("cosine_similarity"), p.take(2000))
