@@ -93,15 +93,18 @@ object Core {
     Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
   )
 
-  /** q05 — reduce-side equi-join re-expressed as a broadcast hash join
-    * (customer is the small dimension) + aggregation.
+  /** q05 — reduce-side equi-join + aggregation. No broadcast hint on
+    * customer: unlike nation/region (fixed 25/5 rows at any scale),
+    * customer GROWS with the scale factor — forcing it to broadcast
+    * would OOM at 100 TB. The planner broadcasts it on its own while its
+    * size estimate is under the threshold and shuffle-joins beyond.
     */
   val joinAgg = Q(
     "q05_join_agg",
     (s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_price"))
     },

@@ -168,10 +168,14 @@ object TextAnalysis {
   )
 
   /** q46 — TF-IDF: top-3 scoring terms per document. One shuffle for tf,
-    * one small aggregate for df (broadcast back), corpus size via a
-    * broadcast 1-row aggregate — no driver-side collect. Scores are
-    * rounded to 6 digits before ranking (ln() is libm-dependent), with a
-    * term tiebreak, so ordering is engine-portable.
+    * one aggregate for df joined back on term (no broadcast hint: the
+    * vocabulary GROWS with the corpus — heavy-tailed but unbounded — so
+    * forcing a df broadcast is the same 100 TB OOM class as broadcasting
+    * a per-document relation; AQE broadcasts it while it fits), corpus
+    * size via a broadcast 1-row aggregate — no driver-side collect.
+    * Scores are rounded to 6 digits before ranking (ln() is
+    * libm-dependent), with a term tiebreak, so ordering is
+    * engine-portable.
     */
   val tfIdf = Q(
     "q46_tfidf",
@@ -184,7 +188,7 @@ object TextAnalysis {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf
-        .join(broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
