@@ -210,5 +210,70 @@ object TextAnalysis {
             WHERE rnk <= 3""")
   )
 
-  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf)
+  /** q72 — REPETITION signals (the Gopher/C4 quality rules that catch
+    * boilerplate and degenerate generations): per document, the fraction
+    * of duplicated word trigrams (1 − distinct/total over NON-distinct
+    * shingles) and the top single-token frequency ratio. Total over all
+    * inputs: documents with no tokens (or too short for a trigram) get
+    * defined 0.0 ratios via left joins from the documents table. Ratios
+    * are single divisions of identical integers on both engines —
+    * bit-exact.
+    */
+  val repetition = Q(
+    "q72_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokCounts = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tokStats = tokCounts.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("max_tok"))
+      // NON-distinct trigrams (unlike TextFns.wordGrams): repetition is
+      // precisely the multiplicity that distinct would erase
+      val gramStats = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
+          .as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), countDistinct("g").as("n_distinct_grams"))
+      docs.select(col("doc_id"))
+        .join(tokStats, Seq("doc_id"), "left")
+        .join(gramStats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("max_tok").cast("double") / col("n_tokens"), lit(0.0))
+            .as("top_token_ratio"),
+          coalesce(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"),
+            lit(0.0)).as("dup_trigram_ratio"))
+    },
+    Some("""WITH tc AS (
+              SELECT doc_id, w, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              WHERE w <> '' GROUP BY 1, 2),
+            ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          CAST(max(c) AS BIGINT) AS max_tok
+                   FROM tc GROUP BY 1),
+            gr AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                         FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                               FROM documents) t0) t
+                   WHERE i + 2 <= len(ws)),
+            gs AS (SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS ndg
+                   FROM gr GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(CAST(ts.max_tok AS DOUBLE) / ts.n_tokens, 0.0)
+                     AS top_token_ratio,
+                   coalesce(1.0 - CAST(gs.ndg AS DOUBLE) / gs.ng, 0.0)
+                     AS dup_trigram_ratio
+            FROM documents d
+            LEFT JOIN ts ON ts.doc_id = d.doc_id
+            LEFT JOIN gs ON gs.doc_id = d.doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition)
 }
