@@ -286,6 +286,52 @@ object Dedup {
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38""")
   )
 
+  /** q73 — exact n-gram Jaccard with STOP-SHINGLE pruning, the
+    * production-safe exact path: shingles occurring in more than
+    * `MaxShingleDf` documents are dropped from the shingle space before
+    * the shared-shingle self-join (they are boilerplate — near-useless
+    * for similarity — and each hot shingle costs O(df²) join pairs; at
+    * 100 TB one viral boilerplate line would otherwise quadratically
+    * dominate the whole job). Jaccard is computed consistently over the
+    * FILTERED shingle space on both sides, so the oracle stays exact.
+    * q24 (uncapped) remains the small-scale oracle twin of q23.
+    */
+  private val MaxShingleDf = 50
+  val ngramJaccardCapped = Q(
+    "q73_ngram_jaccard_capped",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+      val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxShingleDf)
+        .select("g")
+      val fg = grams.join(kept, "g")
+      val sizes = fg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = fg.as("a")
+        .join(fg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= JaccardThresholdExact)
+    },
+    Some(s"""WITH $sqlGrams,
+             kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $MaxShingleDf),
+             fg AS (SELECT grams.doc_id, grams.g FROM grams JOIN kept USING (g)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM fg GROUP BY 1),
+             inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                       FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b,
+                    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = da
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdExact""")
+  )
+
   /** q69 — EDIT-DISTANCE verification of the LSH candidate pairs: exact
     * Levenshtein distance (and a length-normalized similarity) over the
     * document texts of each q23 candidate pair — the character-level
@@ -385,5 +431,5 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
-      editDistance, dedupComponents)
+      editDistance, dedupComponents, ngramJaccardCapped)
 }

@@ -235,6 +235,49 @@ object EventWindows {
     Some("SELECT event_id, user_id, event_type, ts, value FROM events")
   )
 
+  /** q74 — STREAM-STREAM interval self-join: pairs of events by the same
+    * user within 5 minutes of each other, joined between two watermarked
+    * streams of the events source. The watermark + time-range condition
+    * is what bounds the join state on an unbounded stream (each side
+    * holds only rows the other side could still match); the event_id
+    * ordering keeps each pair emitted once. Oracle: the same interval
+    * self-join in batch SQL — streaming and batch semantics must agree
+    * exactly for an inner time-bounded join.
+    */
+  val streamIntervalJoin = Q(
+    "q74_stream_interval_join",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_join_" + java.util.UUID.randomUUID().toString.take(8)
+      def src = Tables.nanosTsToMicros(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+        .withWatermark("ts", "10 minutes")
+      val a = src.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"), col("value").as("val_a"))
+      val b = src.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"), col("value").as("val_b"))
+      val q = a.join(b,
+          col("user_id") === col("user_b") &&
+            col("id_a") < col("id_b") &&
+            col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+    Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                   a.ts AS ts_a, b.ts AS ts_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND b.ts >= a.ts - INTERVAL '5 minutes'
+             AND b.ts <= a.ts + INTERVAL '5 minutes'""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -260,5 +303,5 @@ object EventWindows {
 
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
-      streamDedup, statefulSessions, gapFill)
+      streamDedup, statefulSessions, gapFill, streamIntervalJoin)
 }
