@@ -276,6 +276,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.where(col("shingle_fp").isNull).count() === 0)
   }
 
+  test("q71_sequence_packing: offsets are contiguous per shard and in-sequence offsets bounded") {
+    val rows = run("q71_sequence_packing").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { shard =>
+      val ordered = shard.sortBy(_._2)
+      // each doc starts exactly where the previous one ended (concat-and-cut)
+      ordered.sliding(2).foreach {
+        case Array((_, _, n, off, _, _), (_, _, _, off2, _, _)) =>
+          assert(off2 === off + n)
+        case _ => ()
+      }
+      assert(ordered.head._4 === 0L) // first doc of a shard starts at 0
+    }
+    assert(rows.forall { case (_, _, _, off, seq, so) =>
+      so < 2048 && seq === off / 2048 && so === off % 2048
+    })
+  }
+
+  test("q72_repetition: ratios are well-defined probabilities") {
+    val rows = run("q72_repetition").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Double]("top_token_ratio"),
+        r.getAs[Double]("dup_trigram_ratio")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, t, g) => t >= 0.0 && t <= 1.0 && g >= 0.0 && g <= 1.0 })
+    // a nonempty doc's most frequent token occurs at least once
+    assert(rows.forall { case (n, t, _) => n == 0 || t > 0.0 })
+  }
+
   // --- multimodal --------------------------------------------------------
   test("q33_multimodal_features: byte accounting is exact") {
     val joined = run("q33_multimodal_features").as("f")
