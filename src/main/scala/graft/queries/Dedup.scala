@@ -396,9 +396,15 @@ object Dedup {
       var labels = edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint(true)
+      // Plain min-propagation converges in O(component diameter) rounds;
+      // near-dup clusters are shallow, but a silent cap would emit
+      // half-propagated labels (wrong answers) on a pathological chain —
+      // so the bound is generous and non-convergence is an ERROR, not a
+      // truncation (the reference's error contract: fail loudly).
+      val MaxRounds = 100
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      while (!converged && rounds < MaxRounds) {
         val nbr = edges.as("e")
           .join(labels.as("l"), col("e.b") === col("l.id"))
           .groupBy(col("e.a").as("id"))
@@ -415,6 +421,8 @@ object Dedup {
         converged = changed == 0
         rounds += 1
       }
+      require(converged,
+        s"q70 label propagation did not converge in $MaxRounds rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("component"))
     },
     Some(s"""WITH RECURSIVE $sqlMinhashCtes,
