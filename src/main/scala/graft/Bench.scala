@@ -39,6 +39,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // a typo'd SPARK_GRAFT_BENCH_ONLY must fail loudly, not print a
+    // plausible-looking zero-total benchmark
+    require(names.nonEmpty,
+      s"no queries selected (SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))})")
     // untimed warmup: JVM + codegen + parquet footer caches
     try materialize(names.head) catch { case _: Throwable => () }
 

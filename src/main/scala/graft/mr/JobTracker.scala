@@ -48,6 +48,14 @@ final case class JobState(stage: Stage.Value, percentage: Float)
   * `done` can never exceed `total` (the reference increments exactly once
   * per item, `cpp:144-145,237-238`).
   *
+  * Known delta: a tracked ACTION can launch several Spark jobs (AQE
+  * broadcast subqueries run their own collect jobs with ResultTasks), so
+  * a result stage can register before the main query's map stages; the
+  * tracker then reports REDUCE conservatively early. The monotonic guard
+  * still holds — observed (stage, percentage) never regresses — which is
+  * the contract the reference actually documents; its single-job model
+  * has no analogue of multi-job actions.
+  *
   * State is packed into one 64-bit long — stage in the top 2 bits,
   * completed in bits 31..61, total in bits 0..30, the reference's exact
   * layout (`MapReduceFramework.cpp:36-41`) — and published monotonically
@@ -69,15 +77,24 @@ final class JobTracker extends SparkListener {
       ((done & 0x7FFFFFFFL) << 31) |
       (total & 0x7FFFFFFFL)
 
-  /** Monotonic publication: only advance stage, or progress within a stage. */
+  /** Monotonic publication: only advance stage, or percentage within a
+    * stage. The within-stage comparison is on the PERCENTAGE, not the raw
+    * `done` counter — per-phase totals can grow while an action runs
+    * (AQE submits stages as it re-plans), and a larger denominator with a
+    * barely-larger numerator would otherwise make the observed progress
+    * regress, violating the reference's invariant (`cpp:94-99`).
+    */
   private def publish(stage: Int, done: Long, total: Long): Unit = {
+    def pct(d: Long, t: Long): Float = if (t == 0) 0f else d.toFloat / t.toFloat
     var updated = false
     while (!updated) {
       if (terminal) return
       val cur = packed.get()
       val curStage = (cur >>> 62).toInt
       val curDone = (cur >>> 31) & 0x7FFFFFFFL
-      val advance = stage > curStage || (stage == curStage && done >= curDone)
+      val curTotal = cur & 0x7FFFFFFFL
+      val advance = stage > curStage ||
+        (stage == curStage && pct(done, total) >= pct(curDone, curTotal))
       if (!advance) return
       updated = packed.compareAndSet(cur, pack(stage, done, total))
     }
@@ -135,7 +152,10 @@ final class JobTracker extends SparkListener {
       if (r.kind == Rec.Unknown)
         r.kind = if (ev.taskType.contains("ShuffleMap")) Rec.Map else Rec.Result
       if (ev.reason == Success)
-        r.doneIdx.putIfAbsent(Option(ev.taskInfo).map(_.index).getOrElse(r.doneIdx.size), ())
+        // negative sentinel for a (defensive) null taskInfo, so it can
+        // never collide with — and swallow — a real task index
+        r.doneIdx.putIfAbsent(
+          Option(ev.taskInfo).map(_.index).getOrElse(-1 - r.doneIdx.size), ())
     }
     publishCurrent()
   }

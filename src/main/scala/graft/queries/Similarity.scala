@@ -221,8 +221,8 @@ object Similarity {
     * classic ANN family next to LSH (q28/q62): assign every vector to its
     * nearest of 8 hash-derived centroids (a ROW-LOCAL argmax — sort of an
     * 8-element struct array, no shuffle, unlike a window formulation
-    * which would shuffle 8× the corpus), then probe the 2 nearest cells
-    * per query and rank by exact cosine. Centroids are md5-derived like
+    * which would shuffle 8× the corpus), then probe the `IvfNProbe`
+    * nearest cells per query and rank by exact cosine. Centroids are md5-derived like
     * the LSH planes, so assignment, probing, and ranking are all
     * reproducible in the oracle. At scale the centroid set comes from a
     * k-means sample instead (learned centroids also need fewer probes

@@ -39,9 +39,16 @@ object Sources {
     path
   }
 
+  /** Key the leaf by the sf dir too: the returned read is LAZY, so two
+    * scale factors round-tripped in one JVM must not share an output path
+    * (the second write would silently replace what the first one reads).
+    */
+  private def leaf(d: String, name: String): String =
+    s"$jvmScratch/${name}_" + java.lang.Integer.toHexString(d.hashCode)
+
   private def roundTrip(s: SparkSession, d: String, format: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars", "text")
-    val out = s"$jvmScratch/roundtrip_$format"
+    val out = leaf(d, s"roundtrip_$format")
     val w = docs.write.mode(SaveMode.Overwrite)
     val r = s.read.schema(docs.schema)
     format match {
@@ -91,7 +98,7 @@ object Sources {
   val partitionPruned = Q(
     "q67_partition_pruned",
     (s, d) => {
-      val out = s"$jvmScratch/partitioned_docs"
+      val out = leaf(d, "partitioned_docs")
       Tables.documents(s, d)
         .select("doc_id", "lang", "source", "n_chars", "text")
         .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)

@@ -79,9 +79,24 @@ object Sessionize {
       }
     }
     // Strays arrive in ascending ts order (evs is sorted), so the
-    // lastOption check above already merged mutually-close runs; each
-    // buffered stray session is closed — by definition it ended ≥ gap
-    // before the open session started.
+    // lastOption check above already merged mutually-close runs. A later
+    // in-batch event may have EXTENDED the open session downward (min
+    // start) to within gap of the last stray run — batch session_window
+    // would merge that chain, so fold such runs into the open session
+    // before closing the rest (consecutive stray runs are ≥ gap apart,
+    // so merging can only chain from the tail; loop for safety).
+    var chained = true
+    while (chained && strays.nonEmpty) {
+      (cur, strays.last) match {
+        case (Some(st), sl) if st.startUs - sl.lastUs < gapUs =>
+          strays.remove(strays.length - 1)
+          cur = Some(st.copy(
+            startUs = math.min(st.startUs, sl.startUs),
+            n = st.n + sl.n, cents = st.cents + sl.cents))
+        case _ => chained = false
+      }
+    }
+    // remaining stray runs ended ≥ gap before the open session started
     strays.foreach(st => out += close(user, st))
     if (flushTrailing) {
       cur.foreach(st => out += close(user, st))

@@ -93,6 +93,35 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stray that chains to the open session via a later downward extension merges in") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      input.toDS(), gapUs = 60L * 1000000, flushTrailing = false)
+    val name = "straychain_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1.0))
+      q.processAllAvailable()
+      // 920 arrives while the session starts at 1000 (80s ≥ gap → stray),
+      // but 950 then extends the session down to 950 — batch
+      // session_window over {920, 950, 1000} is ONE session, so the
+      // buffered stray must chain back in rather than close alone
+      input.addData(ev(1, 920, 5.0), ev(1, 950, 2.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0) // nothing closed yet
+      input.addData(ev(1, 5000, 9.0)) // far jump closes the merged session
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length === 1, rows.mkString(", "))
+      assert(rows.head.getAs[Long]("n") === 3L)
+      assert(rows.head.getAs[Double]("sum_value") === 8.0)
+      assert(rows.head.getAs[java.sql.Timestamp]("session_start").getTime === 920L * 1000)
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append-mode windowed aggregation") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
