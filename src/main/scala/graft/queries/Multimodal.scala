@@ -117,5 +117,61 @@ object Multimodal {
             LEFT JOIN resized r ON r.doc_id = h.doc_id""")
   )
 
-  val all: Seq[Q] = Seq(mediaFeatures)
+  /** q75 — FRAME SAMPLING as a row-level pipeline: the payload is cut
+    * into 16-byte "frames", every 4th frame is sampled (q33's sampler),
+    * and each sampled frame becomes its OWN output row with per-frame
+    * features — the batch shape a real video pipeline produces (frame
+    * rows feeding a per-frame model), where q33 only reports per-document
+    * counts. Declarative end to end: explode over a frame-index sequence,
+    * features from hex-chunk arithmetic — narrow, no shuffle, codegen'd.
+    * A document with an empty payload has no frames (zero rows for it is
+    * the total-contract answer at frame granularity). The frame
+    * fingerprint is md5 over the frame's lowercase hex, portable like
+    * q33's resize fingerprint.
+    */
+  val frameSample = Q(
+    "q75_frame_sample",
+    (s, d) => {
+      val sumExpr = "aggregate(transform(sequence(1, length(fh) div 2), " +
+        "j -> CAST(conv(substring(fh, 2*j-1, 2), 16, 10) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(hex(col("text").cast("binary"))).as("hx"),
+          length(col("text").cast("binary")).cast("long").as("nb"))
+        .where(col("nb") > 0)
+        .select(col("doc_id"), col("hx"),
+          explode(expr("sequence(0, CAST((nb + 15) div 16 AS INT) - 1)")).as("frame_idx"))
+        .where(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("substring(hx, frame_idx * 32 + 1, 32)").as("fh"))
+        .select(col("doc_id"), col("frame_idx"),
+          (length(col("fh")) / 2).cast("long").as("frame_bytes"),
+          expr(sumExpr).as("frame_sum"),
+          md5(col("fh").cast("binary")).as("frame_fp"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, lower(hex(encode(text))) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents WHERE octet_length(encode(text)) > 0),
+            fr AS (
+              SELECT doc_id, hx,
+                     unnest(generate_series(0, CAST((nb + 15) // 16 AS INT) - 1))
+                       AS frame_idx
+              FROM h),
+            fs AS (
+              SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                     substr(hx, frame_idx * 32 + 1, 32) AS fh
+              FROM fr WHERE frame_idx % 4 = 0)
+            SELECT doc_id, frame_idx,
+                   CAST(length(fh) // 2 AS BIGINT) AS frame_bytes,
+                   CAST(list_aggregate(list_transform(
+                          generate_series(1, length(fh) // 2),
+                          j -> ('0x' || substr(fh, 2*j-1, 2))::BIGINT), 'sum')
+                        AS BIGINT) AS frame_sum,
+                   md5(fh) AS frame_fp
+            FROM fs""")
+  )
+
+  val all: Seq[Q] = Seq(mediaFeatures, frameSample)
 }
