@@ -36,6 +36,25 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(top === expected)
   }
 
+  test("property: any partitioning + merge order reduces to the sequential top-k") {
+    import spark.implicits._
+    // the mergeable-accumulator law that makes map-side partial top-k
+    // correct: however rows are split across tasks and however partials
+    // are merged, the result equals the sequential fold
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(60)
+      val xs = List.fill(n)(ScoredId(rnd.nextInt(20).toLong, rnd.nextInt(10).toDouble))
+      val k = 1 + rnd.nextInt(5)
+      val aggr = new TopKAggregator(k)
+      val expected = xs.sorted(Ordering.by((s: ScoredId) => (-s.score, s.id))).take(k)
+      val chunks = xs.grouped(1 + rnd.nextInt(xs.size)).toList
+      val partials = rnd.shuffle(chunks.map(c => c.foldLeft(aggr.zero)(aggr.reduce)))
+      val merged = partials.foldLeft(aggr.zero)(aggr.merge)
+      assert(merged === expected, s"n=$n k=$k chunks=${chunks.map(_.size)}")
+    }
+  }
+
   test("partial-state bound: buffer never exceeds k") {
     import spark.implicits._
     val aggr = new TopKAggregator(3)
