@@ -150,6 +150,82 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: random watermark-plausible deliveries ≡ batch gaps-and-islands") {
+    // Differential test: any delivery order in which no event arrives
+    // ≥ gap later than the maximum already delivered (the watermark
+    // regime — anything later would be watermark-dropped in production)
+    // must produce exactly the sessions of the batch gaps-and-islands
+    // rule. Generator: sorted events → consecutive batch split → demote
+    // a couple of events to later batches only when they stay within gap
+    // of everything delivered before them.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val GapSec = 60L
+    def batchSessions(ts: Seq[Long]): Seq[(Long, Long, Double)] = {
+      // (session_start, n, sum) with value = ts.toDouble for easy sums
+      val sorted = ts.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var start = -1L; var last = -1L; var n = 0L; var sum = 0.0
+      sorted.foreach { t =>
+        if (start < 0 || t - last >= GapSec) {
+          if (start >= 0) out += ((start, n, sum))
+          start = t; last = t; n = 1; sum = t.toDouble
+        } else { last = t; n += 1; sum += t.toDouble }
+      }
+      if (start >= 0) out += ((start, n, sum))
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    for (iter <- 1 to 6) {
+      // random event times over a range that produces multiple sessions
+      val n = 6 + rnd.nextInt(7)
+      val ts = Seq.fill(n)(rnd.nextInt(600).toLong).distinct.sorted
+      // consecutive split into 1..3 batches
+      val nBatches = 1 + rnd.nextInt(3)
+      val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(ts.size)).sorted
+      var batches = (Seq(0) ++ cuts ++ Seq(ts.size)).sliding(2).collect {
+        case Seq(a, b) if b > a => ts.slice(a, b).toBuffer
+      }.toSeq
+      // demote up to 2 events to a later batch when watermark-plausible
+      if (batches.size > 1) {
+        for (_ <- 1 to 2) {
+          val from = rnd.nextInt(batches.size - 1)
+          if (batches(from).nonEmpty) {
+            val ev0 = batches(from)(rnd.nextInt(batches(from).size))
+            val to = from + 1 + rnd.nextInt(batches.size - from - 1)
+            val maxBefore = batches.take(to).flatten.filterNot(_ == ev0)
+              .foldLeft(Long.MinValue)(math.max)
+            if (maxBefore == Long.MinValue || ev0 >= maxBefore - GapSec + 1) {
+              batches(from) -= ev0
+              batches(to) += ev0
+            }
+          }
+        }
+      }
+      val expected = batchSessions(ts).toSet
+      val input = MemoryStream[Sessionize.Event]
+      val sessions = Sessionize.sessions(
+        input.toDS(), gapUs = GapSec * 1000000, flushTrailing = false)
+      val name = s"prop${iter}_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.filter(_.nonEmpty).foreach { b =>
+          input.addData(b.toSeq.map(t => ev(1, t, t.toDouble)): _*)
+          q.processAllAvailable()
+        }
+        input.addData(ev(1, 100000, 0.0)) // sentinel flushes the last session
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map { r =>
+          (r.getAs[java.sql.Timestamp]("session_start").getTime / 1000,
+            r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+        }.toSet
+        assert(got === expected,
+          s"iter=$iter ts=$ts batches=${batches.map(_.toSeq)}")
+      } finally q.stop()
+    }
+  }
+
   test("batch mode with flushTrailing emits every session exactly once") {
     import spark.implicits._
     val events = Seq(
