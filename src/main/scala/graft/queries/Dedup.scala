@@ -374,14 +374,12 @@ object Dedup {
     * near-dup pairs are edges, and transitively-linked documents must
     * dedupe as ONE group even when the endpoints never compared directly.
     *
-    * Spark-first shape: iterative min-label propagation — each round is
-    * one distributed join+groupBy ("output of one job is the input of the
-    * next", the reference's multi-round idiom, SURVEY §2b), with
-    * `localCheckpoint` truncating the lineage per round so the plan stays
-    * flat instead of doubling per iteration. Rounds are bounded by the
-    * graph diameter (near-dup clusters are tiny); the driver only reads a
-    * one-scalar convergence count per round. At 100 TB the same loop runs
-    * with large-star/small-star contraction to cut worst-case rounds.
+    * Spark-first shape: alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]) — O(log n) rounds
+    * independent of component diameter, one Spark action per round (the
+    * convergence diff doubles as the checkpoint materializer). Round-2's
+    * min-label propagation was O(diameter) rounds × two actions each;
+    * at 100 TB one long near-dup chain would have made that unbounded.
     * Oracle: a recursive CTE over the same pair set.
     */
   val dedupComponents = Q(
@@ -389,40 +387,7 @@ object Dedup {
     (s, d) => {
       val pairs = minhashLsh.fn(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      // materialize the edge list once (q23 runs exactly once), symmetric
-      val edges = pairs
-        .union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
-      // Plain min-propagation converges in O(component diameter) rounds;
-      // near-dup clusters are shallow, but a silent cap would emit
-      // half-propagated labels (wrong answers) on a pathological chain —
-      // so the bound is generous and non-convergence is an ERROR, not a
-      // truncation (the reference's error contract: fail loudly).
-      val MaxRounds = 100
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < MaxRounds) {
-        val nbr = edges.as("e")
-          .join(labels.as("l"), col("e.b") === col("l.id"))
-          .groupBy(col("e.a").as("id"))
-          .agg(min(col("l.lbl")).as("nlbl"))
-        val next = labels.as("cur")
-          .join(nbr.as("n"), col("cur.id") === col("n.id"), "left")
-          .select(col("cur.id").as("id"),
-            least(col("cur.lbl"), coalesce(col("n.nlbl"), col("cur.lbl"))).as("lbl"))
-          .localCheckpoint(true)
-        val changed = next.as("x")
-          .join(labels.as("y"), col("x.id") === col("y.id"))
-          .where(col("x.lbl") =!= col("y.lbl")).count()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      require(converged,
-        s"q70 label propagation did not converge in $MaxRounds rounds")
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs)
       labels.select(col("id").as("doc_id"), col("lbl").as("component"))
     },
     Some(s"""WITH RECURSIVE $sqlMinhashCtes,
