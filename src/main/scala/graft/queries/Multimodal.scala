@@ -122,8 +122,11 @@ object Multimodal {
     * and each sampled frame becomes its OWN output row with per-frame
     * features — the batch shape a real video pipeline produces (frame
     * rows feeding a per-frame model), where q33 only reports per-document
-    * counts. Declarative end to end: explode over a frame-index sequence,
-    * features from hex-chunk arithmetic — narrow, no shuffle, codegen'd.
+    * counts. Declarative end to end: explode over a STRIDED frame-index
+    * sequence (`sequence(0, n, 4)` — only sampled frames are ever
+    * generated, not explode-all-then-filter-3/4-away; a 4× allocation
+    * saving at scale), features from hex-chunk arithmetic — narrow, no
+    * shuffle, codegen'd.
     * A document with an empty payload has no frames (zero rows for it is
     * the total-contract answer at frame granularity). The frame
     * fingerprint is md5 over the frame's lowercase hex, portable like
@@ -141,8 +144,7 @@ object Multimodal {
           length(col("text").cast("binary")).cast("long").as("nb"))
         .where(col("nb") > 0)
         .select(col("doc_id"), col("hx"),
-          explode(expr("sequence(0, CAST((nb + 15) div 16 AS INT) - 1)")).as("frame_idx"))
-        .where(col("frame_idx") % 4 === 0)
+          explode(expr("sequence(0, CAST((nb + 15) div 16 AS INT) - 1, 4)")).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           expr("substring(hx, frame_idx * 32 + 1, 32)").as("fh"))
         .select(col("doc_id"), col("frame_idx"),
@@ -154,15 +156,14 @@ object Multimodal {
               SELECT doc_id, lower(hex(encode(text))) AS hx,
                      octet_length(encode(text)) AS nb
               FROM documents WHERE octet_length(encode(text)) > 0),
-            fr AS (
-              SELECT doc_id, hx,
-                     unnest(generate_series(0, CAST((nb + 15) // 16 AS INT) - 1))
-                       AS frame_idx
-              FROM h),
             fs AS (
               SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                      substr(hx, frame_idx * 32 + 1, 32) AS fh
-              FROM fr WHERE frame_idx % 4 = 0)
+              FROM (
+                SELECT doc_id, hx,
+                       unnest(generate_series(0, CAST((nb + 15) // 16 AS INT) - 1, 4))
+                         AS frame_idx
+                FROM h) fr)
             SELECT doc_id, frame_idx,
                    CAST(length(fh) // 2 AS BIGINT) AS frame_bytes,
                    CAST(list_aggregate(list_transform(

@@ -196,7 +196,8 @@ object Similarity {
   )
 
   private val IvfCentroids = 8
-  private val IvfNProbe = 3 // random (non-learned) centroids need a wider probe
+  private val IvfNProbe = 2 // learned centroids need fewer probes than random ones
+  private val IvfSampleMod = 7 // deterministic ~14% training sample for the Lloyd step
 
   /** Hash-derived IVF centroid component (seed prefix 'c' keeps the
     * family disjoint from the LSH planes).
@@ -217,44 +218,95 @@ object Similarity {
   private def seqDot(v: Column, lit64: Seq[Double]): Column =
     aggregate(zip_with(v, typedLit(lit64), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** q63 — ANN via an IVF (inverted-file) coarse quantizer, the other
-    * classic ANN family next to LSH (q28/q62): assign every vector to its
-    * nearest of 8 hash-derived centroids (a ROW-LOCAL argmax — sort of an
-    * 8-element struct array, no shuffle, unlike a window formulation
-    * which would shuffle 8× the corpus), then probe the `IvfNProbe`
-    * nearest cells per query and rank by exact cosine. Centroids are md5-derived like
-    * the LSH planes, so assignment, probing, and ranking are all
-    * reproducible in the oracle. At scale the centroid set comes from a
-    * k-means sample instead (learned centroids also need fewer probes
-    * than the 3-of-8 a random quantizer needs here), and the
-    * cell-assigned corpus is written once as the inverted file,
-    * partitioned by cell.
+  /** q63 — ANN via an IVF (inverted-file) coarse quantizer with LEARNED
+    * centroids, the other classic ANN family next to LSH (q28/q62).
+    * Training is one deterministic Lloyd (k-means) step: a fixed-modulus
+    * sample (`vec_id % $IvfSampleMod`) is assigned to the hash-derived
+    * seed centroids, and each cell's refined centroid is the element-wise
+    * mean of its sample members folded in vec_id order — a strict fold,
+    * so the refined centroids (and therefore every downstream argmax
+    * assignment) are bit-identical in the DuckDB oracle. Cells with no
+    * sample keep their seed centroid. Learned centroids pull cell
+    * boundaries toward the data, which is what lets nprobe drop 3 → 2
+    * (recall ≥ 0.5 spec-asserted at the narrower probe).
+    *
+    * Assignment stays ROW-LOCAL: the 8 refined centroids are aggregated
+    * into ONE array row, broadcast via crossJoin, and each vector sorts
+    * an 8-element struct array — no shuffle of the corpus, unlike a
+    * window formulation which would shuffle 8× the corpus. No distinct on
+    * the scored pairs: cells partition the corpus, and the two probed
+    * cells are distinct, so a neighbor can only ever match once (the LSH
+    * variants keep their distinct — multi-probe XOR masks can genuinely
+    * duplicate there). At 100 TB the sample is a bounded reservoir
+    * instead of a fixed rate, more Lloyd steps run on the (tiny) sample,
+    * and the cell-assigned corpus is written once as the inverted file,
+    * partitioned by cell (q76).
     */
+  /** Every corpus vector with its sorted probe-cell array (`cells`):
+    * seed centroids → one deterministic Lloyd step over the fixed-modulus
+    * sample → all 8 refined centroids as ONE broadcast array row →
+    * row-local struct-array sort per vector. Shared by q63 (in-flight
+    * assignment) and q76 (materialized inverted file).
+    */
+  private def ivfWithCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seeds = (0 until IvfCentroids)
+      .map(j => (0 until Dim).map(i => centComponent(j, i)))
+    // row-local argmax against the SEED centroids (literals) for the
+    // training sample's cell assignment
+    val sortedSeed = array_sort(array((0 until IvfCentroids).map { j =>
+      struct((-seqDot(col("v"), seeds(j))).as("nd"), lit(j).as("j"))
+    }: _*))
+    // one Lloyd step: element-wise mean per cell, folded in vec_id
+    // order (array_sort on the (vec_id, v) struct) so the sum — and
+    // thus the learned centroid — is a deterministic IEEE fold
+    val refined = vectors(s, d)
+      .where(col("vec_id") % IvfSampleMod === 0)
+      .withColumn("cell", element_at(sortedSeed, 1)("j"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("cell"), expr(
+        s"""transform(sequence(1, $Dim), i ->
+            aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v[i-1])
+            / size(vs))""").as("c1"))
+    val seedDf = seeds.zipWithIndex.map { case (c, j) => (j, c) }.toDF("cell", "c0")
+    // all 8 centroids as ONE array row, keyed and sorted by cell id
+    val cents = seedDf.join(refined, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("c1"), col("c0")).as("c"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+    val cellsExpr =
+      """array_sort(transform(cs, s -> named_struct(
+         'nd', -aggregate(zip_with(v, s.c, (x, y) -> x * y),
+                          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+         'j', s.cell)))"""
+    vectors(s, d).crossJoin(broadcast(cents))
+      .withColumn("cells", expr(cellsExpr))
+      .drop("cs")
+  }
+
+  private def ivfProbes(ev: DataFrame): DataFrame =
+    ev.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("v"),
+        explode(slice(col("cells"), 1, IvfNProbe)).as("sc"))
+      .select(col("vec_id"), col("v"), col("sc")("j").as("cell"))
+
+  private def ivfRank(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    val scored = broadcast(probes).as("q")
+      .join(corpus.as("x"),
+        col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+        round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+  }
+
   val annIvf = Q(
     "q63_ann_ivf",
     (s, d) => {
-      val cents = (0 until IvfCentroids)
-        .map(j => (0 until Dim).map(i => centComponent(j, i)))
-      // per-row sorted [(−dot, j)]: element 0 is the nearest centroid
-      val sortedCells = array_sort(array((0 until IvfCentroids).map { j =>
-        struct((-seqDot(col("v"), cents(j))).as("nd"), lit(j).as("j"))
-      }: _*))
-      val e = vectors(s, d).withColumn("cell", element_at(sortedCells, 1)("j"))
-      val probes = vectors(s, d).where(col("vec_id") < 8)
-        .select(col("vec_id"), col("v"),
-          explode(slice(sortedCells, 1, IvfNProbe)).as("sc"))
-        .select(col("vec_id"), col("v"), col("sc")("j").as("cell"))
-      val scored = broadcast(probes).as("q")
-        .join(e.as("x"),
-          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
-        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
-          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
-        .distinct() // a neighbor can sit in both probed cells? (it can't —
-                    // cells partition the corpus — but keep the shape
-                    // identical to q28/q62 for plan comparability)
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+      val ev = ivfWithCells(s, d)
+      val e = ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+      ivfRank(ivfProbes(ev), e)
     },
     Some(s"""WITH cent AS (
               SELECT j, list_transform(generate_series(0, ${Dim - 1}),
@@ -262,11 +314,31 @@ object Similarity {
                              / 4294967296.0) - 0.5) AS c
               FROM (SELECT unnest(generate_series(0, ${IvfCentroids - 1})) AS j) js),
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            dots AS (
-              SELECT e.vec_id, e.v, cent.j,
+            sdots AS (
+              SELECT s.vec_id, s.v, cent.j,
                      list_aggregate(list_transform(generate_series(1, $Dim),
-                       i -> e.v[i] * cent.c[i]), 'sum') AS dt
-              FROM e, cent),
+                       i -> s.v[i] * cent.c[i]), 'sum') AS dt
+              FROM (SELECT vec_id, v FROM e WHERE vec_id % $IvfSampleMod = 0) s, cent),
+            sass AS (
+              SELECT vec_id, v, j AS cell FROM (
+                SELECT vec_id, v, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dt DESC, j ASC) AS r
+                FROM sdots) t
+              WHERE r = 1),
+            grp AS (SELECT cell, list(v ORDER BY vec_id) AS vs FROM sass GROUP BY cell),
+            ref AS (
+              SELECT cell, list_transform(generate_series(1, $Dim), i ->
+                       list_aggregate(list_transform(vs, x -> x[i]), 'sum') / len(vs)) AS c1
+              FROM grp),
+            cents AS (
+              SELECT cent.j, coalesce(ref.c1, cent.c) AS c
+              FROM cent LEFT JOIN ref ON ref.cell = cent.j),
+            dots AS (
+              SELECT e.vec_id, e.v, cents.j,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> e.v[i] * cents.c[i]), 'sum') AS dt
+              FROM e, cents),
             ranked AS (
               SELECT vec_id, v, j,
                      row_number() OVER (PARTITION BY vec_id
@@ -276,7 +348,7 @@ object Similarity {
             probes AS (SELECT vec_id, v, j AS cell FROM ranked
                        WHERE r <= $IvfNProbe AND vec_id < 8),
             scored AS (
-              SELECT DISTINCT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
               FROM probes q JOIN assigned x
                 ON x.cell = q.cell AND x.vec_id <> q.vec_id)
@@ -287,5 +359,32 @@ object Similarity {
             WHERE rnk <= 5""")
   )
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf)
+  /** q76 — the MATERIALIZED inverted file: the cell-assigned corpus is
+    * written ONCE as parquet partitioned by cell (`cell=N/` directories —
+    * the on-disk inverted file), then read back and probed. The probe
+    * join is on the partition column, so Spark's dynamic partition
+    * pruning (runtime subquery over the broadcast probe side) prunes the
+    * scan to the probed cells' directories — at 100 TB this is the
+    * difference between re-scanning the corpus per probe batch and
+    * reading `nprobe/k` of it; the index is built once and amortized
+    * across probe batches (q63 recomputes assignment in-flight every
+    * run). PlanSpec asserts the pruning lands in the scan's
+    * PartitionFilters. Same oracle as q63: materialization must not
+    * change a single row.
+    */
+  val annIvfFile = Q(
+    "q76_ann_ivf_file",
+    (s, d) => {
+      val ev = ivfWithCells(s, d)
+      val out = graft.sources.Sources.scratchLeaf(d, "ivf_inverted_file")
+      ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(out)
+      val inv = s.read.parquet(out)
+      ivfRank(ivfProbes(ev), inv)
+    },
+    annIvf.oracle // identical semantics: the inverted file is q63, materialized
+  )
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile)
 }

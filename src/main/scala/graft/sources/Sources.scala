@@ -46,6 +46,12 @@ object Sources {
   private def leaf(d: String, name: String): String =
     s"$jvmScratch/${name}_" + java.lang.Integer.toHexString(d.hashCode)
 
+  /** Scratch path for other write-then-read operators (e.g. the q76
+    * materialized ANN inverted file) — same shared-FS/keying/cleanup
+    * contract as the round-trip queries above.
+    */
+  def scratchLeaf(d: String, name: String): String = leaf(d, name)
+
   private def roundTrip(s: SparkSession, d: String, format: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars", "text")
     val out = leaf(d, s"roundtrip_$format")

@@ -117,6 +117,17 @@ class PlanSpec extends AnyFunSuite {
       s"lang fell through to data filters: $p")
   }
 
+  test("q76: inverted-file read is pruned to the probed cells (dynamic partition pruning)") {
+    // The probe side is data-dependent, so the pruning predicate is a
+    // runtime subquery (DPP), not a literal — it must still land in the
+    // scan's PartitionFilters, never as a post-scan filter on cell.
+    val p = plan("q76_ann_ivf_file")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the inverted-file scan: ${p.take(3000)}")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
