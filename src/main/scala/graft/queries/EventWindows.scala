@@ -16,6 +16,25 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventWindows {
 
+  /** Shuffle-partition override for the STREAMING queries' state stores,
+    * applied for the duration of one streaming run and then restored.
+    * A stateful streaming query creates one state store per shuffle
+    * partition per stateful operator and pays per-batch maintenance on
+    * every one of them; 32 stores for a few thousand windows/keys is
+    * pure fixed overhead (BASELINE.md's round-2 analysis). The partition
+    * count is frozen into the query's checkpoint at first start, so the
+    * scoped conf is the per-query mechanism — batch queries in the same
+    * session still get the session default. On a real cluster this knob
+    * is sized to state volume, not core count.
+    */
+  private val StreamStatePartitions = 4
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamStatePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** q34 — tumbling 1-hour windows per event type. */
   val tumbling = Q(
     "q34_tumbling_window",
@@ -93,19 +112,21 @@ object EventWindows {
       Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.take(8)
-      // The file-stream source wants a directory: stream the sf dir,
-      // filtered down to the events file.
-      val q = Tables.nanosTsToMicros(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
-        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        // The file-stream source wants a directory: stream the sf dir,
+        // filtered down to the events file.
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     },
     Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
@@ -130,18 +151,20 @@ object EventWindows {
       Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val name = "stream_append_" + java.util.UUID.randomUUID().toString.take(8)
-      val q = Tables.nanosTsToMicros(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
-        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
-          col("event_type"), col("n"), col("sum_value"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val cutoff = Tables.events(s, d)
         .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("closed_before"))
       s.table(name)
@@ -219,17 +242,19 @@ object EventWindows {
       Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
-      def src = Tables.nanosTsToMicros(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d))
-      val q = src.union(src) // duplicate every record
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+        val q = src.union(src) // duplicate every record
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     },
     Some("SELECT event_id, user_id, event_type, ts, value FROM events")
@@ -250,24 +275,26 @@ object EventWindows {
       Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val name = "stream_join_" + java.util.UUID.randomUUID().toString.take(8)
-      def src = Tables.nanosTsToMicros(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d))
-        .withWatermark("ts", "10 minutes")
-      val a = src.select(col("user_id"), col("event_id").as("id_a"),
-        col("ts").as("ts_a"), col("value").as("val_a"))
-      val b = src.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
-        col("ts").as("ts_b"), col("value").as("val_b"))
-      val q = a.join(b,
-          col("user_id") === col("user_b") &&
-            col("id_a") < col("id_b") &&
-            col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
-            col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
-        .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "10 minutes")
+        val a = src.select(col("user_id"), col("event_id").as("id_a"),
+          col("ts").as("ts_a"), col("value").as("val_a"))
+        val b = src.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+          col("ts").as("ts_b"), col("value").as("val_b"))
+        val q = a.join(b,
+            col("user_id") === col("user_b") &&
+              col("id_a") < col("id_b") &&
+              col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+          .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     },
     Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
