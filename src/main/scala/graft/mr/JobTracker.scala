@@ -3,7 +3,7 @@ package graft.mr
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.Success
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Reference job-state phases (`/root/reference/MapReduceFramework.h:8`). */
@@ -48,13 +48,22 @@ final case class JobState(stage: Stage.Value, percentage: Float)
   * `done` can never exceed `total` (the reference increments exactly once
   * per item, `cpp:144-145,237-238`).
   *
-  * Known delta: a tracked ACTION can launch several Spark jobs (AQE
-  * broadcast subqueries run their own collect jobs with ResultTasks), so
-  * a result stage can register before the main query's map stages; the
-  * tracker then reports REDUCE conservatively early. The monotonic guard
-  * still holds — observed (stage, percentage) never regresses — which is
-  * the contract the reference actually documents; its single-job model
-  * has no analogue of multi-job actions.
+  * Multi-job actions: a tracked ACTION can launch several Spark jobs —
+  * broadcast exchanges (and the AQE/DPP subqueries built on them) run
+  * their own collect jobs whose ResultTasks would otherwise register a
+  * result stage before the main query's map stages and flip the phase to
+  * REDUCE early (reference semantics: MAP until all map items are done,
+  * `MapReduceFramework.cpp:127-129`). Those jobs announce themselves in
+  * the public job properties on `SparkListenerJobStart`: the broadcast
+  * collect's RDD operation scope is named "BroadcastExchange"
+  * (`spark.rdd.scope`; Spark versions that still set a job description
+  * use "broadcast exchange (runId …)" — both signals are recognized, and
+  * the live one is pinned in `JobTrackerSpec`). The tracker marks every
+  * stage of such a job
+  * AUXILIARY and excludes it from phase math entirely — broadcast prep
+  * moves no data items, so it has no analogue in the reference's
+  * item-count progress; counting it would distort both the phase and the
+  * denominators.
   *
   * State is packed into one 64-bit long — stage in the top 2 bits,
   * completed in bits 31..61, total in bits 0..30, the reference's exact
@@ -107,6 +116,7 @@ final class JobTracker extends SparkListener {
     */
   private final class Rec(val total: Int) {
     @volatile var kind: Int = Rec.Unknown
+    @volatile var aux = false
     val doneIdx = scala.collection.concurrent.TrieMap.empty[Int, Unit]
     @volatile var completed = false
     def done: Int = if (completed) total else math.min(doneIdx.size, total)
@@ -119,7 +129,8 @@ final class JobTracker extends SparkListener {
     var mapDone = 0L; var mapTotal = 0L; var resDone = 0L; var resTotal = 0L
     var mapStagesDone = 0; var mapStages = 0
     stages.values.foreach { r =>
-      if (r.kind != Rec.Result) { // Unknown counts as the opening MAP phase
+      if (r.aux) () // broadcast-exchange bookkeeping: no data items moved
+      else if (r.kind != Rec.Result) { // Unknown counts as the opening MAP phase
         mapDone += r.done; mapTotal += r.total
         mapStages += 1; if (r.completed) mapStagesDone += 1
       } else { resDone += r.done; resTotal += r.total }
@@ -139,6 +150,25 @@ final class JobTracker extends SparkListener {
       publish(Stage.SHUFFLE.id, mapStagesDone.toLong, mapStages.toLong)
     else if (mapStages > 0)
       publish(Stage.MAP.id, mapDone, mapTotal)
+  }
+
+  /** Pre-register the stages of a broadcast-exchange job as auxiliary.
+    * Only such jobs are handled here — normal jobs' stages materialize at
+    * submission so that not-yet-running downstream stages don't inflate
+    * the phase denominators.
+    */
+  override def onJobStart(ev: SparkListenerJobStart): Unit = {
+    def prop(k: String): String = Option(ev.properties)
+      .flatMap(p => Option(p.getProperty(k))).getOrElse("")
+    val isBroadcast =
+      prop("spark.rdd.scope").contains("\"name\":\"BroadcastExchange\"") ||
+        prop("spark.job.description").startsWith("broadcast exchange")
+    if (isBroadcast) {
+      ev.stageInfos.foreach { info =>
+        stages.putIfAbsent(info.stageId, new Rec(info.numTasks))
+        stages.get(info.stageId).foreach(_.aux = true)
+      }
+    }
   }
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {

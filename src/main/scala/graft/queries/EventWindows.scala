@@ -13,6 +13,15 @@ import org.apache.spark.sql.streaming.Trigger
   * Scale design (100 TB / unbounded streams): all window aggregations
   * shuffle once on (window, key) with partial aggregation; session windows
   * use Spark's native session_window (state-store backed when streaming).
+  *
+  * Sink note: the streaming queries q37/q61/q64/q74 verify through a
+  * MEMORY sink — results collect to the driver. That is the one
+  * `collect()`-shaped thing in any registered query path, bounded here
+  * (windowed aggregates / event rows at test scale) and required by the
+  * oracle harness; the production sink is files or a log (Kafka), and
+  * q78 proves that path: the same watermarked aggregation written to a
+  * parquet FILE sink (executors write, nothing returns to the driver)
+  * and read back only for the oracle compare.
   */
 object EventWindows {
 
@@ -180,6 +189,48 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q78 — the q61 aggregation through a parquet FILE sink, the
+    * production sink shape: append-mode rows are written to files by the
+    * executors (no driver collection anywhere in the streaming path —
+    * unlike the memory-sink oracle twins), with a checkpoint directory
+    * for exactly-once file commits. The result is then read BACK from the
+    * files purely for the oracle compare, with the same deterministic
+    * closed-window predicate as q61. Scratch keying/cleanup follows
+    * `Sources` (shared-FS contract on a real cluster).
+    */
+  val streamFileSink = Q(
+    "q78_stream_file_sink",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val out = graft.sources.Sources.scratchLeaf(d, "stream_file_sink")
+      val chk = graft.sources.Sources.scratchLeaf(d, "stream_file_sink_chk")
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("closed_before"))
+      s.read.parquet(out)
+        .crossJoin(cutoff)
+        .where(col("wend") <= col("closed_before"))
+        .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+    },
+    streamTumblingAppend.oracle // identical semantics to q61: sink must not change rows
+  )
+
   /** q66 — time-spine GAP-FILL: hourly totals per event type INCLUDING
     * empty hours — the time-series completeness operator (downstream
     * models need explicit zeros, not missing rows). The spine is
@@ -330,5 +381,5 @@ object EventWindows {
 
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
-      streamDedup, statefulSessions, gapFill, streamIntervalJoin)
+      streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink)
 }

@@ -174,5 +174,106 @@ object Multimodal {
             FROM fs""")
   )
 
-  val all: Seq[Q] = Seq(mediaFeatures, frameSample)
+  /** q77 — REAL-CODEC image pipeline: encode → decode → resize → feature
+    * with an actual codec (PNG via `javax.imageio`, which ships with the
+    * JDK — no external media libs needed), replacing q33's hex-stub for
+    * this one format. Stage 1 ingests: each document becomes a synthetic
+    * RGB image whose pixels follow a closed form over (doc_id, x, y),
+    * PNG-encoded inside `mapPartitions` into a binary payload column —
+    * the multimodal ingest shape. Stage 2 decodes: `ImageIO.read` on the
+    * payload bytes, nearest-neighbor resize to 8×4 (integer stride —
+    * exact), per-channel byte sums and an md5 fingerprint of the resized
+    * pixels' hex. PNG is lossless, so the decoded pixels must equal the
+    * closed form EXACTLY — which is what lets DuckDB (no image support)
+    * oracle-check a real codec byte-for-byte: it recomputes the resized
+    * pixels from the generator's closed form. Any codec bug — color
+    * shift, row order, stride error — breaks the hash.
+    *
+    * Scale shape: both stages are `mapPartitions` (codec init once per
+    * partition), payloads never shuffle, output is a narrow projection.
+    */
+  val pngDecode = Q(
+    "q77_png_decode",
+    (s, d) => {
+      import s.implicits._
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          // encoder init once per partition (ImageIO plugin lookup)
+          it.map { id =>
+            val w = 16 + (id % 3).toInt * 8 // 16 | 24 | 32
+            val h = 8 + (id % 2).toInt * 8 // 8 | 16
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+                val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+      encoded.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          val strideX = w / 8
+          val strideY = h / 4
+          val hexes = new StringBuilder
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x * strideX, y * strideY)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sumR += r; sumG += g; sumB += b
+              hexes.append(f"$r%02x$g%02x$b%02x")
+              x += 1
+            }
+            y += 1
+          }
+          md.reset()
+          val fp = md.digest(hexes.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
+        }
+      }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     16 + (doc_id % 3) * 8 AS w,
+                     8 + (doc_id % 2) * 8 AS h
+              FROM documents),
+            vals AS (
+              SELECT doc_id, w, h, x, y,
+                     (doc_id * 31 + (x * (w // 8)) * 7 + (y * (h // 4)) * 13) % 256 AS r,
+                     (doc_id * 17 + (x * (w // 8)) * 5 + (y * (h // 4)) * 11) % 256 AS g,
+                     (doc_id * 23 + (x * (w // 8)) * 3 + (y * (h // 4)) * 19) % 256 AS b
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 7)) AS x) xs,
+                   (SELECT unnest(generate_series(0, 3)) AS y) ys)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   md5(string_agg(format('{:02x}{:02x}{:02x}', r, g, b), ''
+                       ORDER BY y, x)) AS px_fp
+            FROM vals GROUP BY doc_id, w, h""")
+  )
+
+  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode)
 }

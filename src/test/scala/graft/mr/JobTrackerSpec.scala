@@ -126,6 +126,67 @@ class JobTrackerSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(t)
   }
 
+  test("broadcast-join action: aux collect job doesn't flip the phase to REDUCE early") {
+    // Round-2 delta, now closed: a broadcast exchange runs its own collect
+    // job whose ResultTasks used to register REDUCE before the main
+    // query's map stages ever ran. Its stages are announced by the
+    // "broadcast exchange" job description and excluded from phase math.
+    val t = new JobTracker
+    val props = new java.util.Properties()
+    // the Spark-4 signal: the collect job's RDD scope is the exchange node
+    props.setProperty("spark.rdd.scope", """{"id":"0","name":"BroadcastExchange"}""")
+    val bcStage = stageInfo(0, 2)
+    t.onJobStart(org.apache.spark.scheduler.SparkListenerJobStart(
+      0, 0L, Seq(bcStage), props))
+    submit(t, bcStage)
+    taskEnd(t, 0, 0); taskEnd(t, 0, 1) // ResultTasks of the broadcast collect
+    complete(t, bcStage)
+    assert(t.getJobState.stage === Stage.UNDEFINED,
+      "broadcast collect alone must not publish a phase")
+    // main query: map stage first — the action reports MAP, not REDUCE
+    val mapStage = stageInfo(1, 4)
+    submit(t, mapStage)
+    taskEnd(t, 1, 0, taskType = "ShuffleMapTask")
+    taskEnd(t, 1, 1, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 50f))
+    taskEnd(t, 1, 2, taskType = "ShuffleMapTask")
+    taskEnd(t, 1, 3, taskType = "ShuffleMapTask")
+    complete(t, mapStage)
+    assert(t.getJobState.stage === Stage.SHUFFLE)
+    // REDUCE only in the final (result) stage — reference cpp:127-129
+    submit(t, stageInfo(2, 2))
+    taskEnd(t, 2, 0)
+    assert(t.getJobState === JobState(Stage.REDUCE, 50f))
+    taskEnd(t, 2, 1)
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
+  }
+
+  test("live signal: broadcast-exchange jobs announce themselves in the job properties") {
+    // The aux classification keys on the broadcast collect job's RDD
+    // scope name — pin the public signal so a Spark upgrade that renames
+    // it fails loudly here rather than silently regressing the tracker.
+    import org.apache.spark.scheduler.SparkListenerJobStart
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probe = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(ev: SparkListenerJobStart): Unit =
+        Option(ev.properties)
+          .flatMap(p => Option(p.getProperty("spark.rdd.scope")))
+          .foreach(seen.add)
+    }
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      val big = spark.range(10000).withColumn("k", col("id") % 100)
+      val small = spark.range(100).withColumn("k", col("id"))
+      big.join(broadcast(small), "k").groupBy("k").count().collect()
+      def hit = seen.toArray.exists(_.toString.contains("\"name\":\"BroadcastExchange\""))
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!hit && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(hit,
+        s"no BroadcastExchange job scope observed: ${seen.toArray.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
   test("publication is monotonic under out-of-order updates (cpp:94-99)") {
     val t = new JobTracker
     t.markDone() // REDUCE 100%
