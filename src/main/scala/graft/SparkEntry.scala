@@ -18,6 +18,7 @@ object SparkEntry {
       _root_.graft.queries.Dedup.all ++
       _root_.graft.queries.Similarity.all ++
       _root_.graft.queries.TextAnalysis.all ++
+      _root_.graft.queries.Sampling.all ++
       _root_.graft.queries.Multimodal.all ++
       _root_.graft.queries.EventWindows.all ++
       _root_.graft.queries.Relational2.all ++

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-splitting and sampling operators for a training-data pipeline:
+  * deterministic train/val/test assignment and stratified subsampling.
+  * Both are HASH-based, not random — at 100 TB a split must be (a) stable
+  * across reruns and cluster sizes (no RNG seeds tied to partitioning),
+  * (b) joinable later (any other table can recompute a doc's split from
+  * its id alone), and (c) exactly reproducible by the oracle. The hash
+  * family is the engine-portable seeded md5 (cf. `Dedup`).
+  */
+object Sampling {
+
+  /** q79 — deterministic TRAIN/VAL/TEST split: a seeded md5 over the
+    * doc id maps every document to a bucket in [0, 100); buckets split
+    * 90/5/5. A pure narrow projection — no shuffle, no state, and any
+    * downstream table can recompute the assignment from the id alone
+    * (the property that makes leakage audits possible: membership is a
+    * function, not a stored fact).
+    */
+  val trainSplit = Q(
+    "q79_train_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(CAST(concat('split|', doc_id) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 100")
+            .as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split")),
+    Some("""SELECT doc_id,
+                   ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100
+                     AS bucket,
+                   CASE WHEN ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100 < 90
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100 < 95
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""")
+  )
+
+  /** q80 — STRATIFIED deterministic subsample: the hash-smallest 50
+    * documents per language — the "sample K per stratum" operator behind
+    * domain-mixing a training corpus (equal representation regardless of
+    * stratum size). Hash-ranking makes the sample deterministic and
+    * rerun-stable where reservoir sampling is not; one shuffle on the
+    * stratum key, and the window's rank cutoff keeps K bounded per
+    * stratum. (At extreme stratum cardinality the same shape runs as the
+    * bounded TopK aggregator, q60's pattern, shuffling K rows per task
+    * instead of the stratum.)
+    */
+  val stratifiedSample = Q(
+    "q80_stratified_sample",
+    (s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFns.md5Hex(concat(lit("sample|"), col("doc_id"))).as("h"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+      ranked.where(col("rnk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+    },
+    Some("""SELECT doc_id, lang, rnk FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(concat('sample|', doc_id)), doc_id) AS BIGINT)
+                       AS rnk
+              FROM documents) t
+            WHERE rnk <= 50""")
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample)
+}

@@ -386,5 +386,69 @@ object Similarity {
     annIvf.oracle // identical semantics: the inverted file is q63, materialized
   )
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile)
+  /** q81 — INT8 embedding quantization, the storage/serving compression
+    * step of an embedding pipeline (4× smaller than float32, 8× smaller
+    * than the double working form): symmetric per-vector max-abs scaling,
+    * `q_i = floor(v_i * 127 / maxabs + 0.5)` clamped to [-127, 127].
+    * A pure narrow projection — no shuffle; at 100 TB this is a
+    * streaming-friendly rewrite of the corpus. Engine-portable without
+    * rounding hazards: `floor(x + 0.5)` on identical doubles is exact in
+    * both engines (unlike `round()`, whose decimal-boundary semantics
+    * diverge — BASELINE/SKILL gotcha), and maxabs is an order-insensitive
+    * exact fold. Zero vectors quantize to all-zero with scale 0, and so
+    * do vectors whose max-abs is non-finite (NaN/Inf elements exist in
+    * the corpus — q26 guards them too): a scale is meaningless either
+    * way, and ANSI mode would (correctly) refuse to cast NaN to an
+    * integer. Output is the scale plus integer aggregates and an md5
+    * fingerprint of the quantized vector — value-exact evidence of
+    * every q_i.
+    */
+  val quantizeInt8 = Q(
+    "q81_embed_quantize",
+    (s, d) =>
+      vectors(s, d)
+        .select(col("vec_id"),
+          expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))").as("maxabs"),
+          col("v"))
+        // a cleaned scale (0.0 for zero/NaN/Inf vectors) is both the
+        // output column and the quantization condition — NaN must never
+        // reach the output, where it would be compare-hazardous
+        .select(col("vec_id"),
+          expr("""CASE WHEN maxabs = 0.0 OR isnan(maxabs)
+                         OR maxabs = CAST('Infinity' AS DOUBLE)
+                       THEN CAST(0.0 AS DOUBLE) ELSE maxabs END""").as("scale"),
+          col("v"))
+        .select(col("vec_id"), col("scale"),
+          expr("""transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                    CAST(floor(CASE WHEN scale = 0.0 THEN 0.0
+                               ELSE x * 127.0 / scale + 0.5 END) AS BIGINT))))""")
+            .as("qv"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("q_l1"),
+          md5(expr("array_join(transform(qv, x -> CAST(x AS STRING)), ',')").cast("binary"))
+            .as("q_fp")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            m AS (SELECT vec_id, v,
+                         coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0.0)
+                           AS maxabs
+                  FROM e),
+            sc AS (SELECT vec_id, v,
+                          CASE WHEN maxabs = 0.0 OR isnan(maxabs) OR isinf(maxabs)
+                               THEN 0.0 ELSE maxabs END AS scale
+                   FROM m),
+            qs AS (SELECT vec_id, scale,
+                          list_transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                            CAST(floor(CASE WHEN scale = 0.0 THEN 0.0
+                                       ELSE x * 127.0 / scale + 0.5 END) AS BIGINT)))) AS q
+                   FROM sc)
+            SELECT vec_id, scale,
+                   CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+                   md5(array_to_string(q, ',')) AS q_fp
+            FROM qs""")
+  )
+
+  val all: Seq[Q] =
+    Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8)
 }
