@@ -275,5 +275,48 @@ object TextAnalysis {
             LEFT JOIN gs ON gs.doc_id = d.doc_id""")
   )
 
-  val all: Seq[Q] = Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition)
+  /** q82 — benchmark DECONTAMINATION: flag training documents that share
+    * a word 5-gram with any held-out benchmark document (here the
+    * deterministic `doc_id % 101 == 0` subset stands in for the benchmark
+    * corpus) — the standard eval-contamination sweep run before training.
+    * Output: one row per contaminated (train, benchmark) pair with the
+    * shared-gram count, the evidence a filtering step joins against.
+    *
+    * Scale shape: the join is gram-keyed with the benchmark side tiny and
+    * the gram relation narrow (explode, no shuffle until the join) —
+    * the benchmark grams behave like a dimension (AQE broadcasts them at
+    * any realistic benchmark size; no forced hint, same discipline as
+    * q23/q24). A boilerplate 5-gram shared by everything would fan out
+    * like q24's hot shingle; the production variant applies q73's
+    * df-cap on the benchmark side — which also HELPS decontamination
+    * (ubiquitous grams are not evidence of benchmark leakage).
+    */
+  val decontaminate = Q(
+    "q82_decontaminate",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), 5)
+      val bench = grams.where(col("doc_id") % 101 === 0)
+      val train = grams.where(col("doc_id") % 101 =!= 0)
+      train.as("t").join(bench.as("b"), col("t.g") === col("b.g"))
+        .groupBy(col("t.doc_id").as("train_doc"), col("b.doc_id").as("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                    FROM toks),
+            g5 AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                          ws[i+3] || ' ' || ws[i+4] AS g
+                   FROM idx WHERE i + 4 <= len(ws))
+            SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+                   count(*) AS n_shared
+            FROM g5 t
+            JOIN g5 b ON b.g = t.g AND b.doc_id % 101 = 0
+            WHERE t.doc_id % 101 <> 0
+            GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] =
+    Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate)
 }

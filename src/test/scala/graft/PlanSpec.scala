@@ -128,6 +128,15 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the inverted-file scan: ${p.take(3000)}")
   }
 
+  test("q79/q81: split assignment and quantization are pure narrow projections (no shuffle)") {
+    // Both are per-row rewrites; any Exchange in the plan would mean the
+    // operator shuffles a 100 TB corpus to compute a row-local function.
+    for (q <- Seq("q79_train_split", "q81_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles: ${p.take(1500)}")
+    }
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
