@@ -195,36 +195,91 @@ object Dedup {
     * is positive. Near-dup docs differ in few bits (checked in the spec);
     * the signature itself is deterministic and oracle-verified.
     */
+  /** Spark side of the SimHash signature build, shared by q25 and q83. */
+  private def simhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .distinct()
+    val pm = toks
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("j"), col("h"))
+      .select(col("doc_id"), col("j"),
+        (expr("CAST(shiftright(h, j) & 1 AS BIGINT)") * 2 - 1).as("pm"))
+    pm.groupBy("doc_id", "j")
+      .agg(sum("pm").as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** DuckDB CTE chain producing `sig(doc_id, simhash)` — q25/q83 oracle. */
+  private val sqlSimhashCtes =
+    """toks AS (SELECT DISTINCT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE w <> ''),
+       th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+       bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS sgn
+                FROM th, (SELECT unnest(generate_series(0, 59)) AS j) s
+                GROUP BY 1, 2),
+       sig AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                        AS simhash
+               FROM bits GROUP BY doc_id)"""
+
   val simhash = Q(
     "q25_simhash",
+    (s, d) => simhashSig(s, d),
+    Some(s"WITH $sqlSimhashCtes SELECT doc_id, simhash FROM sig")
+  )
+
+  /** q83 — SimHash NEAR-DUP PAIRS, completing the SimHash family from
+    * signature (q25) to detector: candidates come from BANDING the
+    * 60-bit signature into 4 chunks of 15 bits — by pigeonhole, two
+    * signatures within Hamming distance 3 agree on at least one whole
+    * chunk, so the chunk-equality join is COMPLETE for the ≤3 threshold
+    * while only ever comparing within chunk buckets (the same structural
+    * guarantee as q23's LSH bands: never all-pairs, one shuffle on the
+    * chunk key). Candidates are then verified exactly with
+    * `bit_count(xor)` — a single codegen'd instruction (POPCNT) per
+    * pair, portable to the oracle. Skew note: a template-heavy corpus
+    * (like this synthetic one) concentrates docs into few chunk values;
+    * a hot chunk costs O(df²) candidates, so the production variant
+    * applies q73's df-cap to chunk buckets — docs agreeing with
+    * thousands of others on a chunk are boilerplate-near-dups that the
+    * cheaper exact-dedup path (q22) should have removed first.
+    */
+  private val SimhashHammingMax = 3
+  val simhashPairs = Q(
+    "q83_simhash_pairs",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-        .where(col("w") =!= "")
-        .distinct()
-      val pm = toks
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
-        .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("j"), col("h"))
-        .select(col("doc_id"), col("j"),
-          (expr("CAST(shiftright(h, j) & 1 AS BIGINT)") * 2 - 1).as("pm"))
-      pm.groupBy("doc_id", "j")
-        .agg(sum("pm").as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-          .as("simhash"))
+      val sig = simhashSig(s, d)
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), i -> named_struct('i', i, 'c', shiftright(simhash, 15 * i) & 32767))"))
+          .as("ch"))
+        .select(col("doc_id"), col("simhash"), col("ch.i").as("i"), col("ch.c").as("c"))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.i") === col("b.i") && col("a.c") === col("b.c") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct() // a pair can agree on several chunks
+      cand.select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+        .where(col("hamming") <= SimhashHammingMax)
     },
-    Some("""WITH toks AS (SELECT DISTINCT doc_id, w FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-              WHERE w <> ''),
-            th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
-            bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS sgn
-                     FROM th, (SELECT unnest(generate_series(0, 59)) AS j) s
-                     GROUP BY 1, 2)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
-                     AS simhash
-            FROM bits GROUP BY doc_id""")
+    Some(s"""WITH $sqlSimhashCtes,
+             chunks AS (SELECT doc_id, simhash, i, (simhash >> (15 * i)) & 32767 AS c
+                        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) ii),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             a.simhash AS sa, b.simhash AS sb
+                      FROM chunks a JOIN chunks b
+                        ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashHammingMax""")
   )
 
   /** q26 — embedding-cosine near-duplicate pairs, blocked by label (the
@@ -404,5 +459,5 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
-      editDistance, dedupComponents, ngramJaccardCapped)
+      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs)
 }
