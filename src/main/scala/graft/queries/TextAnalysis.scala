@@ -317,6 +317,63 @@ object TextAnalysis {
             GROUP BY 1, 2""")
   )
 
+  /** q84 — POSITIONAL inverted index: term → (doc, sorted positions,
+    * term frequency) — the full-text-search posting shape (q12's
+    * group-collect carries values; this carries token OFFSETS, what
+    * phrase queries and proximity scoring need). `posexplode` keeps the
+    * token position through the narrow explode; one shuffle on (term,
+    * doc) with the position list assembled in the aggregation. Postings
+    * are per-(term, doc) rows — the output scales like the token
+    * relation, never concentrated on the driver.
+    */
+  val positionalIndex = Q(
+    "q84_positional_index",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("p", "w")))
+        .where(col("w") =!= "")
+        .groupBy("w", "doc_id")
+        // serialized posting (comma-joined, ascending) — the list itself,
+        // in the compare-friendly string form q12 established
+        .agg(array_join(sort_array(collect_list((col("p") + lit(1)).cast("long"))), ",")
+          .as("positions"),
+          count(lit(1)).as("tf")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pos AS (SELECT doc_id, i, ws[i] AS w
+                    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                          FROM toks) t
+                    WHERE ws[i] <> '')
+            SELECT w, doc_id, array_to_string(list(i ORDER BY i), ',') AS positions,
+                   count(*) AS tf
+            FROM pos GROUP BY w, doc_id""")
+  )
+
+  /** q85 — VOCABULARY building: the corpus-wide token frequency table,
+    * top 1000 by (count, token) — the counting pass a BPE/unigram
+    * tokenizer trainer starts from. The global top-k is `orderBy+limit`
+    * (TakeOrderedAndProject: each task keeps its local top-1000, the
+    * driver merges k·tasks rows), NOT a single-partition window rank —
+    * the difference between shuffling the vocabulary and shuffling the
+    * answer at a 100 TB vocabulary.
+    */
+  val vocabulary = Q(
+    "q85_vocabulary",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(1000),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+            SELECT w, count(*) AS cnt, count(DISTINCT doc_id) AS df
+            FROM tok WHERE w <> ''
+            GROUP BY w ORDER BY cnt DESC, w LIMIT 1000""")
+  )
+
   val all: Seq[Q] =
-    Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate)
+    Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
+      positionalIndex, vocabulary)
 }
