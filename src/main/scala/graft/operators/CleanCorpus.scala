@@ -53,5 +53,67 @@ object CleanCorpus {
               AND n_tokens >= 20 AND stop_ratio < 0.3""")
   )
 
-  val all: Seq[Q] = Seq(cleanCorpus)
+  /** q86 — the TRAINING MANIFEST, the capstone composition: q52's
+    * cleaned corpus (exact-dedup keepers above the quality gate), minus
+    * every decontaminated document (any q82 benchmark 5-gram overlap)
+    * and the benchmark subset itself, each surviving doc stamped with
+    * its q79 train/val/test split — the (doc, lang, tokens, split) list
+    * a data loader actually consumes. This is the proof the operators
+    * COMPOSE: registered queries are reused as the pipeline stages
+    * (the reference's multi-round chaining idiom, SURVEY §2b).
+    *
+    * Plan shape at 100 TB: clean-corpus semi join as in q52; the
+    * contaminated-id set is tiny (anti join, AQE broadcasts it); the
+    * split column is a row-local hash — no extra shuffle beyond q52's.
+    */
+  val trainingManifest = Q(
+    "q86_training_manifest",
+    (s, d) => {
+      val clean = cleanCorpus.fn(s, d).select("doc_id", "lang", "n_tokens")
+      val contaminated = _root_.graft.queries.TextAnalysis.decontaminate.fn(s, d)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val split = _root_.graft.queries.Sampling.trainSplit.fn(s, d)
+        .select("doc_id", "split")
+      clean
+        .where(col("doc_id") % 101 =!= 0) // the benchmark subset never trains
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(split, Seq("doc_id"))
+        .select("doc_id", "lang", "n_tokens", "split")
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, lang, md5(text) AS fp,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+              FROM documents),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp),
+            clean AS (
+              SELECT doc_id, lang, n_tokens
+              FROM scored
+              WHERE doc_id IN (SELECT doc_id FROM keepers)
+                AND n_tokens >= 20 AND stop_ratio < 0.3),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                    FROM toks),
+            g5 AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                          ws[i+3] || ' ' || ws[i+4] AS g
+                   FROM idx WHERE i + 4 <= len(ws)),
+            contaminated AS (
+              SELECT DISTINCT t.doc_id
+              FROM g5 t JOIN g5 b ON b.g = t.g AND b.doc_id % 101 = 0
+              WHERE t.doc_id % 101 <> 0)
+            SELECT c.doc_id, c.lang, c.n_tokens,
+                   CASE WHEN ('0x' || substr(md5(concat('split|', c.doc_id)), 1, 15))::BIGINT % 100 < 90
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(concat('split|', c.doc_id)), 1, 15))::BIGINT % 100 < 95
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean c
+            WHERE c.doc_id % 101 <> 0
+              AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)""")
+  )
+
+  val all: Seq[Q] = Seq(cleanCorpus, trainingManifest)
 }

@@ -245,6 +245,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(fromFile == inFlight)
   }
 
+  test("q83: chunk banding is complete for Hamming ≤ 3 (pigeonhole property)") {
+    // The candidate join only compares signatures sharing a 15-bit chunk;
+    // completeness rests on: two 60-bit words within Hamming distance 3
+    // cannot differ in all 4 chunks. Pin it as an executable property.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      base <- Gen.choose(0L, (1L << 60) - 1)
+      nFlips <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(nFlips, Gen.choose(0, 59))
+    } yield (base, bits.foldLeft(base)((acc, b) => acc ^ (1L << b)))
+    val prop = Prop.forAll(gen) { case (a, b) =>
+      val sharesChunk = (0 until 4).exists(i =>
+        ((a >> (15 * i)) & 0x7FFF) == ((b >> (15 * i)) & 0x7FFF))
+      java.lang.Long.bitCount(a ^ b) > 3 || sharesChunk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q60_cosine_topk_agg: aggregator top-k ≡ q27's window top-k, without a Window") {
     val viaWindow = run("q27_cosine_topk").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk"))).toSet
