@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SeqDot}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,7 +48,15 @@ object GraftExtensions {
         require(args.length == 2,
           s"cosine_similarity expects 2 arguments, got ${args.length}")
         CosineSimilarity(args(0), args(1))
-      }))
+      }),
+      (
+        FunctionIdentifier("seq_dot"),
+        new ExpressionInfo(classOf[SeqDot].getName, "seq_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"seq_dot expects 2 arguments, got ${args.length}")
+          SeqDot(args(0), args(1))
+        }))
 
   /** Register all engine functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{CosineSimilarity, ScoredId, TopKAggregator}
+import graft.functions.{CosineSimilarity, ScoredId, SeqDot, TopKAggregator}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,10 +65,10 @@ object Similarity {
   private val Dim = 64
 
   private def bucketCol(nPlanes: Int): Column = {
-    def dotPlane(p: Int): Column = {
-      val plane = typedLit((0 until Dim).map(i => planeComponent(p, i)))
-      aggregate(zip_with(col("v"), plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    }
+    // native SeqDot: one fused codegen'd loop per plane projection,
+    // replacing the interpreted aggregate(zip_with(...)) HOF pair
+    def dotPlane(p: Int): Column =
+      SeqDot(col("v"), typedLit((0 until Dim).map(i => planeComponent(p, i))))
     (0 until nPlanes)
       .map(p => when(dotPlane(p) >= 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
@@ -210,13 +210,15 @@ object Similarity {
   }
 
   /** Sequential left-fold dot product of `v` against a literal vector —
-    * the summation ORDER matters for oracle parity: `aggregate` folds
-    * index 0..63 strictly left-to-right, which the oracle mirrors with a
-    * list sum over the same index order, so both engines produce
-    * bit-identical doubles and the argmax assignment can never diverge.
+    * the summation ORDER matters for oracle parity: [[SeqDot]] (a native
+    * codegen'd expression — one fused loop, no per-element lambdas)
+    * accumulates index 0..63 strictly ascending, which the oracle
+    * mirrors with a list sum over the same index order, so both engines
+    * produce bit-identical doubles and the argmax assignment can never
+    * diverge.
     */
   private def seqDot(v: Column, lit64: Seq[Double]): Column =
-    aggregate(zip_with(v, typedLit(lit64), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    SeqDot(v, typedLit(lit64))
 
   /** q63 — ANN via an IVF (inverted-file) coarse quantizer with LEARNED
     * centroids, the other classic ANN family next to LSH (q28/q62).
@@ -274,13 +276,14 @@ object Similarity {
     val cents = seedDf.join(refined, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("c1"), col("c0")).as("c"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
-    val cellsExpr =
-      """array_sort(transform(cs, s -> named_struct(
-         'nd', -aggregate(zip_with(v, s.c, (x, y) -> x * y),
-                          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
-         'j', s.cell)))"""
+    // native SeqDot inside the transform lambda: the 8 per-vector dots
+    // against the (data-driven) centroid array each run as one fused
+    // scalar loop instead of an interpreted aggregate(zip_with(...))
+    val cells = array_sort(transform(col("cs"), sc =>
+      struct((-SeqDot(col("v"), sc.getField("c"))).as("nd"),
+        sc.getField("cell").as("j"))))
     vectors(s, d).crossJoin(broadcast(cents))
-      .withColumn("cells", expr(cellsExpr))
+      .withColumn("cells", cells)
       .drop("cs")
   }
 
