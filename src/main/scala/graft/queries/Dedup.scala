@@ -195,23 +195,31 @@ object Dedup {
     * is positive. Near-dup docs differ in few bits (checked in the spec);
     * the signature itself is deterministic and oracle-verified.
     */
-  /** Spark side of the SimHash signature build, shared by q25 and q83. */
+  /** Spark side of the SimHash signature build, shared by q25 and q83.
+    *
+    * All 60 bit-sums are computed as 60 aggregate COLUMNS in one
+    * groupBy(doc_id) pass over the distinct-token relation — the same
+    * lesson as the MinHash k-min-columns build: never explode k× rows
+    * when k columns do (the previous shape exploded 60 rows per token
+    * and shuffled twice — 60× the wire bytes plus a second exchange).
+    * The signature is then assembled row-locally from the 60 signs.
+    * Integer sums are order-insensitive, so the result is bit-identical
+    * to the exploded formulation and to the oracle.
+    */
   private def simhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
       .where(col("w") =!= "")
       .distinct()
-    val pm = toks
+    val th = toks.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"CAST(shiftright(h, $j) & 1 AS BIGINT) * 2 - 1")).as(s"s$j"))
+    th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("j"), col("h"))
-      .select(col("doc_id"), col("j"),
-        (expr("CAST(shiftright(h, j) & 1 AS BIGINT)") * 2 - 1).as("pm"))
-    pm.groupBy("doc_id", "j")
-      .agg(sum("pm").as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-        .as("simhash"))
+        (0 until 60)
+          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** DuckDB CTE chain producing `sig(doc_id, simhash)` — q25/q83 oracle. */
