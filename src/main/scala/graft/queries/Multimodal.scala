@@ -275,5 +275,85 @@ object Multimodal {
             FROM vals GROUP BY doc_id, w, h""")
   )
 
-  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode)
+  /** q87 — the BINARY-FILE source, the lake-native multimodal ingest
+    * path: q77's generated PNGs are written as individual `.png` FILES
+    * by the executors (one file per image, the layout a crawler or
+    * export job actually produces), then read back with Spark's
+    * `binaryFile` source — (path, length, content) rows, doc id parsed
+    * from the file name — and decoded/resized/fingerprinted exactly as
+    * q77. Same closed-form oracle: the connector and the codec must
+    * round-trip every byte. Scratch keying/cleanup follows `Sources`
+    * (shared-FS contract on a real cluster); at 100 TB this source
+    * scales by file listing parallelism and never funnels bytes through
+    * the driver.
+    */
+  val binaryFiles = Q(
+    "q87_binary_files",
+    (s, d) => {
+      import s.implicits._
+      val out = graft.sources.Sources.scratchLeaf(d, "png_files")
+      new java.io.File(out).mkdirs()
+      // executor-side file writes (an action): one PNG per document
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val w = 16 + (id % 3).toInt * 8
+            val h = 8 + (id % 2).toInt * 8
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+                val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$out/$id.png"))
+          }
+        }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(out)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+          col("content"))
+      files.as[(Long, Array[Byte])].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          val strideX = w / 8
+          val strideY = h / 4
+          val hexes = new StringBuilder
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x * strideX, y * strideY)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sumR += r; sumG += g; sumB += b
+              hexes.append(f"$r%02x$g%02x$b%02x")
+              x += 1
+            }
+            y += 1
+          }
+          md.reset()
+          val fp = md.digest(hexes.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
+        }
+      }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
+    },
+    pngDecode.oracle // identical semantics: the file round-trip must not change a byte
+  )
+
+  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode, binaryFiles)
 }

@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
       "expected AQE to reuse at least one exchange across the repeated gram/candidate subtrees")
   }
 
+  test("q73: capped-join subtrees share exchanges at runtime (AQE stage reuse)") {
+    // The filtered-gram relation feeds its own self-join twice plus the
+    // sizes aggregation; the self-join sides are canonically identical,
+    // so AQE must materialize the shuffle-by-gram once and reuse it.
+    val df = SparkEntry.queries("q73_ngram_jaccard_capped")(spark, d)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    assert(finalPlan.contains("ReusedExchange"),
+      "expected AQE to reuse the filtered-gram exchange across the self-join sides")
+  }
+
   test("q67: partition predicate prunes at the source (PartitionFilters)") {
     val p = plan("q67_partition_pruned")
     def bracket(tag: String): String =
