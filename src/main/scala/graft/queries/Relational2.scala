@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.Q.{dsum2, sqlSum2}
+import graft.functions.TextFns
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -419,7 +420,64 @@ object Relational2 {
                  AS s(status, cnt)""")
   )
 
+  /** q88 — MERGE/UPSERT (CDC-shaped corpus refresh): a delta batch —
+    * updated versions of some existing documents plus brand-new ones —
+    * merges into the base corpus: delta rows win on id collision,
+    * unmatched base rows survive, unmatched delta rows insert. The
+    * incremental-recrawl operation an ever-refreshing training corpus
+    * runs daily. Expressed as ONE full-outer join on the key with
+    * row-source arbitration via coalesce — a single shuffle (or a
+    * co-partitioned/bucketed join at scale; on a lakehouse table format
+    * this compiles to MERGE INTO, with identical semantics). The delta
+    * here is synthesized deterministically from the base (every 10th doc
+    * re-arrives uppercased; inserts get offset ids) so the oracle can
+    * rebuild it exactly.
+    */
+  val mergeUpsert = Q(
+    "q88_merge_upsert",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val updates = base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), upper(col("text")).as("text"))
+      val inserts = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("lang"),
+          col("n_chars"), col("text"))
+      val delta = updates.union(inserts)
+      base.as("b").join(delta.as("e"), col("b.doc_id") === col("e.doc_id"), "full_outer")
+        .select(
+          coalesce(col("e.doc_id"), col("b.doc_id")).as("doc_id"),
+          coalesce(col("e.lang"), col("b.lang")).as("lang"),
+          coalesce(col("e.n_chars"), col("b.n_chars")).as("n_chars"),
+          coalesce(col("e.text"), col("b.text")).as("text"),
+          when(col("b.doc_id").isNull, "inserted")
+            .when(col("e.doc_id").isNull, "kept")
+            .otherwise("updated").as("merge_op"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"),
+          TextFns.md5Hex(col("text")).as("text_fp"),
+          col("merge_op"))
+    },
+    Some("""WITH base AS (SELECT doc_id, lang, n_chars, text FROM documents),
+            delta AS (
+              SELECT doc_id, lang, n_chars, upper(text) AS text
+              FROM base WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 10000000, lang, n_chars, text
+              FROM base WHERE doc_id % 7 = 0)
+            SELECT coalesce(e.doc_id, b.doc_id) AS doc_id,
+                   coalesce(e.lang, b.lang) AS lang,
+                   coalesce(e.n_chars, b.n_chars) AS n_chars,
+                   CAST(length(coalesce(e.text, b.text)) AS BIGINT) AS text_len,
+                   md5(coalesce(e.text, b.text)) AS text_fp,
+                   CASE WHEN b.doc_id IS NULL THEN 'inserted'
+                        WHEN e.doc_id IS NULL THEN 'kept'
+                        ELSE 'updated' END AS merge_op
+            FROM base b FULL OUTER JOIN delta e ON e.doc_id = b.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
-    rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ)
+    rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
+    mergeUpsert)
 }
