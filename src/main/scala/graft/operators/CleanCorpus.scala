@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object CleanCorpus {
 
+  /** The quality gate, ONE definition for both engines' SQL (q52 + q86). */
+  private val SqlQualityGate = "n_tokens >= 20 AND stop_ratio < 0.3"
+
+  /** DuckDB CTEs producing `scored` + `keepers` — shared by q52's oracle
+    * and q86's (the manifest keeps exactly q52's survivors, so the
+    * scoring and keeper selection may exist once).
+    */
+  private val sqlScoredKeepers =
+    """scored AS (
+         SELECT doc_id, lang, md5(text) AS fp,
+                len(string_split(text, ' ')) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS stop_ratio
+         FROM documents),
+       keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp)"""
+
   /** q52 — cleaned corpus: per surviving document (dedup keeper AND
     * quality above threshold), its language, token count, and quality.
     */
@@ -40,17 +56,11 @@ object CleanCorpus {
         .where(col("n_tokens") >= 20 && col("stop_ratio") < 0.3)
         .select("doc_id", "lang", "n_tokens", "stop_ratio")
     },
-    Some("""WITH scored AS (
-              SELECT doc_id, lang, md5(text) AS fp,
-                     len(string_split(text, ' ')) AS n_tokens,
-                     CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS stop_ratio
-              FROM documents),
-            keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp)
+    Some(s"""WITH $sqlScoredKeepers
             SELECT doc_id, lang, n_tokens, stop_ratio
             FROM scored
             WHERE doc_id IN (SELECT doc_id FROM keepers)
-              AND n_tokens >= 20 AND stop_ratio < 0.3""")
+              AND $SqlQualityGate""")
   )
 
   /** q86 — the TRAINING MANIFEST, the capstone composition: q52's
@@ -80,36 +90,19 @@ object CleanCorpus {
         .join(split, Seq("doc_id"))
         .select("doc_id", "lang", "n_tokens", "split")
     },
-    Some("""WITH scored AS (
-              SELECT doc_id, lang, md5(text) AS fp,
-                     len(string_split(text, ' ')) AS n_tokens,
-                     CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS stop_ratio
-              FROM documents),
-            keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp),
+    Some(s"""WITH $sqlScoredKeepers,
             clean AS (
               SELECT doc_id, lang, n_tokens
               FROM scored
               WHERE doc_id IN (SELECT doc_id FROM keepers)
-                AND n_tokens >= 20 AND stop_ratio < 0.3),
-            toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-            idx AS (SELECT doc_id, ws,
-                           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
-                    FROM toks),
-            g5 AS (SELECT DISTINCT doc_id,
-                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-                          ws[i+3] || ' ' || ws[i+4] AS g
-                   FROM idx WHERE i + 4 <= len(ws)),
+                AND $SqlQualityGate),
+            ${_root_.graft.queries.TextAnalysis.sqlG5Ctes},
             contaminated AS (
               SELECT DISTINCT t.doc_id
               FROM g5 t JOIN g5 b ON b.g = t.g AND b.doc_id % 101 = 0
               WHERE t.doc_id % 101 <> 0)
             SELECT c.doc_id, c.lang, c.n_tokens,
-                   CASE WHEN ('0x' || substr(md5(concat('split|', c.doc_id)), 1, 15))::BIGINT % 100 < 90
-                        THEN 'train'
-                        WHEN ('0x' || substr(md5(concat('split|', c.doc_id)), 1, 15))::BIGINT % 100 < 95
-                        THEN 'val'
-                        ELSE 'test' END AS split
+                   ${_root_.graft.queries.Sampling.sqlSplitCase("c.doc_id")} AS split
             FROM clean c
             WHERE c.doc_id % 101 <> 0
               AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)""")

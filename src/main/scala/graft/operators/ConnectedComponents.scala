@@ -62,6 +62,13 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // every node mentioned in the input — including nodes whose only
+    // edges are self-loops, which the contraction never sees but the
+    // "one label per node that appears in edges" contract still covers
+    val nodes = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
     var cur = edges
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
@@ -85,10 +92,13 @@ object ConnectedComponents {
     }
     require(converged,
       s"connected components did not converge in $maxRounds star-contraction rounds")
-    // Fixed point is a star forest: children appear only as `a`, roots only
-    // as `b` — the label set is the child edges plus one (root, root) row.
-    val labels = cur.select(col("a").as("id"), col("b").as("lbl"))
-      .union(cur.select(col("b").as("id"), col("b").as("lbl")).distinct())
+    // Fixed point is a star forest: children appear only as `a`, roots
+    // only as `b`. Joining the full node set back in labels isolated
+    // (self-loop-only) nodes — and the roots themselves — with their
+    // own id.
+    val labels = nodes
+      .join(cur, nodes("id") === cur("a"), "left")
+      .select(col("id"), coalesce(col("b"), col("id")).as("lbl"))
     (labels, rounds)
   }
 }

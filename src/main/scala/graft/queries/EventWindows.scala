@@ -203,8 +203,14 @@ object EventWindows {
     (s, d) => {
       Tables.eventsNanosConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val out = graft.sources.Sources.scratchLeaf(d, "stream_file_sink")
-      val chk = graft.sources.Sources.scratchLeaf(d, "stream_file_sink_chk")
+      // fresh sink + checkpoint per EXECUTION: reusing a checkpoint
+      // within one JVM would make every later run a no-op (the file
+      // source's seen-files log already contains the input), silently
+      // serving the first run's output — a benchmark would then measure
+      // stream-restart overhead instead of the aggregation
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val out = graft.sources.Sources.scratchLeaf(d, s"stream_file_sink_$runId")
+      val chk = graft.sources.Sources.scratchLeaf(d, s"stream_file_sink_chk_$runId")
       withStreamPartitions(s) {
         val q = Tables.nanosTsToMicros(
           s.readStream.schema(schema)

@@ -192,6 +192,66 @@ object Multimodal {
     * Scale shape: both stages are `mapPartitions` (codec init once per
     * partition), payloads never shuffle, output is a narrow projection.
     */
+  /** Closed-form synthetic RGB image for `doc_id`, PNG-encoded. Shared by
+    * q77 (in-flight payloads) and q87 (individual files); dims and pixel
+    * values are a pure function of (id, x, y) that the DuckDB oracle
+    * recomputes in SQL — exactly ONE copy of the formula may exist on the
+    * Spark side, or the two queries' oracles could silently diverge.
+    */
+  private def renderPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 3).toInt * 8 // 16 | 24 | 32
+    val h = 8 + (id % 2).toInt * 8 // 8 | 16
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode → nearest-neighbor 8×4 resize → per-channel sums + pixel-hex
+    * md5. The single decode kernel behind q77/q87.
+    */
+  private def decodeFeatures(id: Long, bytes: Array[Byte],
+      md: java.security.MessageDigest): (Long, Long, Long, Long, Long, Long, String) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val strideX = w / 8
+    val strideY = h / 4
+    val hexes = new StringBuilder
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * strideX, y * strideY)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sumR += r; sumG += g; sumB += b
+        hexes.append(f"$r%02x$g%02x$b%02x")
+        x += 1
+      }
+      y += 1
+    }
+    md.reset()
+    val fp = md.digest(hexes.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
+  }
+
   val pngDecode = Q(
     "q77_png_decode",
     (s, d) => {
@@ -199,57 +259,11 @@ object Multimodal {
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           // encoder init once per partition (ImageIO plugin lookup)
-          it.map { id =>
-            val w = 16 + (id % 3).toInt * 8 // 16 | 24 | 32
-            val h = 8 + (id % 2).toInt * 8 // 8 | 16
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-                val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
-                val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
-                img.setRGB(x, y, (r << 16) | (g << 8) | b)
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            (id, bos.toByteArray)
-          }
+          it.map(id => (id, renderPng(id)))
         }
       encoded.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val w = img.getWidth
-          val h = img.getHeight
-          val strideX = w / 8
-          val strideY = h / 4
-          val hexes = new StringBuilder
-          var sumR = 0L; var sumG = 0L; var sumB = 0L
-          var y = 0
-          while (y < 4) {
-            var x = 0
-            while (x < 8) {
-              val rgb = img.getRGB(x * strideX, y * strideY)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              sumR += r; sumG += g; sumB += b
-              hexes.append(f"$r%02x$g%02x$b%02x")
-              x += 1
-            }
-            y += 1
-          }
-          md.reset()
-          val fp = md.digest(hexes.toString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
-        }
+        it.map { case (id, bytes) => decodeFeatures(id, bytes, md) }
       }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
     },
     Some("""WITH dims AS (
@@ -293,27 +307,20 @@ object Multimodal {
       import s.implicits._
       val out = graft.sources.Sources.scratchLeaf(d, "png_files")
       new java.io.File(out).mkdirs()
-      // executor-side file writes (an action): one PNG per document
+      // executor-side file writes (an action): one PNG per document, via
+      // the Hadoop FS resolved from the path URI on each executor — so a
+      // URI scratch root (SPARK_GRAFT_SCRATCH=s3://…/hdfs://…) has every
+      // executor writing to, and the binaryFile listing reading from,
+      // the same shared filesystem (the Sources scratch contract;
+      // java.io.File here would scatter files across executor-local
+      // disks on a real cluster)
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .foreachPartition { (it: Iterator[Long]) =>
+          val root = new org.apache.hadoop.fs.Path(out)
+          val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
           it.foreach { id =>
-            val w = 16 + (id % 3).toInt * 8
-            val h = 8 + (id % 2).toInt * 8
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-                val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
-                val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
-                img.setRGB(x, y, (r << 16) | (g << 8) | b)
-                x += 1
-              }
-              y += 1
-            }
-            javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$out/$id.png"))
+            val os = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.png"), true)
+            try os.write(renderPng(id)) finally os.close()
           }
         }
       val files = s.read.format("binaryFile")
@@ -323,33 +330,7 @@ object Multimodal {
           col("content"))
       files.as[(Long, Array[Byte])].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val w = img.getWidth
-          val h = img.getHeight
-          val strideX = w / 8
-          val strideY = h / 4
-          val hexes = new StringBuilder
-          var sumR = 0L; var sumG = 0L; var sumB = 0L
-          var y = 0
-          while (y < 4) {
-            var x = 0
-            while (x < 8) {
-              val rgb = img.getRGB(x * strideX, y * strideY)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              sumR += r; sumG += g; sumB += b
-              hexes.append(f"$r%02x$g%02x$b%02x")
-              x += 1
-            }
-            y += 1
-          }
-          md.reset()
-          val fp = md.digest(hexes.toString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
-        }
+        it.map { case (id, bytes) => decodeFeatures(id, bytes, md) }
       }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
     },
     pngDecode.oracle // identical semantics: the file round-trip must not change a byte

@@ -22,6 +22,18 @@ object Sampling {
     * (the property that makes leakage audits possible: membership is a
     * function, not a stored fact).
     */
+  /** DuckDB split-bucket expression for a given doc-id SQL expression —
+    * shared by q79's oracle and q86's (the manifest stamps exactly q79's
+    * assignment, so the hash formula may exist once per engine).
+    */
+  private[graft] def sqlSplitBucket(idExpr: String): String =
+    s"('0x' || substr(md5(concat('split|', $idExpr)), 1, 15))::BIGINT % 100"
+
+  private[graft] def sqlSplitCase(idExpr: String): String =
+    s"""CASE WHEN ${sqlSplitBucket(idExpr)} < 90 THEN 'train'
+             WHEN ${sqlSplitBucket(idExpr)} < 95 THEN 'val'
+             ELSE 'test' END"""
+
   val trainSplit = Q(
     "q79_train_split",
     (s, d) =>
@@ -33,14 +45,9 @@ object Sampling {
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val")
             .otherwise("test").as("split")),
-    Some("""SELECT doc_id,
-                   ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100
-                     AS bucket,
-                   CASE WHEN ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100 < 90
-                        THEN 'train'
-                        WHEN ('0x' || substr(md5(concat('split|', doc_id)), 1, 15))::BIGINT % 100 < 95
-                        THEN 'val'
-                        ELSE 'test' END AS split
+    Some(s"""SELECT doc_id,
+                   ${sqlSplitBucket("doc_id")} AS bucket,
+                   ${sqlSplitCase("doc_id")} AS split
             FROM documents""")
   )
 

@@ -244,13 +244,17 @@ object Similarity {
     * and the cell-assigned corpus is written once as the inverted file,
     * partitioned by cell (q76).
     */
-  /** Every corpus vector with its sorted probe-cell array (`cells`):
-    * seed centroids → one deterministic Lloyd step over the fixed-modulus
-    * sample → all 8 refined centroids as ONE broadcast array row →
-    * row-local struct-array sort per vector. Shared by q63 (in-flight
-    * assignment) and q76 (materialized inverted file).
+  /** The 8 refined centroids as ONE broadcast-able array row: seed
+    * centroids → one deterministic Lloyd step over the fixed-modulus
+    * sample. Non-finite vectors (NaN/Inf elements exist in the corpus)
+    * are EXCLUDED from the sample on both engines: one NaN member would
+    * poison its cell's mean, and a corpus-wide mixed finite/NaN dot set
+    * is exactly where Spark's ascending `array_sort` (NaN last) and the
+    * oracle's `ORDER BY dt DESC` (NaN first in DuckDB) disagree — with
+    * only finite centroids, a vector's dots are either all finite or all
+    * NaN, and both engines break all-NaN ties identically by cell id.
     */
-  private def ivfWithCells(s: SparkSession, d: String): DataFrame = {
+  private def ivfCents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val seeds = (0 until IvfCentroids)
       .map(j => (0 until Dim).map(i => centComponent(j, i)))
@@ -264,6 +268,7 @@ object Similarity {
     // thus the learned centroid — is a deterministic IEEE fold
     val refined = vectors(s, d)
       .where(col("vec_id") % IvfSampleMod === 0)
+      .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
       .withColumn("cell", element_at(sortedSeed, 1)("j"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
@@ -273,9 +278,16 @@ object Similarity {
             / size(vs))""").as("c1"))
     val seedDf = seeds.zipWithIndex.map { case (c, j) => (j, c) }.toDF("cell", "c0")
     // all 8 centroids as ONE array row, keyed and sorted by cell id
-    val cents = seedDf.join(refined, Seq("cell"), "left")
+    seedDf.join(refined, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("c1"), col("c0")).as("c"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+  }
+
+  /** Every corpus vector with its sorted probe-cell array (`cells`) from
+    * the given centroid row. Shared by q63 (in-flight assignment) and
+    * q76 (materialized inverted file).
+    */
+  private def ivfWithCells(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
     // native SeqDot inside the transform lambda: the 8 per-vector dots
     // against the (data-driven) centroid array each run as one fused
     // scalar loop instead of an interpreted aggregate(zip_with(...))
@@ -307,7 +319,7 @@ object Similarity {
   val annIvf = Q(
     "q63_ann_ivf",
     (s, d) => {
-      val ev = ivfWithCells(s, d)
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
       val e = ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
       ivfRank(ivfProbes(ev), e)
     },
@@ -321,7 +333,9 @@ object Similarity {
               SELECT s.vec_id, s.v, cent.j,
                      list_aggregate(list_transform(generate_series(1, $Dim),
                        i -> s.v[i] * cent.c[i]), 'sum') AS dt
-              FROM (SELECT vec_id, v FROM e WHERE vec_id % $IvfSampleMod = 0) s, cent),
+              FROM (SELECT vec_id, v FROM e
+                    WHERE vec_id % $IvfSampleMod = 0
+                      AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0) s, cent),
             sass AS (
               SELECT vec_id, v, j AS cell FROM (
                 SELECT vec_id, v, j,
@@ -378,7 +392,13 @@ object Similarity {
   val annIvfFile = Q(
     "q76_ann_ivf_file",
     (s, d) => {
-      val ev = ivfWithCells(s, d)
+      // the write and the probe ranking are two separate ACTIONS, so the
+      // (sample-scan + Lloyd) centroid build would run twice without
+      // this; caching the ONE-row centroid table makes the index build
+      // genuinely once. (Caching the full cell-assigned corpus instead
+      // would hold corpus-sized memory for no extra saving.)
+      val cents = ivfCents(s, d).persist()
+      val ev = ivfWithCells(s, d, cents)
       val out = graft.sources.Sources.scratchLeaf(d, "ivf_inverted_file")
       ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -291,6 +291,20 @@ object TextAnalysis {
     * df-cap on the benchmark side — which also HELPS decontamination
     * (ubiquitous grams are not evidence of benchmark leakage).
     */
+  /** DuckDB CTEs producing the distinct word 5-grams `g5(doc_id, g)` —
+    * shared by q82's oracle and q86's (the manifest must exclude exactly
+    * the documents q82 flags, so the gram construction may exist once).
+    */
+  private[graft] val sqlG5Ctes =
+    """toks5 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       idx5 AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                FROM toks5),
+       g5 AS (SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4] AS g
+              FROM idx5 WHERE i + 4 <= len(ws))"""
+
   val decontaminate = Q(
     "q82_decontaminate",
     (s, d) => {
@@ -301,14 +315,7 @@ object TextAnalysis {
         .groupBy(col("t.doc_id").as("train_doc"), col("b.doc_id").as("bench_doc"))
         .agg(count(lit(1)).as("n_shared"))
     },
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-            idx AS (SELECT doc_id, ws,
-                           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
-                    FROM toks),
-            g5 AS (SELECT DISTINCT doc_id,
-                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-                          ws[i+3] || ' ' || ws[i+4] AS g
-                   FROM idx WHERE i + 4 <= len(ws))
+    Some(s"""WITH $sqlG5Ctes
             SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
                    count(*) AS n_shared
             FROM g5 t

@@ -20,6 +20,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
     edges.foreach { case (a, b) =>
+      // self-loops register the node (it appears in the edge set and
+      // must be labeled) without uniting anything
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
@@ -46,7 +48,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edgeGen = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))
     val prop = Prop.forAll(edgeGen) { edges =>
-      val expected = localComponents(edges.filter { case (a, b) => a != b })
+      val expected = localComponents(edges)
       expected.isEmpty || run(edges)._1 == expected
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
@@ -57,6 +59,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 2L), (1L, 2L), (5L, 4L), (4L, 5L))
     val (got, _) = run(edges)
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("a node whose only edge is a self-loop still gets a label (its own id)") {
+    val edges = Seq((1L, 2L), (9L, 9L))
+    val (got, _) = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 
   test("two disjoint components keep distinct minima") {
