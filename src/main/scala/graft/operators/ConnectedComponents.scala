@@ -62,14 +62,18 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // materialize the INPUT edge list exactly once — both the node set
+    // and the contraction's working set derive from it, and the caller's
+    // edge pipeline (q70 feeds a full MinHash-LSH run in here) must not
+    // execute once per derivation
+    val raw = edges.select(col("a"), col("b")).localCheckpoint(true)
     // every node mentioned in the input — including nodes whose only
     // edges are self-loops, which the contraction never sees but the
     // "one label per node that appears in edges" contract still covers
-    val nodes = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id")))
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    var cur = edges
+    var cur = raw
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()

@@ -316,11 +316,29 @@ object Multimodal {
       // disks on a real cluster)
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .foreachPartition { (it: Iterator[Long]) =>
-          val root = new org.apache.hadoop.fs.Path(out)
-          val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          it.foreach { id =>
-            val os = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.png"), true)
-            try os.write(renderPng(id)) finally os.close()
+          // two write paths with one contract: a URI scratch root
+          // (s3a://…, hdfs://…) goes through the Hadoop FS resolved from
+          // the path, so all executors target the shared store; a plain
+          // local path takes java.nio directly — Hadoop's local FS costs
+          // ~15–25 ms PER FILE here (a .crc sidecar via the checksum
+          // layer, plus a shelled-out chmod when native IO is absent),
+          // which is 15× the actual 1 KB image write
+          val uri = java.net.URI.create(out)
+          if (uri.getScheme == null || uri.getScheme == "file") {
+            val dir = java.nio.file.Paths.get(
+              if (uri.getScheme == null) out else uri.getPath)
+            java.nio.file.Files.createDirectories(dir)
+            it.foreach { id =>
+              java.nio.file.Files.write(dir.resolve(s"$id.png"), renderPng(id))
+            }
+          } else {
+            val root = new org.apache.hadoop.fs.Path(out)
+            val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            fs.mkdirs(root)
+            it.foreach { id =>
+              val os = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.png"), true)
+              try os.write(renderPng(id)) finally os.close()
+            }
           }
         }
       val files = s.read.format("binaryFile")
