@@ -264,6 +264,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("q86_training_manifest: consistent with the stages it composes") {
+    val manifest = run("q86_training_manifest").collect()
+    val ids = manifest.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.nonEmpty)
+    // ⊆ q52 survivors
+    val clean = run("q52_clean_corpus").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(clean))
+    // no contaminated doc and no benchmark doc trains
+    val contaminated = run("q82_decontaminate").collect()
+      .map(_.getAs[Long]("train_doc")).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    assert(ids.forall(_ % 101 != 0))
+    // split stamps are exactly q79's assignment
+    val splits = run("q79_train_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(manifest.forall(r =>
+      splits(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+  }
+
+  test("q88_merge_upsert: merge-op accounting matches the delta construction") {
+    val rows = run("q88_merge_upsert").collect()
+    val byOp = rows.groupBy(_.getAs[String]("merge_op")).view.mapValues(_.length).toMap
+    val base = graft.Tables.documents(spark, d).count()
+    val updated = graft.Tables.documents(spark, d)
+      .where(col("doc_id") % 10 === 0).count()
+    val inserted = graft.Tables.documents(spark, d)
+      .where(col("doc_id") % 7 === 0).count()
+    assert(byOp.getOrElse("updated", 0) == updated)
+    assert(byOp.getOrElse("inserted", 0) == inserted)
+    assert(byOp.getOrElse("kept", 0) == base - updated)
+    // update wins on collision: every updated row's fingerprint is the
+    // uppercased text's, not the base text's
+    val sample = rows.filter(_.getAs[String]("merge_op") == "updated").take(5)
+    val upperFps = graft.Tables.documents(spark, d)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(upper(col("text")).cast("binary")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(sample.forall(r =>
+      upperFps(r.getAs[Long]("doc_id")) == r.getAs[String]("text_fp")))
+  }
+
   test("q60_cosine_topk_agg: aggregator top-k ≡ q27's window top-k, without a Window") {
     val viaWindow = run("q27_cosine_topk").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk"))).toSet
