@@ -164,9 +164,15 @@ final class JobTracker extends SparkListener {
       prop("spark.rdd.scope").contains("\"name\":\"BroadcastExchange\"") ||
         prop("spark.job.description").startsWith("broadcast exchange")
     if (isBroadcast) {
+      // Only NEW stages become aux: a broadcast job's stageInfos also
+      // lists shared ancestor stages (e.g. an already-materialized
+      // shuffle-map stage the AQE broadcast reads) that belong to the
+      // main query's MAP accounting — a putIfAbsent loser predates this
+      // job and keeps its counted status.
       ev.stageInfos.foreach { info =>
-        stages.putIfAbsent(info.stageId, new Rec(info.numTasks))
-        stages.get(info.stageId).foreach(_.aux = true)
+        val fresh = new Rec(info.numTasks)
+        fresh.aux = true
+        stages.putIfAbsent(info.stageId, fresh)
       }
     }
   }

@@ -307,6 +307,12 @@ object Multimodal {
       import s.implicits._
       val out = graft.sources.Sources.scratchLeaf(d, "png_files")
       new java.io.File(out).mkdirs()
+      // the DRIVER's Hadoop conf, broadcast to the executors: a bare
+      // `new Configuration()` executor-side would drop every
+      // spark.hadoop.* session setting (s3a credentials, endpoints), so
+      // the documented SPARK_GRAFT_SCRATCH=s3a://… path would fail to
+      // authenticate
+      val hconfB = org.apache.spark.sql.graftbridge.Bridge.broadcastHadoopConf(s)
       // executor-side file writes (an action): one PNG per document, via
       // the Hadoop FS resolved from the path URI on each executor — so a
       // URI scratch root (SPARK_GRAFT_SCRATCH=s3://…/hdfs://…) has every
@@ -333,7 +339,7 @@ object Multimodal {
             }
           } else {
             val root = new org.apache.hadoop.fs.Path(out)
-            val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = root.getFileSystem(hconfB.value)
             fs.mkdirs(root)
             it.foreach { id =>
               val os = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.png"), true)

@@ -394,10 +394,13 @@ object Similarity {
     (s, d) => {
       // the write and the probe ranking are two separate ACTIONS, so the
       // (sample-scan + Lloyd) centroid build would run twice without
-      // this; caching the ONE-row centroid table makes the index build
-      // genuinely once. (Caching the full cell-assigned corpus instead
-      // would hold corpus-sized memory for no extra saving.)
-      val cents = ivfCents(s, d).persist()
+      // this; collecting the ONE row (8 centroids × 64 dims, bounded)
+      // and re-wrapping it as a literal local relation makes the index
+      // build genuinely once — and unlike persist(), leaves nothing in
+      // the cache to leak across benchmark reruns in one JVM
+      val cents0 = ivfCents(s, d)
+      val cents = s.createDataFrame(
+        java.util.Arrays.asList(cents0.collect(): _*), cents0.schema)
       val ev = ivfWithCells(s, d, cents)
       val out = graft.sources.Sources.scratchLeaf(d, "ivf_inverted_file")
       ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))

@@ -9,9 +9,28 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * `org.apache.spark.sql` subpackage — the standard pattern for
   * registering custom Catalyst expressions from outside Spark.
   */
+/** A broadcast of the driver's Hadoop configuration, usable from
+  * executor-side closures. `SerializableConfiguration` itself is
+  * `private[spark]`, so this public wrapper carries it across the
+  * package boundary.
+  */
+final class HadoopConfBroadcast private[graftbridge] (
+    bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = bc.value.value
+}
+
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Broadcast the session's Hadoop conf (spark.hadoop.* and SQL-scoped
+    * settings included — what a bare `new Configuration()` on an
+    * executor silently drops).
+    */
+  def broadcastHadoopConf(spark: org.apache.spark.sql.SparkSession): HadoopConfBroadcast =
+    new HadoopConfBroadcast(org.apache.spark.util.SerializableConfiguration
+      .broadcast(spark.sparkContext, spark.sessionState.newHadoopConf()))
 
   /** Register a temp SQL function on a live session (the function
     * registry is likewise `private[sql]`).
