@@ -58,5 +58,69 @@ object SequencePacking {
              FROM toks""")
   )
 
-  val all: Seq[Q] = Seq(packing)
+  private val BinCapacity = 256L
+
+  /** q95 — NEXT-FIT-DECREASING BIN PACKING, the no-document-split variant
+    * of q71: q71 cuts the concatenated stream mid-document every
+    * `capacity` tokens; here each document lands whole in a training
+    * sequence (bin), documents are placed longest-first (decreasing
+    * order tightens packing — classic NFD), and a bin closes the moment
+    * the next document doesn't fit. The assignment is inherently
+    * SEQUENTIAL within a shard — each placement depends on the running
+    * fill — so this is the one operator family where a typed
+    * per-group loop (`flatMapGroups`) is the honest Spark shape, not a
+    * window: no SQL window computes a running sum WITH RESETS. The
+    * shard key (lang × doc_id mod 4) bounds every group; at 100 TB the
+    * modulus grows with the corpus so a shard always fits an executor,
+    * and shards pack in parallel — one shuffle total. The oracle walks
+    * the same recurrence as a recursive CTE, one rank-step per
+    * iteration across all shards in parallel.
+    */
+  val binPacking = Q(
+    "q95_bin_packing",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), (col("doc_id") % 4).as("sub"), col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+        .as[(String, Long, Long, Long)]
+      toks.groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+          val docs = it.toArray.sortBy { case (_, _, id, t) => (-t, id) }
+          val shard = s"${key._1}/${key._2}"
+          var bin = 1L
+          var fill = 0L
+          docs.iterator.zipWithIndex.map { case ((_, _, id, t), i) =>
+            if (fill > 0L && fill + t > BinCapacity) { bin += 1; fill = t }
+            else fill += t
+            (id, shard, t, i + 1L, bin, fill)
+          }
+        }
+        .toDF("doc_id", "shard", "n_tokens", "rn", "bin_id", "fill_after")
+    },
+    Some(s"""WITH RECURSIVE toks AS (
+               SELECT doc_id, lang || '/' || (doc_id % 4) AS shard,
+                      CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                           AS BIGINT) AS n_tokens
+               FROM documents),
+             r AS (SELECT doc_id, shard, n_tokens,
+                          CAST(row_number() OVER (PARTITION BY shard
+                                 ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+                   FROM toks),
+             pack AS (
+               SELECT doc_id, shard, n_tokens, rn,
+                      CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill_after
+               FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+                      CASE WHEN p.fill_after + r.n_tokens <= $BinCapacity
+                           THEN p.bin_id ELSE p.bin_id + 1 END,
+                      CASE WHEN p.fill_after + r.n_tokens <= $BinCapacity
+                           THEN p.fill_after + r.n_tokens ELSE r.n_tokens END
+               FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+             SELECT doc_id, shard, n_tokens, rn, bin_id, fill_after FROM pack""")
+  )
+
+  val all: Seq[Q] = Seq(packing, binPacking)
 }

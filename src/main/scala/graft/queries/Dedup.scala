@@ -465,7 +465,72 @@ object Dedup {
              FROM reach GROUP BY a""")
   )
 
+  private val SegLen = 8
+
+  /** q89 — SEGMENT-LEVEL exact dedup, the C4/CCNet "line-level" pass
+    * adapted to this corpus's newline-free text: each document splits
+    * into consecutive `SegLen`-word segments, exactly ONE occurrence of
+    * each distinct segment survives corpus-wide (the first, by
+    * (doc_id, position)), and documents are reassembled from their
+    * surviving segments — boilerplate that repeats across pages vanishes
+    * from every copy but the first. Complementary to q22 (whole-doc) and
+    * q23 (near-dup): this is the sub-document exact pass.
+    *
+    * Scale design: the keeper per segment is `min(struct(doc_id, pos))`
+    * under groupBy(segment) — map-side partial min, immune to hot
+    * boilerplate segments (a window over the segment key would pile a
+    * viral segment's billions of occurrences into one partition; the
+    * aggregation form never materializes a group). And the AGGREGATED
+    * row set IS the output row set — no join back to the corpus. Two
+    * shuffles total: segment keeper, then doc reassembly. At 100 TB
+    * segments would shuffle as (hash, doc_id, pos) with bodies joined
+    * back only for survivors (q22's fingerprint-not-body discipline);
+    * here segments are 8 words and ship whole.
+    */
+  val segmentDedup = Q(
+    "q89_segment_dedup",
+    (s, d) => {
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(ws) / ${SegLen}.0) AS INT) - 1),
+              i -> concat_ws(' ', slice(ws, i * $SegLen + 1, $SegLen)))"""))
+          .as(Seq("seg_idx", "seg")))
+      val kept = segs.groupBy("seg")
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"), col("seg"))
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
+            " ").as("clean_text"),
+          count(lit(1)).as("kept_segs"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("kept_segs"), lit(0L)).as("kept_segs"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             segs AS (SELECT doc_id, i - 1 AS seg_idx,
+                             array_to_string(list_slice(ws, (i - 1) * $SegLen + 1, i * $SegLen), ' ')
+                               AS seg
+                      FROM (SELECT doc_id, ws,
+                                   unnest(generate_series(1,
+                                     CAST(ceil(len(ws) / ${SegLen}.0) AS INT))) AS i
+                            FROM toks) t),
+             kept AS (SELECT seg, min(struct_pack(doc_id := doc_id, seg_idx := seg_idx)) AS k
+                      FROM segs GROUP BY seg),
+             rebuilt AS (SELECT k.doc_id AS doc_id,
+                                string_agg(seg, ' ' ORDER BY k.seg_idx) AS clean_text,
+                                count(*) AS kept_segs
+                         FROM kept GROUP BY k.doc_id)
+             SELECT d.doc_id,
+                    coalesce(r.clean_text, '') AS clean_text,
+                    CAST(coalesce(r.kept_segs, 0) AS BIGINT) AS kept_segs
+             FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
-      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs)
+      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs, segmentDedup)
 }

@@ -82,5 +82,49 @@ object Sampling {
             WHERE rnk <= 50""")
   )
 
-  val all: Seq[Q] = Seq(trainSplit, stratifiedSample)
+  /** q94 — TEMPERATURE-BASED DOMAIN MIXING: per-language sampling quotas
+    * proportional to `sqrt(n_l)` (temperature α = 0.5 in the standard
+    * `p_l ∝ n_l^α` multilingual-mixing family) — big languages get
+    * down-weighted relative to their raw share, small ones up-weighted,
+    * which is how multilingual training corpora rebalance domains. The
+    * quota is a per-stratum function (`3·⌊√n_l⌋`, no cross-stratum
+    * normalization), deliberately: `sqrt` is IEEE-exact in both engines
+    * where a `pow(x, 0.7)`-shaped weight or a cross-stratum sum would
+    * admit last-bit divergence that could flip a floor() at the quota
+    * boundary (the round() portability hazard, BASELINE gotcha). Selection
+    * is q80's hash-smallest ranking against the data-dependent quota:
+    * deterministic, rerun-stable, one shuffle on the stratum key. At
+    * 100 TB the count aggregation is map-side-combined and the tiny
+    * per-language quota table broadcasts.
+    */
+  val temperatureMix = Q(
+    "q94_temperature_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quotas = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("quota", floor(sqrt(col("n_l"))).cast("long") * 3)
+      val ranked = docs
+        .select(col("doc_id"), col("lang"),
+          TextFns.md5Hex(concat(lit("mix|"), col("doc_id"))).as("h"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+      ranked.join(quotas, Seq("lang"))
+        .where(col("rnk") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("n_l"), col("quota"), col("rnk"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+            r AS (SELECT doc_id, lang,
+                         CAST(row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(concat('mix|', doc_id)), doc_id) AS BIGINT)
+                           AS rnk
+                  FROM documents)
+            SELECT r.doc_id, r.lang, CAST(c.n_l AS BIGINT) AS n_l,
+                   CAST(floor(sqrt(c.n_l)) AS BIGINT) * 3 AS quota, r.rnk
+            FROM r JOIN c USING (lang)
+            WHERE r.rnk <= CAST(floor(sqrt(c.n_l)) AS BIGINT) * 3""")
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix)
 }

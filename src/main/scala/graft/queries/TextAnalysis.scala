@@ -380,7 +380,126 @@ object TextAnalysis {
             GROUP BY w ORDER BY cnt DESC, w LIMIT 1000""")
   )
 
+  /** The deterministically "dirtied" corpus behind q93: uppercases every
+    * third doc, and appends a decomposed `cafe` + U+0301 plus ragged
+    * whitespace to every fourth — the mixed-case / mixed-composition /
+    * ragged-spacing input a real crawl produces, reconstructed in closed
+    * form so the oracle sees byte-identical raw text.
+    */
+  private def dirtyText(idCol: String): (org.apache.spark.sql.Column, String) = {
+    val spark = {
+      val base = when(col(idCol) % 3 === 0, upper(col("text"))).otherwise(col("text"))
+      // DECOMPOSED on purpose: 'e' + combining acute (U+0301), the form
+      // NFC must actually compose -- identical to the oracle's chr(769)
+      when(col(idCol) % 4 === 0,
+        concat(base, lit("  cafe\u0301  "))).otherwise(base)
+    }
+    val sql =
+      s"""CASE WHEN $idCol % 4 = 0
+              THEN (CASE WHEN $idCol % 3 = 0 THEN upper(text) ELSE text END)
+                   || '  cafe' || chr(769) || '  '
+              ELSE (CASE WHEN $idCol % 3 = 0 THEN upper(text) ELSE text END) END"""
+    (spark, sql)
+  }
+
+  /** q93 — TEXT NORMALIZATION, the first pass of every ingest pipeline:
+    * Unicode NFC (native [[graft.functions.NfcNormalize]] expression —
+    * canonical composition, so `e`+U+0301 and `é` hash/tokenize
+    * identically), lowercasing, whitespace collapse, trim. A pure narrow
+    * projection inside whole-stage codegen — at 100 TB this is a
+    * streaming-friendly rewrite with zero shuffle (PlanSpec-gated). The
+    * char count drops out of normalization (composition shrinks
+    * combining sequences), which downstream length-based quality filters
+    * (q31) would consume.
+    */
+  val normalize = Q(
+    "q93_normalize",
+    (s, d) => {
+      val (raw, _) = dirtyText("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(graft.functions.NfcNormalize(col("raw"))), "\\s+", " "))
+            .as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+    },
+    Some {
+      val (_, rawSql) = dirtyText("doc_id")
+      s"""WITH raw AS (SELECT doc_id, $rawSql AS raw FROM documents),
+          norm AS (SELECT doc_id,
+                          trim(regexp_replace(lower(nfc_normalize(raw)), '\\s+', ' ', 'g'))
+                            AS norm_text
+                   FROM raw)
+          SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+          FROM norm"""
+    }
+  )
+
+  /** PII patterns for q97 — deliberately simple, byte-portable between
+    * Java regex and DuckDB's RE2 (character classes, bounded repetition,
+    * ASCII word boundaries only).
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** q97 — PII REDACTION, a compliance pass every shipped training corpus
+    * runs: emails, phone numbers and IPv4 addresses are replaced with
+    * typed placeholders, with per-doc match counts as the audit trail.
+    * The PII is synthesized deterministically per doc id (the test corpus
+    * is clean), so the oracle reproduces the raw text in closed form and
+    * checks the redaction byte-for-byte. A narrow projection — three
+    * regex passes inside whole-stage codegen, no shuffle; at 100 TB this
+    * composes with q52's clean-corpus rewrite at zero extra cost. Counts
+    * are taken BEFORE redaction (email removal must not hide a phone
+    * match and vice versa — patterns here are disjoint, but the audit
+    * must not depend on that).
+    */
+  val piiRedact = Q(
+    "q97_pii_redact",
+    (s, d) => {
+      val raw = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact john.doe"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>").as("clean_text"),
+          regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("raw"), lit(IpRe)).cast("long").as("n_ip"))
+    },
+    Some(s"""WITH raw AS (
+              SELECT doc_id, text
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN ' contact john.doe' || doc_id || '@example.com' ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0
+                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                         THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END)
+                AS raw
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                     '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+                     '$IpRe', '<IP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ip
+            FROM raw""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
-      positionalIndex, vocabulary)
+      positionalIndex, vocabulary, normalize, piiRedact)
 }
