@@ -475,6 +475,73 @@ object Similarity {
             FROM qs""")
   )
 
+  private val NearDupPlanes = 10
+  private val NearDupThreshold = 0.38
+
+  /** q96 — embedding near-duplicate pairs blocked by LSH BUCKET, the
+    * production blocking key q26's scaladoc promises (q26 blocks by
+    * `label` — a convenient demo key that a real corpus doesn't have).
+    * Each vector gets a 10-plane sign bucket (1024 buckets, the same
+    * hash-derived hyperplane family as q28/q62, so the whole pipeline is
+    * oracle-reproducible); candidate pairs come from bucket-equality
+    * joins at Hamming radius 1 (the vector side explodes to its own
+    * bucket plus the 10 one-bit flips — near-identical vectors that
+    * straddle a single hyperplane still meet). A pair whose buckets
+    * differ in ≤ 1 bit matches on exactly ONE mask, so no dedup pass is
+    * needed — unlike the multi-probe ANN queries, whose radius-2 mask
+    * sets genuinely duplicate.
+    *
+    * Scale: the corpus never self-joins — the 11× narrow bucket
+    * duplication shuffles, then pairs form only within buckets
+    * (E[pairs] ≈ 11·n²/1024 here; more planes sharpen it as n grows).
+    * Exact cosine verifies every candidate; non-finite cosines
+    * (zero-norm / NaN vectors exist in the corpus) are dropped on both
+    * sides, q26's discipline.
+    */
+  val embedLshNearDup = Q(
+    "q96_embed_lsh_neardup",
+    (s, d) => {
+      val e = vectors(s, d).withColumn("bucket", bucketCol(NearDupPlanes))
+      val masks = 0 +: (0 until NearDupPlanes).map(1 << _)
+      val probes = e.select(col("vec_id"), col("v"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val raw = CosineSimilarity(col("a.v"), col("b.v"))
+      probes.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(raw, 6).as("cos_sim"), raw.as("rawcos"))
+        .where(!isnan(col("rawcos")) && abs(col("rawcos")) =!= Double.PositiveInfinity
+          && col("cos_sim") >= NearDupThreshold)
+        .drop("rawcos")
+    },
+    Some {
+      val masks = 0 +: (0 until NearDupPlanes).map(1 << _)
+      val maskList = masks.map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+      s"""WITH planes AS (
+            SELECT p, list_transform(generate_series(0, ${Dim - 1}),
+                     i -> (('0x' || substr(md5(concat(p, ',', i)), 1, 8))::BIGINT
+                           / 4294967296.0) - 0.5) AS pl
+            FROM (SELECT unnest(generate_series(0, ${NearDupPlanes - 1})) AS p) ps),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bucketed AS (
+            SELECT e.vec_id, e.v,
+                   CAST(sum(CASE WHEN list_dot_product(e.v, planes.pl) >= 0
+                                 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+            FROM e, planes GROUP BY e.vec_id, e.v),
+          probes AS (SELECT vec_id, v, unnest($maskList) AS bucket FROM bucketed),
+          pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_cosine_similarity(a.v, b.v) AS rawcos
+            FROM probes a JOIN bucketed b
+              ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, round(rawcos, 6) AS cos_sim
+          FROM pairs
+          WHERE isfinite(rawcos) AND round(rawcos, 6) >= $NearDupThreshold"""
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8)
+    Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
+      embedLshNearDup)
 }

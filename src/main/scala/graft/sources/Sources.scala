@@ -115,5 +115,89 @@ object Sources {
     Some("SELECT doc_id, lang, source, n_chars, text FROM documents WHERE lang = 'en'")
   )
 
-  val all: Seq[Q] = Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned)
+  private val CompactTargetBytes = 4L * 1024 * 1024
+
+  /** q90 — SMALL-FILE COMPACTION, the lakehouse maintenance operator: a
+    * table written by a high-parallelism job (here: forced to 32 files)
+    * is rewritten into `ceil(bytes / target)` right-sized files. Small
+    * files are the classic 100 TB killer — every file costs a listing
+    * round-trip, a footer read and a scheduler task, so a million
+    * 100 KB files can cost more than the scan itself; compaction
+    * restores scan efficiency without changing a row (which is exactly
+    * what the oracle checks — the rewrite must be invisible to readers).
+    *
+    * The byte size comes from the filesystem LISTING (driver-side
+    * metadata, never data); the rewrite uses `coalesce`, which merges
+    * input splits without a shuffle. Production target is 128 MB–1 GB;
+    * scaled down here so the math exercises at test sizes. SinksSpec
+    * asserts the file count actually drops.
+    */
+  val compaction = Q(
+    "q90_compaction",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars", "text")
+      val smallDir = leaf(d, "compact_in")
+      val outDir = leaf(d, "compact_out")
+      docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(smallDir)
+      val p = new org.apache.hadoop.fs.Path(smallDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val bytes = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(smallDir).coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+      s.read.parquet(outDir)
+    },
+    Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
+  )
+
+  /** q91 — Z-ORDER (Morton-curve) CLUSTERING, the multi-dimensional
+    * layout step behind lakehouse `ZORDER BY`: events are mapped onto a
+    * 2-D Morton curve over (user_id, ⌊value⌋) by the native
+    * [[graft.functions.InterleaveBits]] expression and bucketed by the
+    * curve's leading bits (zval >> 12 — chosen so test-scale ids, which
+    * occupy the curve's LOW bits, still spread across buckets; production
+    * derives the shift from the target file count) — the bucket a row
+    * would land in when the table is range-partitioned by the curve
+    * position. The output is
+    * each bucket's occupancy and min/max envelope on BOTH dimensions:
+    * the per-file statistics a reader's min-max pruning consults, and
+    * the whole point of the layout — every bucket covers a bounded
+    * rectangle, so a predicate on EITHER column (not just the leading
+    * sort key, as in a lexicographic sort) skips most buckets. Narrow
+    * codegen'd map + one aggregation; at 100 TB the same expression
+    * feeds `repartitionByRange(zval)` + per-file stats at write time.
+    */
+  val zorderLayout = Q(
+    "q91_zorder_layout",
+    (s, d) => {
+      val z = graft.functions.InterleaveBits(
+        col("user_id"), floor(col("value")).cast("long"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("vbin"), z.as("zval"))
+        .withColumn("zbucket", shiftright(col("zval"), 12))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("vbin").as("min_vbin"), max("vbin").as("max_vbin"),
+          min("zval").as("min_z"), max("zval").as("max_z"))
+    },
+    Some("""WITH z AS (
+              SELECT event_id, user_id,
+                     CAST(floor("value") AS BIGINT) AS vbin,
+                     CAST(list_aggregate(list_transform(generate_series(0, 15),
+                            i -> (((user_id >> i) & 1) << (2 * i))
+                               + (((CAST(floor("value") AS BIGINT) >> i) & 1) << (2 * i + 1))),
+                            'sum') AS BIGINT) AS zval
+              FROM events)
+            SELECT zval >> 12 AS zbucket, count(*) AS n_rows,
+                   min(user_id) AS min_user, max(user_id) AS max_user,
+                   min(vbin) AS min_vbin, max(vbin) AS max_vbin,
+                   min(zval) AS min_z, max(zval) AS max_z
+            FROM z GROUP BY zval >> 12""")
+  )
+
+  val all: Seq[Q] =
+    Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout)
 }

@@ -149,6 +149,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q93/q97: normalization and PII redaction are pure narrow projections (no shuffle)") {
+    // both rewrite the corpus row-locally; an Exchange would mean the
+    // 100 TB rewrite shuffles for no reason
+    for (q <- Seq("q93_normalize", "q97_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles: ${p.take(1500)}")
+    }
+  }
+
+  test("q89: segment-dedup keeper is an aggregation, never a window over the segment key") {
+    // min(struct) under groupBy(segment) is partial-aggregated and
+    // skew-immune; a window over PARTITION BY seg would pile a viral
+    // boilerplate segment's occurrences into one partition
+    val p = plan("q89_segment_dedup")
+    assert(!p.contains("Window"), s"window over segment key: ${p.take(2000)}")
+    assert(p.contains("partial_min") || p.toLowerCase.contains("partial"),
+      s"keeper agg not map-side partial: ${p.take(2000)}")
+  }
+
+  test("q91: z-order layout is the native expression + one aggregation shuffle") {
+    val p = plan("q91_zorder_layout")
+    assert(p.contains("interleave_bits"), p.take(2000))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected exactly 1 shuffle, saw $shuffles: ${p.take(2000)}")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything

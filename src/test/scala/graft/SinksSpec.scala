@@ -24,6 +24,18 @@ class SinksSpec extends AnyFunSuite {
       Tables.documents(spark, d).where(col("lang") === "en").count())
   }
 
+  test("q90: compaction collapses the 32-file input to the byte-target file count") {
+    SparkEntry.queries("q90_compaction")(spark, d).collect()
+    def nFiles(path: String): Int =
+      Option(new java.io.File(path).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(-1)
+    val nIn = nFiles(graft.sources.Sources.scratchLeaf(d, "compact_in"))
+    val nOut = nFiles(graft.sources.Sources.scratchLeaf(d, "compact_out"))
+    assert(nIn === 32, s"expected the forced small-file layout, saw $nIn files")
+    // sf0.001 documents total well under one 4 MB target file
+    assert(nOut === 1, s"compaction produced $nOut files from $nIn")
+  }
+
   test("SelfCosineRule folds cosine_similarity(x, x) to 1.0") {
     graft.plans.GraftExtensions.register(spark)
     val withRule = graft.plans.SelfCosineRule(
