@@ -22,6 +22,7 @@ object SparkEntry {
       _root_.graft.queries.Multimodal.all ++
       _root_.graft.queries.EventWindows.all ++
       _root_.graft.queries.Relational2.all ++
+      _root_.graft.queries.Profiling.all ++
       _root_.graft.sources.Sources.all ++
       _root_.graft.operators.CleanCorpus.all ++
       _root_.graft.operators.SequencePacking.all ++

@@ -73,30 +73,35 @@ object Dedup {
     * reuses it). `persist()` on grams is a measured regression (SURVEY
     * round-2 notes); this shape gets the same effect from exchange reuse.
     */
+  /** (doc_id, n, bk) band rows for a document set — the LSH signature
+    * store schema. All k minhashes in ONE aggregation pass: k min-columns
+    * over the (doc, gram) relation — a single shuffle of |grams| rows
+    * with map-side partial min, instead of exploding k× rows. The gram
+    * count `n` rides along in the same groupBy — the Jaccard denominator
+    * comes for free with the signature. Band keys are then row-local (no
+    * second shuffle); the band index is baked into the hash so collisions
+    * can't cross bands. Carrying `n` through the band explosion means a
+    * candidate pair arrives with both denominators attached — no join
+    * back to a sizes relation. Shared by q23 (full corpus) and q99
+    * (materialized base index + in-flight delta).
+    */
+  private def bandRows(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigCols = (0 until MinhashK)
+      .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i")) :+
+      count(lit(1)).as("n")
+    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until MinhashK / 2).map { b =>
+      TextFns.md5Hex(concat(lit(s"$b#"), col(s"mh${2 * b}"), lit(","), col(s"mh${2 * b + 1}")))
+    }
+    sig.select(col("doc_id"), col("n"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
   val minhashLsh = Q(
     "q23_minhash_lsh_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val grams = TextFns.wordGrams(docs, GramsN)
-      // All k minhashes in ONE aggregation pass: k min-columns over the
-      // (doc, gram) relation — a single shuffle of |grams| rows with
-      // map-side partial min, instead of exploding k× rows. The gram count
-      // `n` rides along in the same groupBy — the Jaccard denominator
-      // comes for free with the signature. Band keys are then row-local
-      // (no second shuffle); the band index is baked into the hash so
-      // collisions can't cross bands.
-      val sigCols = (0 until MinhashK)
-        .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i")) :+
-        count(lit(1)).as("n")
-      val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandKeys = (0 until MinhashK / 2).map { b =>
-        TextFns.md5Hex(concat(lit(s"$b#"), col(s"mh${2 * b}"), lit(","), col(s"mh${2 * b + 1}")))
-      }
-      // Carry each doc's gram count through the band explosion and the
-      // candidate join: a candidate pair arrives with both denominators
-      // attached, so the final Jaccard needs no join back to a sizes
-      // relation at all.
-      val bands = sig.select(col("doc_id"), col("n"), explode(array(bandKeys: _*)).as("bk"))
+      val bands = bandRows(grams)
       val cand = bands.as("x")
         .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
@@ -125,8 +130,10 @@ object Dedup {
     Some(s"WITH $sqlMinhashCtes\n$sqlMinhashPairsSelect")
   )
 
-  /** CTE chain shared by q23's oracle and q70's recursive-CTE oracle. */
-  private lazy val sqlMinhashCtes =
+  /** Shingle → signature → band-key CTE prefix, shared by the q23/q70
+    * oracles and q99's delta-vs-base variant.
+    */
+  private lazy val sqlBandsCtes =
     s"""$sqlGrams,
        seeds AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS seed),
        mh AS (SELECT doc_id, seed, min(md5(concat(seed, '|', g))) AS mh
@@ -135,7 +142,11 @@ object Dedup {
                       min(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
                       min(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
                FROM mh GROUP BY 1, 2),
-       bands AS (SELECT doc_id, md5(concat(band, '#', h0, ',', h1)) AS bk FROM bnd),
+       bands AS (SELECT doc_id, md5(concat(band, '#', h0, ',', h1)) AS bk FROM bnd)"""
+
+  /** CTE chain shared by q23's oracle and q70's recursive-CTE oracle. */
+  private lazy val sqlMinhashCtes =
+    s"""$sqlBandsCtes,
        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                 FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
@@ -530,7 +541,76 @@ object Dedup {
              FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")
   )
 
+  /** q99 — INCREMENTAL near-dedup against a MATERIALIZED signature index:
+    * the daily-crawl shape. The base corpus (90% of docs here) has its
+    * LSH band table built ONCE and written as the persistent signature
+    * store; a new delta batch (doc_id % 10 = 0 — the simulated fresh
+    * crawl) computes signatures only for ITSELF, joins its band keys
+    * against the stored index for candidates, and exact-Jaccard-verifies
+    * candidates only. At 100 TB this is the difference between
+    * re-signaturing the whole corpus per batch (q23's shape, O(corpus))
+    * and O(delta + candidates): the base corpus is never re-read except
+    * for the candidate docs' shingles during verification. The store
+    * write uses the `Sources` scratch contract (shared FS on a cluster);
+    * a real deployment appends each accepted batch's bands to the same
+    * store, keeping the index current.
+    */
+  val incrementalDedup = Q(
+    "q99_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isDelta = col("doc_id") % 10 === 0
+      // one-time index build over the base corpus → persistent store
+      val store = graft.sources.Sources.scratchLeaf(d, "minhash_index")
+      bandRows(TextFns.wordGrams(docs.where(!isDelta), GramsN))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val baseBands = s.read.parquet(store)
+      // the delta batch signatures itself only
+      val deltaBands = bandRows(TextFns.wordGrams(docs.where(isDelta), GramsN))
+      val cand = deltaBands.as("x")
+        .join(baseBands.as("y"), col("x.bk") === col("y.bk"))
+        .select(col("x.doc_id").as("dn"), col("y.doc_id").as("db"),
+          col("x.n").as("nn"), col("y.n").as("nb"))
+        .distinct()
+      // exact verify: shingles for CANDIDATE docs only, from either side
+      val candDocs = cand.select(col("dn").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id")))
+        .distinct()
+      val cg = TextFns.wordGrams(docs, GramsN).join(candDocs, "doc_id")
+      // delta grams only meet base grams (the delta/base split mirrors
+      // the candidate orientation, so no wasted within-side pairs)
+      val inter = cg.where(isDelta).as("ga")
+        .join(cg.where(!isDelta).as("gb"), col("ga.g") === col("gb.g"))
+        .select(col("ga.doc_id").as("dn"), col("gb.doc_id").as("db"))
+        .join(cand.select("dn", "db"), Seq("dn", "db"))
+        .groupBy("dn", "db")
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(cand, Seq("dn", "db"))
+        .select(col("dn").as("doc_new"), col("db").as("doc_base"),
+          (col("c").cast("double") / (col("nn") + col("nb") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= JaccardThresholdLsh)
+    },
+    Some(s"""WITH $sqlBandsCtes,
+             cand AS (SELECT DISTINCT x.doc_id AS dn, y.doc_id AS db
+                      FROM bands x JOIN bands y ON x.bk = y.bk
+                      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+             inter AS (SELECT dn, db, count(*) AS c
+                       FROM cand
+                       JOIN grams ga ON ga.doc_id = dn
+                       JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
+                       GROUP BY 1, 2)
+             SELECT dn AS doc_new, db AS doc_base,
+                    CAST(c AS DOUBLE) / (sn.n + sb.n - c) AS jaccard
+             FROM inter
+             JOIN sizes sn ON sn.doc_id = dn
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE CAST(c AS DOUBLE) / (sn.n + sb.n - c) >= $JaccardThresholdLsh""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
-      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs, segmentDedup)
+      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs, segmentDedup,
+      incrementalDedup)
 }

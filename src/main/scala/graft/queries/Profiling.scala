@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the `ANALYZE TABLE`-shaped operator every ingest
+  * pipeline runs before touching a new drop: per-column null counts,
+  * exact distinct cardinality, and min/max, emitted as one narrow
+  * (column, stats) relation.
+  */
+object Profiling {
+
+  private val Cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+
+  /** q101 — ONE-PASS column profile of `documents`: every per-column
+    * statistic is an aggregate column of a SINGLE aggregation over a
+    * single scan (Catalyst plans the multiple exact count-distincts via
+    * one Expand), and the 1-row result pivots to long form with `stack`
+    * — row-count work never repeats per column, where the naive
+    * per-column loop would scan the table five times. At 100 TB the
+    * exact distincts swap for `approx_count_distinct` (q19's HLL++
+    * sketch) and the Expand disappears; min/max/null counts are already
+    * plain single-pass aggregates. Min/max surface as strings so one
+    * schema covers every column type; numeric casts are engine-portable
+    * (integer-to-string only).
+    */
+  val profile = Q(
+    "q101_profile",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val aggs = Cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      } :+ count(lit(1)).as("n_rows")
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      one.select(
+        expr(s"""stack(${Cols.size},
+                 ${Cols.map(c => s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")})
+                 AS (col_name, n_null, n_distinct, min_str, max_str)"""),
+        col("n_rows"))
+    },
+    Some {
+      val selects = Cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_str,
+                   CAST(max($c) AS VARCHAR) AS max_str,
+                   count(*) AS n_rows
+            FROM documents"""
+      }
+      selects.mkString("\n UNION ALL \n")
+    }
+  )
+
+  val all: Seq[Q] = Seq(profile)
+}

@@ -499,7 +499,48 @@ object TextAnalysis {
             FROM raw""")
   )
 
+  /** q100 — BPE MERGE-PAIR COUNTING, the inner loop of byte-pair-encoding
+    * tokenizer training: count adjacent character pairs across the
+    * corpus, weighted by word frequency (the highest-count pair becomes
+    * the next merge rule; q85's unigram pass is the step before this).
+    * The load-bearing trick is the one real BPE trainers use: pairs are
+    * counted over the DISTINCT-WORD table × frequency, so the pair
+    * explosion runs at vocabulary scale, not corpus scale — the only
+    * corpus-sized work is the word-frequency aggregation (one shuffle,
+    * map-side combined). Top-50 via orderBy+limit compiles to
+    * TakeOrderedAndProject (per-task top-k, q85's discipline).
+    */
+  val bpePairs = Q(
+    "q100_bpe_pairs",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .where(length(col("w")) >= 2)
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy("pair")
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(50)
+    },
+    Some("""WITH words AS (
+              SELECT w, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+              WHERE w <> '' GROUP BY w),
+            pairs AS (
+              SELECT substr(w, i, 2) AS pair, freq
+              FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+                    FROM words WHERE length(w) >= 2) t)
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 50""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
-      positionalIndex, vocabulary, normalize, piiRedact)
+      positionalIndex, vocabulary, normalize, piiRedact, bpePairs)
 }

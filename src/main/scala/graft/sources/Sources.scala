@@ -198,6 +198,38 @@ object Sources {
             FROM z GROUP BY zval >> 12""")
   )
 
+  /** q102 — SCHEMA EVOLUTION on read: an old batch written without a
+    * column and a new batch written with it (`quality`, the score a
+    * later pipeline version started stamping) are read together with
+    * `mergeSchema` — old rows surface NULL for the new column, and no
+    * batch is ever rewritten. This is how a 100 TB lake absorbs schema
+    * change: parquet footers carry per-file schemas, the reader takes
+    * their union, and the alternative — rewriting every historical
+    * batch on every added column — is a full-corpus write. The oracle
+    * reconstructs the union semantics from the source table in closed
+    * form.
+    */
+  val schemaEvolution = Q(
+    "q102_schema_evolution",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldDir = leaf(d, "evolve_old")
+      val newDir = leaf(d, "evolve_new")
+      docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(oldDir)
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars").cast("double") / 100.0).as("quality"))
+        .write.mode(SaveMode.Overwrite).parquet(newDir)
+      s.read.option("mergeSchema", "true").parquet(oldDir, newDir)
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS DOUBLE) / 100.0 END AS quality
+            FROM documents""")
+  )
+
   val all: Seq[Q] =
-    Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout)
+    Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
+      schemaEvolution)
 }
