@@ -476,8 +476,43 @@ object Relational2 {
             FROM base b FULL OUTER JOIN delta e ON e.doc_id = b.doc_id""")
   )
 
+  /** q92 — RUNTIME BLOOM-FILTER join pruning, the shuffle-join defense
+    * when neither side broadcasts: Spark builds a bloom filter from the
+    * selective (filtered) build side at runtime and pushes a
+    * `might_contain` predicate into the probe side's scan stage, killing
+    * most probe rows BEFORE the shuffle instead of after the join. The
+    * query runs on its OWN session (`newSession` — shared SparkContext,
+    * isolated SQLConf) with the application-side size threshold lowered:
+    * the feature arms itself only above a 10 GB probe scan by default,
+    * which is exactly right at 100 TB and unreachable in a test corpus.
+    * Broadcast is disabled on that session so the shuffle-join path —
+    * the one the filter exists for — is actually exercised. The filter
+    * is semantics-free (false positives only let a row reach the real
+    * join), so the oracle is the plain join; RuntimeFilterSpec asserts
+    * `might_contain` lands in the executed plan.
+    */
+  val bloomJoin = Q(
+    "q92_bloom_join",
+    (s, d) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      Tables.lineitem(iso, d)
+        .join(Tables.orders(iso, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(Q.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    },
+    Some(s"""SELECT l_returnflag, ${Q.sqlSum2("l_quantity")} AS sum_qty, count(*) AS n
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT'
+             GROUP BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert)
+    mergeUpsert, bloomJoin)
 }
