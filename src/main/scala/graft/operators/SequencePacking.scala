@@ -80,8 +80,13 @@ object SequencePacking {
     "q95_bin_packing",
     (s, d) => {
       import s.implicits._
+      // coalesce the shard key on BOTH sides: a NULL lang would group as
+      // a (null, sub) tuple key here but collapse to one NULL shard
+      // under the oracle's NULL-propagating || — a latent cross-engine
+      // divergence (same class as the round-3 NaN-ordering catch)
       val toks = Tables.documents(s, d)
-        .select(col("lang"), (col("doc_id") % 4).as("sub"), col("doc_id"),
+        .select(coalesce(col("lang"), lit("unknown")).as("lang"),
+          (col("doc_id") % 4).as("sub"), col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= ""))
             .cast("long").as("n_tokens"))
         .as[(String, Long, Long, Long)]
@@ -100,7 +105,7 @@ object SequencePacking {
         .toDF("doc_id", "shard", "n_tokens", "rn", "bin_id", "fill_after")
     },
     Some(s"""WITH RECURSIVE toks AS (
-               SELECT doc_id, lang || '/' || (doc_id % 4) AS shard,
+               SELECT doc_id, coalesce(lang, 'unknown') || '/' || (doc_id % 4) AS shard,
                       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
                            AS BIGINT) AS n_tokens
                FROM documents),
