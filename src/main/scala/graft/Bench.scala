@@ -17,13 +17,24 @@ import org.apache.spark.sql.SparkSession
   * land on an arbitrary first query.
   *
   * Iteration helpers: SPARK_GRAFT_BENCH_ONLY=q23_...,q24_... restricts the
-  * suite; SPARK_GRAFT_BENCH_REPS=1 gives the old single-pass behavior.
+  * suite; SPARK_GRAFT_BENCH_REPS=1 gives the old single-pass behavior;
+  * SPARK_GRAFT_BENCH_DEBUG=1 prints per-pass timings + GC/heap telemetry
+  * to stderr; SPARK_GRAFT_BENCH_CLEAN=0 disables the between-query
+  * catalog/stream cleanup (diagnosis only).
   */
 object Bench {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    val clean = !sys.env.get("SPARK_GRAFT_BENCH_CLEAN").contains("0")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,9 +44,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Streaming queries land their output in memory-sink temp views (one
+    // fresh UUID-named view per EXECUTION — checkpoint reuse would make
+    // reps no-ops, see EventWindows). Left alone, every rep of every
+    // streaming query parks its full output in driver memory for the
+    // lifetime of the JVM: at reps=3 over the whole suite that is dozens
+    // of retained result sets in an 8 GiB heap, and the resulting GC
+    // pressure taxes exactly the job-heaviest queries (q70's iterative
+    // rounds, q74's stream-stream join). Drop each query's new temp views
+    // once it has been materialized, and clear the terminated-query list
+    // the StreamingQueryManager keeps (it pins the sinks too).
+    def cleanup(before: Set[String]): Unit = if (clean) {
+      val cat = spark.catalog
+      cat.listTables().collect()
+        .filter(t => t.isTemporary && !before.contains(t.name))
+        .foreach(t => cat.dropTempView(t.name))
+      spark.streams.resetTerminated()
+    }
+
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+
+    def tempViews(): Set[String] =
+      if (clean) spark.catalog.listTables().collect().map(_.name).toSet
+      else Set.empty[String]
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -44,15 +77,31 @@ object Bench {
     require(names.nonEmpty,
       s"no queries selected (SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))})")
     // untimed warmup: JVM + codegen + parquet footer caches
-    try materialize(names.head) catch { case _: Throwable => () }
+    locally {
+      val before = tempViews()
+      try materialize(names.head) catch { case _: Throwable => () }
+      cleanup(before)
+    }
 
-    val samples = Array.fill(reps) {
-      names.map { name =>
+    val samples = Array.tabulate(reps) { pass =>
+      val times = names.map { name =>
+        val before = tempViews() // outside the timed region
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup(before) // outside the timed region
+        dt
       }
+      if (debug) {
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
+        names.zip(times).foreach { case (n, t) =>
+          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f")
+        }
+      }
+      times
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -64,6 +113,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact trailer AFTER the full JSON: the driver's output capture
+    // keeps only the last N chars, and round 4's full line lost its own
+    // head (total + q01..q39) to that truncation. Any tail capture that
+    // includes these two lines retains the headline numbers; parsers
+    // still take the first (full) line.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => f"$k=$v%.2f" }.mkString(",")
+    println(f"""{"trailer":"v1","total_sec":$total%.2f,"queries":${results.size},"sec_per_query":${total / results.size}%.3f,"slowest10":"$slowest"}""")
     spark.stop()
   }
 }

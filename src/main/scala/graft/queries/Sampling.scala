@@ -100,7 +100,11 @@ object Sampling {
   val temperatureMix = Q(
     "q94_temperature_mix",
     (s, d) => {
+      // NULL lang coalesced to 'unknown' (as q95 does): an equi-join on a
+      // raw nullable lang would silently drop null-language documents
+      // from the mix on both engines
       val docs = Tables.documents(s, d)
+        .withColumn("lang", coalesce(col("lang"), lit("unknown")))
       val quotas = docs.groupBy("lang")
         .agg(count(lit(1)).as("n_l"))
         .withColumn("quota", floor(sqrt(col("n_l"))).cast("long") * 3)
@@ -114,12 +118,13 @@ object Sampling {
         .where(col("rnk") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("n_l"), col("quota"), col("rnk"))
     },
-    Some("""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    Some("""WITH d AS (SELECT doc_id, coalesce(lang, 'unknown') AS lang FROM documents),
+            c AS (SELECT lang, count(*) AS n_l FROM d GROUP BY lang),
             r AS (SELECT doc_id, lang,
                          CAST(row_number() OVER (PARTITION BY lang
                                 ORDER BY md5(concat('mix|', doc_id)), doc_id) AS BIGINT)
                            AS rnk
-                  FROM documents)
+                  FROM d)
             SELECT r.doc_id, r.lang, CAST(c.n_l AS BIGINT) AS n_l,
                    CAST(floor(sqrt(c.n_l)) AS BIGINT) * 3 AS quota, r.rnk
             FROM r JOIN c USING (lang)

@@ -506,11 +506,15 @@ object Similarity {
       val probes = e.select(col("vec_id"), col("v"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
       val raw = CosineSimilarity(col("a.v"), col("b.v"))
+      // floor(x*1e6 + 0.5)/1e6, not round(): Spark round() is BigDecimal
+      // HALF_UP over the shortest repr, DuckDB's is x*10^d-then-round —
+      // a cosine on a 6-digit tie could flip the value or the >= cut in
+      // one engine only (q81's portable-rounding rule)
       probes.as("a")
         .join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(raw, 6).as("cos_sim"), raw.as("rawcos"))
+          (floor(raw * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos_sim"), raw.as("rawcos"))
         .where(!isnan(col("rawcos")) && abs(col("rawcos")) =!= Double.PositiveInfinity
           && col("cos_sim") >= NearDupThreshold)
         .drop("rawcos")
@@ -535,9 +539,9 @@ object Similarity {
                    list_cosine_similarity(a.v, b.v) AS rawcos
             FROM probes a JOIN bucketed b
               ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
-          SELECT vec_a, vec_b, round(rawcos, 6) AS cos_sim
+          SELECT vec_a, vec_b, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos_sim
           FROM pairs
-          WHERE isfinite(rawcos) AND round(rawcos, 6) >= $NearDupThreshold"""
+          WHERE isfinite(rawcos) AND floor(rawcos * 1e6 + 0.5) / 1e6 >= $NearDupThreshold"""
     }
   )
 

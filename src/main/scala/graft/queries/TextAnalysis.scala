@@ -419,7 +419,12 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"), raw.as("raw"))
         .select(col("doc_id"),
-          trim(regexp_replace(lower(graft.functions.NfcNormalize(col("raw"))), "\\s+", " "))
+          // explicit class, not \s: Java \s includes U+000B where RE2's
+          // does not — spell the byte set once so both engines collapse
+          // exactly the same whitespace (latent cross-engine hash hazard
+          // on dirtier corpora)
+          trim(regexp_replace(lower(graft.functions.NfcNormalize(col("raw"))),
+            "[ \\t\\n\\f\\r\\x0B]+", " "))
             .as("norm_text"))
         .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
     },
@@ -427,7 +432,7 @@ object TextAnalysis {
       val (_, rawSql) = dirtyText("doc_id")
       s"""WITH raw AS (SELECT doc_id, $rawSql AS raw FROM documents),
           norm AS (SELECT doc_id,
-                          trim(regexp_replace(lower(nfc_normalize(raw)), '\\s+', ' ', 'g'))
+                          trim(regexp_replace(lower(nfc_normalize(raw)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))
                             AS norm_text
                    FROM raw)
           SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
