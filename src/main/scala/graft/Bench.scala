@@ -76,10 +76,16 @@ object Bench {
     // plausible-looking zero-total benchmark
     require(names.nonEmpty,
       s"no queries selected (SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))})")
-    // untimed warmup: JVM + codegen + parquet footer caches
-    locally {
+    // untimed warmup: JVM + codegen + parquet footer caches. q99's
+    // one-time base-index build also belongs here — its timing contract
+    // is "incremental path only", and without a warmup execution the
+    // build would land inside rep 1's timed region (and be the whole
+    // number at SPARK_GRAFT_BENCH_REPS=1).
+    val warm = Seq(names.head) ++
+      names.find(_ == "q99_incremental_dedup").filter(_ != names.head)
+    warm.foreach { n =>
       val before = tempViews()
-      try materialize(names.head) catch { case _: Throwable => () }
+      try materialize(n) catch { case _: Throwable => () }
       cleanup(before)
     }
 
@@ -116,11 +122,13 @@ object Bench {
     // Compact trailer AFTER the full JSON: the driver's output capture
     // keeps only the last N chars, and round 4's full line lost its own
     // head (total + q01..q39) to that truncation. Any tail capture that
-    // includes these two lines retains the headline numbers; parsers
-    // still take the first (full) line.
+    // includes these two lines retains the headline numbers. The "# "
+    // prefix makes the trailer non-JSON, so a consumer that json-parses
+    // the whole stream or the last line still sees exactly ONE JSON
+    // object on stdout (the full line above).
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => f"$k=$v%.2f" }.mkString(",")
-    println(f"""{"trailer":"v1","total_sec":$total%.2f,"queries":${results.size},"sec_per_query":${total / results.size}%.3f,"slowest10":"$slowest"}""")
+    println(f"""# trailer v1 total_sec=$total%.2f queries=${results.size} sec_per_query=${total / results.size}%.3f slowest10=$slowest""")
     spark.stop()
   }
 }

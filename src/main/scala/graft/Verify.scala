@@ -18,6 +18,20 @@ object Verify {
     // iteration helper (mirrors Bench): restrict to a comma-separated
     // query subset; the driver never sets it, so its gate stays complete
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    // keep FILTERED runs self-consistent: a prior unfiltered run may have
+    // left other queries' parquet dirs in outDir; remove unselected
+    // registered-query dirs and (below) restrict oracle_sql.json to the
+    // selected subset, so a DuckDB compare over this outDir can never mix
+    // fresh and stale results
+    only.foreach { sel =>
+      SparkEntry.queries.keys.filterNot(sel.contains).foreach { name =>
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.delete(p); () })
+        }
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -40,6 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

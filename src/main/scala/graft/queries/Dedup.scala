@@ -614,7 +614,17 @@ object Dedup {
       }
 
       val b1Bands = bandRows(TextFns.wordGrams(docs.where(isBatch1), GramsN))
-      val pairs1 = verifiedPairs(b1Bands, baseBands, isBatch1)
+      // batch-1's verify join has TWO consumers (the inc1 anti-join and
+      // the output union) across SEPARATE actions, where exchange reuse
+      // can't help — materialize it ONCE to scratch and let both read the
+      // parquet back (an O(pairs) file, tiny next to the verify work it
+      // saves re-running). Schema is passed explicitly on read: an empty
+      // pairs1 (no batch-1 near-dups) may write zero part files.
+      val pairs1Computed = verifiedPairs(b1Bands, baseBands, isBatch1)
+      val pairs1Path = graft.sources.Sources.scratchLeaf(d, "minhash_pairs1")
+      pairs1Computed.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(pairs1Path)
+      val pairs1 = s.read.schema(pairs1Computed.schema).parquet(pairs1Path)
       // append accepted batch-1 bands to the store (an increment file —
       // O(delta), written fresh per execution because it IS the per-batch
       // work being measured, unlike the immutable base build above)
