@@ -26,7 +26,10 @@ final case class MediaFeatures(
 /** Multimodal-column suite: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by a typed `mapPartitions` pipeline.
   *
-  * The decode step is a STUB (no media codecs in this container): it
+  * q33's decode step is a STUB for formats the container has no codecs
+  * for (video/audio); the IMAGE path is real — PNG (lossless, byte-exact
+  * oracle) in q77/q87 and JPEG (lossy, tolerance-band spec) in q103,
+  * both via the JDK's `javax.imageio`. The stub: it
   * deterministically derives features from the raw bytes — byte count and
   * sum, base64 of the head, and a fake frame-sampler (16-byte "frames",
   * every 4th sampled). The Spark-side plumbing is real: binary-typed
@@ -289,6 +292,122 @@ object Multimodal {
             FROM vals GROUP BY doc_id, w, h""")
   )
 
+  /** Closed-form SMOOTH synthetic RGB image for the JPEG (lossy) path.
+    * Unlike `renderPng`'s per-pixel modular arithmetic (noise-like —
+    * fine for a lossless codec, hostile to DCT compression), this one is
+    * built from clamped linear gradients: the kind of low-frequency
+    * content JPEG is designed for, so a quality-0.8 encode stays within a
+    * tight, assertable error band. Integer closed form throughout — the
+    * tolerance spec recomputes it exactly.
+    */
+  private[graft] def jpegDims(id: Long): (Int, Int) =
+    (48 + (id % 3).toInt * 16, 32 + (id % 2).toInt * 16) // 48|64|80 × 32|48
+
+  private[graft] def jpegPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val base = (id % 64).toInt
+    val r = math.min(255, base + x * 3)
+    val g = math.min(255, base + y * 5)
+    val b = math.max(0, 255 - (x + y) * 2)
+    (r, g, b)
+  }
+
+  private def renderJpeg(id: Long,
+      writer: javax.imageio.ImageWriter,
+      param: javax.imageio.ImageWriteParam): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = jpegPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** q103 — JPEG LOSSY-codec image pipeline: the q77 shape (closed-form
+    * render → encode → decode → feature) through a real lossy codec
+    * (`javax.imageio` JPEG at explicit quality 0.8 — ships with the JDK).
+    *
+    * WHY NO HASH ORACLE IS POSSIBLE: a JPEG decode's exact pixel values
+    * are implementation-defined — the standard fixes the bitstream, not
+    * the IDCT rounding, so two conformant decoders (or two JDK versions)
+    * may differ by ±1 per sample. Byte-exact comparison (q77's PNG
+    * contract) is therefore unportable BY THE CODEC'S OWN SPEC. The
+    * correctness contract is instead rows-only at the driver (one feature
+    * row per document, like q19/q49's approximate sketches) plus a
+    * spec-bounded tolerance band (`JpegCodecSpec`): per-image mean
+    * absolute error and PSNR of the decoded pixels vs the pre-encode
+    * closed form, dims exact, compression real (jpeg_bytes < raw bytes),
+    * and in-JVM determinism (two runs, identical features).
+    *
+    * Each output row carries the error metrics themselves (`mae`, `psnr`)
+    * — at 100 TB the same columns feed codec-drift monitoring: a decoder
+    * regression shows up as a psnr distribution shift, no re-render
+    * needed. Scale shape matches q77: both stages `mapPartitions` (writer
+    * instance + its native buffers once per partition, not per image),
+    * payloads never shuffle, narrow projection out.
+    */
+  val jpegDecode = Q(
+    "q103_jpeg_decode",
+    (s, d) => {
+      import s.implicits._
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          // writer + explicit-quality param once per partition
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val param = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(0.8f)
+          it.map(id => (id, renderJpeg(id, writer, param)))
+        }
+      encoded.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var absErr = 0L; var sqErr = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val dr = (rgb >> 16) & 0xff
+              val dg = (rgb >> 8) & 0xff
+              val db = rgb & 0xff
+              sumR += dr; sumG += dg; sumB += db
+              val (er, eg, eb) = jpegPixel(id, x, y)
+              absErr += math.abs(dr - er) + math.abs(dg - eg) + math.abs(db - eb)
+              val d1 = dr - er; val d2 = dg - eg; val d3 = db - eb
+              sqErr += d1 * d1 + d2 * d2 + d3 * d3
+              x += 1
+            }
+            y += 1
+          }
+          val n = 3L * w * h
+          val mse = sqErr.toDouble / n
+          val psnr = if (mse == 0.0) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+          (id, w.toLong, h.toLong, bytes.length.toLong, 3L * w * h,
+            sumR, sumG, sumB, absErr.toDouble / n, psnr)
+        }
+      }.toDF("doc_id", "width", "height", "jpeg_bytes", "raw_bytes",
+        "sum_r", "sum_g", "sum_b", "mae", "psnr")
+    },
+    None // lossy codec: rows-only at the driver; tolerance band in JpegCodecSpec
+  )
+
   /** q87 — the BINARY-FILE source, the lake-native multimodal ingest
     * path: q77's generated PNGs are written as individual `.png` FILES
     * by the executors (one file per image, the layout a crawler or
@@ -360,5 +479,5 @@ object Multimodal {
     pngDecode.oracle // identical semantics: the file round-trip must not change a byte
   )
 
-  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode, binaryFiles)
+  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, binaryFiles)
 }
