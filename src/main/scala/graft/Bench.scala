@@ -85,7 +85,12 @@ object Bench {
       names.find(_ == "q99_incremental_dedup").filter(_ != names.head)
     warm.foreach { n =>
       val before = tempViews()
-      try materialize(n) catch { case _: Throwable => () }
+      // a warmup miss must be VISIBLE: if q99's untimed base-index build
+      // fails here, the build lands inside rep 1's timed region and the
+      // published number is skewed — silent catch would hide that
+      try materialize(n) catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
       cleanup(before)
     }
 

@@ -23,18 +23,29 @@ object Verify {
     // registered-query dirs and (below) restrict oracle_sql.json to the
     // selected subset, so a DuckDB compare over this outDir can never mix
     // fresh and stale results
-    only.foreach { sel =>
-      SparkEntry.queries.keys.filterNot(sel.contains).foreach { name =>
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { Files.delete(p); () })
-        }
+    // destructive cleanup is LOUD (each removed dir goes to stderr — a
+    // typo'd SPARK_GRAFT_VERIFY_ONLY destroying a full run's artifacts
+    // must be visible) and leak-free (the walk stream is closed)
+    def rmTree(name: String): Unit = {
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        System.err.println(s"[verify] removing stale $dir")
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.delete(p); () })
+        finally walk.close()
       }
+    }
+    only.foreach { sel =>
+      SparkEntry.queries.keys.filterNot(sel.contains).foreach(rmTree)
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // remove the prior result BEFORE running: a query that throws must
+        // leave an ABSENT dir (compare reports missing), never a stale one
+        // from an earlier run that the compare would score as this run's
+        rmTree(name)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

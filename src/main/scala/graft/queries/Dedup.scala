@@ -270,32 +270,83 @@ object Dedup {
     * cheaper exact-dedup path (q22) should have removed first.
     */
   private val SimhashHammingMax = 3
+
+  /** The exploded 15-bit chunk table behind q83/q104: one row per
+    * (doc, chunk index), keyed by the chunk's value for the bucket join.
+    */
+  private def simhashChunks(sig: org.apache.spark.sql.DataFrame) =
+    sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> named_struct('i', i, 'c', shiftright(simhash, 15 * i) & 32767))"))
+        .as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.i").as("i"), col("ch.c").as("c"))
+
+  /** Chunk-bucket join → exact Hamming verify, shared by q83 (complete)
+    * and q104 (df-capped chunk table).
+    */
+  private def simhashVerify(chunks: org.apache.spark.sql.DataFrame) = {
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.i") === col("b.i") && col("a.c") === col("b.c") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair can agree on several chunks
+    cand.select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= SimhashHammingMax)
+  }
+
   val simhashPairs = Q(
     "q83_simhash_pairs",
-    (s, d) => {
-      val sig = simhashSig(s, d)
-      val chunks = sig.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          "transform(sequence(0, 3), i -> named_struct('i', i, 'c', shiftright(simhash, 15 * i) & 32767))"))
-          .as("ch"))
-        .select(col("doc_id"), col("simhash"), col("ch.i").as("i"), col("ch.c").as("c"))
-      val cand = chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.i") === col("b.i") && col("a.c") === col("b.c") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-        .distinct() // a pair can agree on several chunks
-      cand.select(col("doc_a"), col("doc_b"),
-          expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
-        .where(col("hamming") <= SimhashHammingMax)
-    },
+    (s, d) => simhashVerify(simhashChunks(simhashSig(s, d))),
     Some(s"""WITH $sqlSimhashCtes,
              chunks AS (SELECT doc_id, simhash, i, (simhash >> (15 * i)) & 32767 AS c
                         FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) ii),
              cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              a.simhash AS sa, b.simhash AS sb
                       FROM chunks a JOIN chunks b
+                        ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashHammingMax""")
+  )
+
+  /** q104 — the PRODUCTION df-capped variant of q83 (q73 is the same
+    * move for q24): chunk buckets whose document frequency exceeds
+    * `MaxChunkDf` are DROPPED before the candidate join. A hot chunk
+    * value costs O(df²) candidate pairs — on a template-heavy corpus
+    * (every crawl is one) a single boilerplate-dominated bucket would
+    * quadratically dominate the whole job, which is exactly the skew
+    * that kills banded joins at 100 TB. The trade is explicit and
+    * documented: pairs whose ONLY agreeing chunks are hot buckets are
+    * missed — but df > cap means the doc agrees with `cap`+ others on
+    * that chunk, i.e. it is boilerplate that the cheaper exact path
+    * (q22/q89) should have removed first. Survivors still get the exact
+    * `bit_count(xor)` verify, so every emitted pair is a TRUE Hamming ≤
+    * 3 pair; `SimhashCapSpec` pins the skew behavior on a constructed
+    * template corpus (the hot bucket's quadratic pair set vanishes, a
+    * rare genuine near-dup pair survives).
+    */
+  private val MaxChunkDf = 50
+  val simhashPairsCapped = Q(
+    "q104_simhash_pairs_capped",
+    (s, d) => {
+      val chunks = simhashChunks(simhashSig(s, d))
+      val keptBuckets = chunks.groupBy("i", "c")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxChunkDf)
+        .select("i", "c")
+      simhashVerify(chunks.join(keptBuckets, Seq("i", "c")))
+    },
+    Some(s"""WITH $sqlSimhashCtes,
+             chunks AS (SELECT doc_id, simhash, i, (simhash >> (15 * i)) & 32767 AS c
+                        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) ii),
+             keptb AS (SELECT i, c FROM chunks GROUP BY i, c
+                       HAVING count(*) <= $MaxChunkDf),
+             kc AS (SELECT chunks.* FROM chunks JOIN keptb USING (i, c)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             a.simhash AS sa, b.simhash AS sb
+                      FROM kc a JOIN kc b
                         ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id)
              SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
              FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashHammingMax""")
@@ -567,6 +618,21 @@ object Dedup {
     * between q23's O(corpus) per crawl and an index lookup. Store paths
     * use the `Sources` scratch contract (per-JVM unique, shared FS on a
     * real cluster).
+    *
+    * RETENTION: three scratch artifacts with three lifetimes. The base
+    * index (`minhash_index_base`) is immutable and lives for the
+    * deployment — a real daily-crawl store compacts it with accumulated
+    * increments on a slow cadence (weekly), since band probes against
+    * many small increment files degrade to many-way unions. The
+    * increment (`minhash_index_inc1`) and verify cache
+    * (`minhash_pairs1`) are per-execution: both are `Overwrite`-mode, so
+    * re-runs self-clean rather than accumulate, and the scratch root's
+    * JVM-exit hook reclaims them (remote `SPARK_GRAFT_SCRATCH` URIs
+    * defer to the cluster's retention policy — `Sources.jvmScratch`); a real
+    * deployment instead rolls increments into the base at compaction and
+    * drops pair caches once the batch's report is published. Nothing
+    * here needs a TTL daemon: every artifact is either immutable,
+    * overwritten in place, or reclaimed at exit.
     */
   val incrementalDedup = Q(
     "q99_incremental_dedup",

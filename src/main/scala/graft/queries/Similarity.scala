@@ -209,85 +209,91 @@ object Similarity {
     u.toDouble / (1L << 32).toDouble - 0.5
   }
 
-  /** Sequential left-fold dot product of `v` against a literal vector —
-    * the summation ORDER matters for oracle parity: [[SeqDot]] (a native
-    * codegen'd expression — one fused loop, no per-element lambdas)
-    * accumulates index 0..63 strictly ascending, which the oracle
-    * mirrors with a list sum over the same index order, so both engines
-    * produce bit-identical doubles and the argmax assignment can never
-    * diverge.
-    */
-  private def seqDot(v: Column, lit64: Seq[Double]): Column =
-    SeqDot(v, typedLit(lit64))
-
   /** q63 — ANN via an IVF (inverted-file) coarse quantizer with LEARNED
     * centroids, the other classic ANN family next to LSH (q28/q62).
-    * Training is one deterministic Lloyd (k-means) step: a fixed-modulus
-    * sample (`vec_id % $IvfSampleMod`) is assigned to the hash-derived
-    * seed centroids, and each cell's refined centroid is the element-wise
-    * mean of its sample members folded in vec_id order — a strict fold,
-    * so the refined centroids (and therefore every downstream argmax
-    * assignment) are bit-identical in the DuckDB oracle. Cells with no
-    * sample keep their seed centroid. Learned centroids pull cell
-    * boundaries toward the data, which is what lets nprobe drop 3 → 2
-    * (recall ≥ 0.5 spec-asserted at the narrower probe).
+    * Training is `IvfLloydSteps` deterministic Lloyd (k-means) steps on
+    * ONE fixed-modulus sample (`vec_id % $IvfSampleMod`): each step
+    * assigns the sample to the previous step's centroids and replaces
+    * every non-empty cell's centroid with the element-wise mean of its
+    * members folded in vec_id order — a strict fold, so the refined
+    * centroids (and therefore every downstream argmax assignment) are
+    * bit-identical in the DuckDB oracle, whose CTE chain unrolls the
+    * same steps. Cells with no sample members carry the PREVIOUS step's
+    * centroid forward. Extra steps rebalance cell boundaries toward the
+    * data (training-sample quantization error is non-increasing per
+    * Lloyd's classic monotonicity argument, and `IvfLloydSpec` asserts
+    * the improvement is real on this corpus), which is what lets nprobe
+    * stay at 2 without recall loss.
     *
-    * Assignment stays ROW-LOCAL: the 8 refined centroids are aggregated
-    * into ONE array row, broadcast via crossJoin, and each vector sorts
-    * an 8-element struct array — no shuffle of the corpus, unlike a
-    * window formulation which would shuffle 8× the corpus. No distinct on
+    * Assignment stays ROW-LOCAL: the 8 current centroids are one array
+    * row, broadcast via crossJoin, and each vector sorts an 8-element
+    * struct array — no shuffle of the corpus, unlike a window
+    * formulation which would shuffle 8× the corpus. No distinct on
     * the scored pairs: cells partition the corpus, and the two probed
     * cells are distinct, so a neighbor can only ever match once (the LSH
     * variants keep their distinct — multi-probe XOR masks can genuinely
     * duplicate there). At 100 TB the sample is a bounded reservoir
-    * instead of a fixed rate, more Lloyd steps run on the (tiny) sample,
-    * and the cell-assigned corpus is written once as the inverted file,
-    * partitioned by cell (q76).
+    * instead of a fixed rate — each extra Lloyd step re-aggregates only
+    * the (tiny) sample, never the corpus, so step count is a pure
+    * quality dial — and the cell-assigned corpus is written once as the
+    * inverted file, partitioned by cell (q76).
     */
-  /** The 8 refined centroids as ONE broadcast-able array row: seed
-    * centroids → one deterministic Lloyd step over the fixed-modulus
-    * sample. Non-finite vectors (NaN/Inf elements exist in the corpus)
-    * are EXCLUDED from the sample on both engines: one NaN member would
-    * poison its cell's mean, and a corpus-wide mixed finite/NaN dot set
-    * is exactly where Spark's ascending `array_sort` (NaN last) and the
-    * oracle's `ORDER BY dt DESC` (NaN first in DuckDB) disagree — with
-    * only finite centroids, a vector's dots are either all finite or all
-    * NaN, and both engines break all-NaN ties identically by cell id.
+  private[graft] val IvfLloydSteps = 3
+
+  /** One Lloyd step: assign the sample to the given centroid row, mean
+    * per cell (vec_id-ordered fold), carry prior centroids for empty
+    * cells, re-aggregate to ONE (cell-sorted) array row.
     */
-  private def ivfCents(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val seeds = (0 until IvfCentroids)
-      .map(j => (0 until Dim).map(i => centComponent(j, i)))
-    // row-local argmax against the SEED centroids (literals) for the
-    // training sample's cell assignment
-    val sortedSeed = array_sort(array((0 until IvfCentroids).map { j =>
-      struct((-seqDot(col("v"), seeds(j))).as("nd"), lit(j).as("j"))
-    }: _*))
-    // one Lloyd step: element-wise mean per cell, folded in vec_id
-    // order (array_sort on the (vec_id, v) struct) so the sum — and
-    // thus the learned centroid — is a deterministic IEEE fold
-    val refined = vectors(s, d)
-      .where(col("vec_id") % IvfSampleMod === 0)
-      .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
-      .withColumn("cell", element_at(sortedSeed, 1)("j"))
+  private def lloydStep(sample: DataFrame, cents: DataFrame): DataFrame = {
+    val cells = array_sort(transform(col("cs"), sc =>
+      struct((-SeqDot(col("v"), sc.getField("c"))).as("nd"),
+        sc.getField("cell").as("j"))))
+    val refined = sample.crossJoin(broadcast(cents))
+      .withColumn("cell", element_at(cells, 1)("j"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
       .select(col("cell"), expr(
         s"""transform(sequence(1, $Dim), i ->
             aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v[i-1])
             / size(vs))""").as("c1"))
-    val seedDf = seeds.zipWithIndex.map { case (c, j) => (j, c) }.toDF("cell", "c0")
-    // all 8 centroids as ONE array row, keyed and sorted by cell id
-    seedDf.join(refined, Seq("cell"), "left")
+    cents.select(explode(col("cs")).as("sc"))
+      .select(col("sc")("cell").as("cell"), col("sc")("c").as("c0"))
+      .join(refined, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("c1"), col("c0")).as("c"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+  }
+
+  /** The 8 learned centroids as ONE broadcast-able array row: seed
+    * centroids → `steps` deterministic Lloyd steps over the fixed-
+    * modulus sample. Non-finite vectors (NaN/Inf elements exist in the
+    * corpus) are EXCLUDED from the sample on both engines: one NaN
+    * member would poison its cell's mean, and a corpus-wide mixed
+    * finite/NaN dot set is exactly where Spark's ascending `array_sort`
+    * (NaN last) and the oracle's `ORDER BY dt DESC` (NaN first in
+    * DuckDB) disagree — with only finite centroids, a vector's dots are
+    * either all finite or all NaN, and both engines break all-NaN ties
+    * identically by cell id. `steps` is exposed for `IvfLloydSpec`'s
+    * 1-step-vs-k-step comparison; queries use `IvfLloydSteps`.
+    */
+  private[graft] def ivfCents(s: SparkSession, d: String,
+      steps: Int = IvfLloydSteps): DataFrame = {
+    import s.implicits._
+    val seeds = (0 until IvfCentroids)
+      .map(j => (0 until Dim).map(i => centComponent(j, i)))
+    val seedRow = seeds.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell", "c")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+    val sample = vectors(s, d)
+      .where(col("vec_id") % IvfSampleMod === 0)
+      .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+    (1 to steps).foldLeft(seedRow)((c, _) => lloydStep(sample, c))
   }
 
   /** Every corpus vector with its sorted probe-cell array (`cells`) from
     * the given centroid row. Shared by q63 (in-flight assignment) and
     * q76 (materialized inverted file).
     */
-  private def ivfWithCells(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
+  private[graft] def ivfWithCells(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
     // native SeqDot inside the transform lambda: the 8 per-vector dots
     // against the (data-driven) centroid array each run as one fused
     // scalar loop instead of an interpreted aggregate(zip_with(...))
@@ -299,13 +305,13 @@ object Similarity {
       .drop("cs")
   }
 
-  private def ivfProbes(ev: DataFrame): DataFrame =
+  private[graft] def ivfProbes(ev: DataFrame): DataFrame =
     ev.where(col("vec_id") < 8)
       .select(col("vec_id"), col("v"),
         explode(slice(col("cells"), 1, IvfNProbe)).as("sc"))
       .select(col("vec_id"), col("v"), col("sc")("j").as("cell"))
 
-  private def ivfRank(probes: DataFrame, corpus: DataFrame): DataFrame = {
+  private[graft] def ivfRank(probes: DataFrame, corpus: DataFrame): DataFrame = {
     val scored = broadcast(probes).as("q")
       .join(corpus.as("x"),
         col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
@@ -316,46 +322,49 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
   }
 
-  val annIvf = Q(
-    "q63_ann_ivf",
-    (s, d) => {
-      val ev = ivfWithCells(s, d, ivfCents(s, d))
-      val e = ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
-      ivfRank(ivfProbes(ev), e)
-    },
-    Some(s"""WITH cent AS (
+  /** The q63/q76 oracle, with the Lloyd chain UNROLLED to `steps` CTEs —
+    * each step's `cent{t}` is the coalesced (refined | carried) centroid
+    * table computed from `cent{t-1}`, mirroring `lloydStep` exactly.
+    */
+  private def ivfOracle(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""sdots$t AS (
+              SELECT s.vec_id, s.v, c.j,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> s.v[i] * c.c[i]), 'sum') AS dt
+              FROM samp s, cent${t - 1} c),
+            sass$t AS (
+              SELECT vec_id, v, j AS cell FROM (
+                SELECT vec_id, v, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dt DESC, j ASC) AS r
+                FROM sdots$t) q
+              WHERE r = 1),
+            grp$t AS (SELECT cell, list(v ORDER BY vec_id) AS vs
+                      FROM sass$t GROUP BY cell),
+            ref$t AS (
+              SELECT cell, list_transform(generate_series(1, $Dim), i ->
+                       list_aggregate(list_transform(vs, x -> x[i]), 'sum') / len(vs)) AS c1
+              FROM grp$t),
+            cent$t AS (
+              SELECT p.j, coalesce(r.c1, p.c) AS c
+              FROM cent${t - 1} p LEFT JOIN ref$t r ON r.cell = p.j)"""
+    }.mkString(",\n            ")
+    s"""WITH cent0 AS (
               SELECT j, list_transform(generate_series(0, ${Dim - 1}),
                        i -> (('0x' || substr(md5(concat('c', j, ',', i)), 1, 8))::BIGINT
                              / 4294967296.0) - 0.5) AS c
               FROM (SELECT unnest(generate_series(0, ${IvfCentroids - 1})) AS j) js),
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            sdots AS (
-              SELECT s.vec_id, s.v, cent.j,
-                     list_aggregate(list_transform(generate_series(1, $Dim),
-                       i -> s.v[i] * cent.c[i]), 'sum') AS dt
-              FROM (SELECT vec_id, v FROM e
-                    WHERE vec_id % $IvfSampleMod = 0
-                      AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0) s, cent),
-            sass AS (
-              SELECT vec_id, v, j AS cell FROM (
-                SELECT vec_id, v, j,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dt DESC, j ASC) AS r
-                FROM sdots) t
-              WHERE r = 1),
-            grp AS (SELECT cell, list(v ORDER BY vec_id) AS vs FROM sass GROUP BY cell),
-            ref AS (
-              SELECT cell, list_transform(generate_series(1, $Dim), i ->
-                       list_aggregate(list_transform(vs, x -> x[i]), 'sum') / len(vs)) AS c1
-              FROM grp),
-            cents AS (
-              SELECT cent.j, coalesce(ref.c1, cent.c) AS c
-              FROM cent LEFT JOIN ref ON ref.cell = cent.j),
+            samp AS (SELECT vec_id, v FROM e
+                     WHERE vec_id % $IvfSampleMod = 0
+                       AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0),
+            $stepCtes,
             dots AS (
-              SELECT e.vec_id, e.v, cents.j,
+              SELECT e.vec_id, e.v, c.j,
                      list_aggregate(list_transform(generate_series(1, $Dim),
-                       i -> e.v[i] * cents.c[i]), 'sum') AS dt
-              FROM e, cents),
+                       i -> e.v[i] * c.c[i]), 'sum') AS dt
+              FROM e, cent$steps c),
             ranked AS (
               SELECT vec_id, v, j,
                      row_number() OVER (PARTITION BY vec_id
@@ -373,7 +382,17 @@ object Similarity {
               SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
                              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
               FROM scored) t
-            WHERE rnk <= 5""")
+            WHERE rnk <= 5"""
+  }
+
+  val annIvf = Q(
+    "q63_ann_ivf",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val e = ev.select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+      ivfRank(ivfProbes(ev), e)
+    },
+    Some(ivfOracle(IvfLloydSteps))
   )
 
   /** q76 — the MATERIALIZED inverted file: the cell-assigned corpus is
