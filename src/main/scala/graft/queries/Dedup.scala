@@ -264,10 +264,10 @@ object Dedup {
     * `bit_count(xor)` — a single codegen'd instruction (POPCNT) per
     * pair, portable to the oracle. Skew note: a template-heavy corpus
     * (like this synthetic one) concentrates docs into few chunk values;
-    * a hot chunk costs O(df²) candidates, so the production variant
-    * applies q73's df-cap to chunk buckets — docs agreeing with
-    * thousands of others on a chunk are boilerplate-near-dups that the
-    * cheaper exact-dedup path (q22) should have removed first.
+    * a hot chunk costs O(df²) candidates, so the PRODUCTION variant is
+    * q104 below — q73's df-cap applied to chunk buckets — while this
+    * complete variant is the small-scale oracle twin (the q24/q73
+    * relationship).
     */
   private val SimhashHammingMax = 3
 
@@ -749,6 +749,6 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
-      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs, segmentDedup,
-      incrementalDedup)
+      editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
+      simhashPairsCapped, segmentDedup, incrementalDedup)
 }

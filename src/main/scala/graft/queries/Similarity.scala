@@ -220,10 +220,12 @@ object Similarity {
     * bit-identical in the DuckDB oracle, whose CTE chain unrolls the
     * same steps. Cells with no sample members carry the PREVIOUS step's
     * centroid forward. Extra steps rebalance cell boundaries toward the
-    * data (training-sample quantization error is non-increasing per
-    * Lloyd's classic monotonicity argument, and `IvfLloydSpec` asserts
-    * the improvement is real on this corpus), which is what lets nprobe
-    * stay at 2 without recall loss.
+    * data — assignment here is by max DOT (maximum inner product, the
+    * quantity the probe ranking uses), so classic Lloyd SSE monotonicity
+    * doesn't formally apply; the improvement is asserted EMPIRICALLY
+    * instead (`IvfLloydSpec`: corpus cell-occupancy variance drops ~5×
+    * and nprobe=2 recall rises 0.525 → 0.650 going 1 → 3 steps), which
+    * is what lets nprobe stay at 2 without recall loss.
     *
     * Assignment stays ROW-LOCAL: the 8 current centroids are one array
     * row, broadcast via crossJoin, and each vector sorts an 8-element
