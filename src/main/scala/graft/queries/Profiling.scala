@@ -19,7 +19,8 @@ object Profiling {
     * — row-count work never repeats per column, where the naive
     * per-column loop would scan the table five times. At 100 TB the
     * exact distincts swap for `approx_count_distinct` (q19's HLL++
-    * sketch) and the Expand disappears; min/max/null counts are already
+    * sketch) and the Expand disappears — that variant is REGISTERED as
+    * q105 below; min/max/null counts are already
     * plain single-pass aggregates. Min/max surface as strings so one
     * schema covers every column type; numeric casts are engine-portable
     * (integer-to-string only).
@@ -56,5 +57,39 @@ object Profiling {
     }
   )
 
-  val all: Seq[Q] = Seq(profile)
+  /** q105 — the 100 TB variant q101's scaladoc promises: the SAME
+    * one-pass long-form profile with the exact count-distincts swapped
+    * for `approx_count_distinct` (HLL++, the q19 sketch). The Expand
+    * that exact multi-column DISTINCT needs disappears — every statistic
+    * is now a plain streaming aggregate, so the profile is one true scan
+    * with no row multiplication at any corpus size. Approximate by
+    * definition ⇒ rows-only at the driver (like q19/q49); the error is
+    * spec-bounded instead: `ProfilingHllSpec` checks every column's HLL
+    * estimate against q101's exact distinct within the sketch's
+    * documented accuracy (default rsd 5%, asserted at ≤ 15% for slack),
+    * and that the non-approximate columns (nulls/min/max/row count)
+    * remain EXACTLY equal to q101's.
+    */
+  val profileHll = Q(
+    "q105_profile_hll",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val aggs = Cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          approx_count_distinct(col(c)).as(s"dist_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      } :+ count(lit(1)).as("n_rows")
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      one.select(
+        expr(s"""stack(${Cols.size},
+                 ${Cols.map(c => s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")})
+                 AS (col_name, n_null, n_distinct_approx, min_str, max_str)"""),
+        col("n_rows"))
+    },
+    None // HLL estimates are engine-specific; bounds in ProfilingHllSpec
+  )
+
+  val all: Seq[Q] = Seq(profile, profileHll)
 }

@@ -187,6 +187,68 @@ class JobTrackerSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(probe)
   }
 
+  test("AQE late broadcast job: a COMPLETED ancestor stage keeps its counted status") {
+    // AQE re-optimization corner (round-4 carry-forward): after a map
+    // stage finishes, AQE may switch the join strategy and spawn a late
+    // broadcast-exchange collect job whose stageInfos list the ALREADY
+    // COMPLETED shuffle-map ancestor (shared lineage) next to the new
+    // collect stage. The ancestor predates the broadcast job, so
+    // putIfAbsent must lose and the ancestor keeps its MAP accounting;
+    // only the genuinely new collect stage becomes aux.
+    val t = new JobTracker
+    val mapStage = stageInfo(0, 4)
+    submit(t, mapStage)
+    (0 until 4).foreach(taskEnd(t, 0, _, taskType = "ShuffleMapTask"))
+    complete(t, mapStage)
+    assert(t.getJobState.stage === Stage.SHUFFLE)
+
+    // the late AQE broadcast job references ancestor 0 + fresh collect 1
+    val props = new java.util.Properties()
+    props.setProperty("spark.rdd.scope", """{"id":"7","name":"BroadcastExchange"}""")
+    val collectStage = stageInfo(1, 1)
+    t.onJobStart(org.apache.spark.scheduler.SparkListenerJobStart(
+      1, 0L, Seq(stageInfo(0, 4), collectStage), props))
+    submit(t, collectStage)
+    taskEnd(t, 1, 0) // the collect's ResultTask
+    complete(t, collectStage)
+    // aux: the collect must not flip the phase to REDUCE mid-shuffle
+    assert(t.getJobState.stage === Stage.SHUFFLE,
+      "late broadcast collect flipped the phase")
+
+    // the real result stage: its denominator must be ITS task count (2),
+    // not polluted by the aux collect's ResultTask (which would make 1/3
+    // or 2/3 here)
+    submit(t, stageInfo(2, 2))
+    taskEnd(t, 2, 0)
+    assert(t.getJobState === JobState(Stage.REDUCE, 50f),
+      "REDUCE denominator polluted by the aux collect stage")
+    taskEnd(t, 2, 1)
+    assert(t.getJobState === JobState(Stage.REDUCE, 100f))
+  }
+
+  test("AQE late broadcast job: a still-RUNNING ancestor keeps its MAP denominator") {
+    // Same corner with the ancestor mid-flight: if the broadcast job's
+    // putIfAbsent could steal the ancestor into aux, the MAP phase would
+    // lose its 4-task denominator and progress would freeze at 50%.
+    val t = new JobTracker
+    submit(t, stageInfo(0, 4))
+    taskEnd(t, 0, 0, taskType = "ShuffleMapTask")
+    taskEnd(t, 0, 1, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 50f))
+
+    val props = new java.util.Properties()
+    props.setProperty("spark.rdd.scope", """{"id":"9","name":"BroadcastExchange"}""")
+    t.onJobStart(org.apache.spark.scheduler.SparkListenerJobStart(
+      2, 0L, Seq(stageInfo(0, 4), stageInfo(3, 1)), props))
+
+    // ancestor still counted: 3/4, not stuck at 2/4 (or divided by zero)
+    taskEnd(t, 0, 2, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 75f),
+      "running ancestor lost its MAP denominator to the aux marking")
+    taskEnd(t, 0, 3, taskType = "ShuffleMapTask")
+    assert(t.getJobState === JobState(Stage.MAP, 100f))
+  }
+
   test("publication is monotonic under out-of-order updates (cpp:94-99)") {
     val t = new JobTracker
     t.markDone() // REDUCE 100%
