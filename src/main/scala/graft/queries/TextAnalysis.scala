@@ -287,9 +287,10 @@ object TextAnalysis {
     * the benchmark grams behave like a dimension (AQE broadcasts them at
     * any realistic benchmark size; no forced hint, same discipline as
     * q23/q24). A boilerplate 5-gram shared by everything would fan out
-    * like q24's hot shingle; the production variant applies q73's
-    * df-cap on the benchmark side — which also HELPS decontamination
-    * (ubiquitous grams are not evidence of benchmark leakage).
+    * like q24's hot shingle; the production variant (REGISTERED as
+    * q106 below) applies q73's corpus-wide df-cap — which also HELPS
+    * decontamination (ubiquitous grams are not evidence of benchmark
+    * leakage).
     */
   /** DuckDB CTEs producing the distinct word 5-grams `g5(doc_id, g)` —
     * shared by q82's oracle and q86's (the manifest must exclude exactly
@@ -320,6 +321,45 @@ object TextAnalysis {
                    count(*) AS n_shared
             FROM g5 t
             JOIN g5 b ON b.g = t.g AND b.doc_id % 101 = 0
+            WHERE t.doc_id % 101 <> 0
+            GROUP BY 1, 2""")
+  )
+
+  /** q106 — the PRODUCTION df-capped decontamination q82's scaladoc
+    * promises (the q73/q104 move, third member of the family): 5-grams
+    * occurring in more than `MaxGram5Df` documents corpus-wide are
+    * dropped BEFORE the train×bench join. Rationale is dual — cost: a
+    * hot gram costs O(df_train × df_bench) join pairs, the exact skew
+    * that melts the job on a template-heavy crawl; and QUALITY:
+    * ubiquitous boilerplate grams are not evidence of benchmark leakage,
+    * so capping them removes false-positive contamination flags, not
+    * signal. Genuinely leaked passages are by construction rare strings
+    * (df ≈ #leaks), far under any sane cap. `DecontamCapSpec` pins both
+    * halves on a constructed corpus: the hot-gram pair set vanishes, a
+    * real leaked passage's pair survives with its full shared-gram count.
+    */
+  private val MaxGram5Df = 50
+  val decontaminateCapped = Q(
+    "q106_decontaminate_capped",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), 5)
+      val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxGram5Df)
+        .select("g")
+      val fg = grams.join(kept, "g")
+      val bench = fg.where(col("doc_id") % 101 === 0)
+      val train = fg.where(col("doc_id") % 101 =!= 0)
+      train.as("t").join(bench.as("b"), col("t.g") === col("b.g"))
+        .groupBy(col("t.doc_id").as("train_doc"), col("b.doc_id").as("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""WITH $sqlG5Ctes,
+            keptg AS (SELECT g FROM g5 GROUP BY g HAVING count(*) <= $MaxGram5Df),
+            fg AS (SELECT g5.* FROM g5 JOIN keptg USING (g))
+            SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+                   count(*) AS n_shared
+            FROM fg t
+            JOIN fg b ON b.g = t.g AND b.doc_id % 101 = 0
             WHERE t.doc_id % 101 <> 0
             GROUP BY 1, 2""")
   )
@@ -547,5 +587,5 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
-      positionalIndex, vocabulary, normalize, piiRedact, bpePairs)
+      decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs)
 }
