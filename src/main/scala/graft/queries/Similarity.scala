@@ -570,7 +570,88 @@ object Similarity {
     }
   )
 
+  /** q107 — TRUNCATED-PREFIX prefilter + full-dimension rerank, the
+    * matryoshka-retrieval shape (prefix dimensions of an MRL-trained
+    * embedding carry most of the signal): stage 1 scores every corpus
+    * vector against each probe on only the FIRST `TruncDim` (32 of 64)
+    * dimensions — half the arithmetic and memory traffic per pair (the
+    * dial: MRL-trained embeddings concentrate signal in the prefix and
+    * tolerate far harsher truncation than the isotropic random vectors
+    * of this corpus, where 16/64 left recall at 0.15) — and keeps the
+    * top `RerankCand` candidates; stage 2 re-scores just those
+    * candidates with exact full-dimension cosine and emits the top 5.
+    *
+    * Entirely deterministic (unlike LSH/IVF there is no hash or learned
+    * stage), so it gets a FULL DuckDB oracle: both stages' ranks use the
+    * 6-digit-rounded score with vec_id tiebreak (the q27 discipline), and
+    * the truncated score is itself rounded before the stage-1 cutoff so
+    * the candidate SET is engine-portable even where the two engines'
+    * summation orders could flip a 1-ulp boundary at rank = RerankCand.
+    *
+    * Scale shape: stage 1 is the q27 broadcast-probe pattern (no corpus
+    * shuffle; the rank window shuffles only scored pairs, and at 100 TB
+    * the prefix scoring composes with the IVF/LSH block instead of the
+    * full corpus); stage 2 touches RerankCand × probes rows — bounded.
+    * `MatryoshkaSpec` asserts the rerank buys recall over
+    * truncated-only ranking and holds the q27 floor.
+    */
+  private val TruncDim = 32
+  private val RerankCand = 40
+
+  /** Stage-1 candidates: (probe_id, neighbor vec_id, v pair) ranked by
+    * truncated cosine. Exposed for `MatryoshkaSpec`'s truncated-only arm.
+    */
+  private[graft] def truncCandidates(s: SparkSession, d: String,
+      keep: Int): DataFrame = {
+    val e = vectors(s, d)
+    val probes = e.where(col("vec_id") < 8)
+    val scored = broadcast(probes).as("q")
+      .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+        col("q.v").as("qv"), col("x.v").as("xv"),
+        round(CosineSimilarity(slice(col("q.v"), 1, TruncDim),
+          slice(col("x.v"), 1, TruncDim)), 6).as("t_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("t_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("crnk", row_number().over(w)).where(col("crnk") <= keep)
+  }
+
+  val matryoshkaRerank = Q(
+    "q107_matryoshka_rerank",
+    (s, d) => {
+      val cand = truncCandidates(s, d, RerankCand)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(CosineSimilarity(col("qv"), col("xv")), 6).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            tscored AS (
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     q.v AS qv, x.v AS xv,
+                     round(list_cosine_similarity(q.v[1:$TruncDim], x.v[1:$TruncDim]), 6)
+                       AS t_sim
+              FROM e q JOIN e x ON x.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+            cand AS (
+              SELECT probe_id, neighbor_id, qv, xv FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY t_sim DESC, neighbor_id ASC) AS crnk
+                FROM tscored) t
+              WHERE crnk <= $RerankCand),
+            rescored AS (
+              SELECT probe_id, neighbor_id,
+                     round(list_cosine_similarity(qv, xv), 6) AS cos_sim
+              FROM cand)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+              FROM rescored) t
+            WHERE rnk <= 5""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup)
+      embedLshNearDup, matryoshkaRerank)
 }
