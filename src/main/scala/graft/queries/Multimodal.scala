@@ -26,10 +26,12 @@ final case class MediaFeatures(
 /** Multimodal-column suite: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by a typed `mapPartitions` pipeline.
   *
-  * q33's decode step is a STUB for formats the container has no codecs
-  * for (video/audio); the IMAGE path is real — PNG (lossless, byte-exact
-  * oracle) in q77/q87 and JPEG (lossy, tolerance-band spec) in q103,
-  * both via the JDK's `javax.imageio`. The stub: it
+  * q33's decode step is a STUB only for VIDEO (the JDK ships no video
+  * codec); the image path is real — PNG (lossless, byte-exact oracle)
+  * in q77/q87 and JPEG (lossy, tolerance-band spec) in q103 via
+  * `javax.imageio` — and the audio path is real too: WAV/PCM
+  * (lossless, byte-exact oracle) in q108 via `javax.sound.sampled`.
+  * The stub: it
   * deterministically derives features from the raw bytes — byte count and
   * sum, base64 of the head, and a fake frame-sampler (16-byte "frames",
   * every 4th sampled). The Spark-side plumbing is real: binary-typed
@@ -408,6 +410,97 @@ object Multimodal {
     None // lossy codec: rows-only at the driver; tolerance band in JpegCodecSpec
   )
 
+  /** Closed-form 16-bit PCM waveform for `doc_id`: integer samples in
+    * [-1000, 1000], length varying per doc. Pure integer arithmetic so
+    * the DuckDB oracle recomputes every sample exactly.
+    */
+  private[graft] def wavSamples(id: Long): Array[Short] = {
+    val n = 800 + (id % 5).toInt * 80
+    Array.tabulate(n)(i => (((id * 7 + i.toLong * 13) % 2001) - 1000).toShort)
+  }
+
+  /** q108 — REAL-codec AUDIO pipeline, the WAV/PCM analogue of q77's
+    * PNG path (`javax.sound.sampled` ships with the JDK — no external
+    * media libs): each document becomes a closed-form 16-bit mono PCM
+    * waveform, WAV-encoded inside `mapPartitions` into a binary payload,
+    * then DECODED back through `AudioSystem` and reduced to integer
+    * features plus an md5 fingerprint of the decimal sample string. WAV
+    * is a lossless CONTAINER around raw PCM, so the decoded samples must
+    * equal the closed form EXACTLY — DuckDB (no audio support) oracles a
+    * real audio codec byte-for-byte by recomputing the waveform in SQL,
+    * the q77 trick. Any codec bug — endianness, sign convention, frame
+    * size, header misparse — breaks the hash. (Video remains the one
+    * stubbed modality in q33: the JDK ships no video codec.)
+    *
+    * Scale shape matches q77/q103: both stages `mapPartitions` (format
+    * objects and stream plumbing once per partition), payloads never
+    * shuffle, narrow projection out.
+    */
+  val wavAudio = Q(
+    "q108_wav_audio",
+    (s, d) => {
+      import s.implicits._
+      val fmt = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val format = fmt()
+          it.map { id =>
+            val samples = wavSamples(id)
+            val pcm = new Array[Byte](samples.length * 2)
+            var i = 0
+            while (i < samples.length) { // little-endian 16-bit
+              pcm(2 * i) = (samples(i) & 0xff).toByte
+              pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), format, samples.length.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }
+      encoded.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val samples = Array.tabulate(n) { i =>
+            (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          }
+          var sum = 0L; var sumAbs = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          samples.foreach { v =>
+            sum += v; sumAbs += math.abs(v.toLong)
+            mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
+          }
+          md.reset()
+          val fp = md.digest(samples.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, n.toLong, sum, sumAbs, mn, mx, fp)
+        }
+      }.toDF("doc_id", "n_samples", "sum_s", "sum_abs", "min_s", "max_s", "sample_fp")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+            smp AS (
+              SELECT doc_id, i,
+                     ((doc_id * 7 + i * 13) % 2001) - 1000 AS s
+              FROM (SELECT doc_id, n, unnest(generate_series(0, CAST(n AS INT) - 1)) AS i
+                    FROM dims) t)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(s) AS BIGINT) AS sum_s,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(min(s) AS BIGINT) AS min_s,
+                   CAST(max(s) AS BIGINT) AS max_s,
+                   md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS sample_fp
+            FROM smp GROUP BY doc_id""")
+  )
+
   /** q87 — the BINARY-FILE source, the lake-native multimodal ingest
     * path: q77's generated PNGs are written as individual `.png` FILES
     * by the executors (one file per image, the layout a crawler or
@@ -479,5 +572,6 @@ object Multimodal {
     pngDecode.oracle // identical semantics: the file round-trip must not change a byte
   )
 
-  val all: Seq[Q] = Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, binaryFiles)
+  val all: Seq[Q] =
+    Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, binaryFiles)
 }
