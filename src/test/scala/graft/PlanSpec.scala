@@ -175,6 +175,31 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles === 1, s"expected exactly 1 shuffle, saw $shuffles: ${p.take(2000)}")
   }
 
+  test("q104/q106: df-cap relations carry no forced broadcast hints (q23/q24 discipline)") {
+    // The kept-buckets/kept-grams relations are O(distinct keys) — small
+    // here, corpus-shaped in the worst case; forcing a broadcast would
+    // OOM at 100 TB. AQE may still choose one at runtime.
+    for (q <- Seq("q104_simhash_pairs_capped", "q106_decontaminate_capped")) {
+      val analyzed = SparkEntry.queries(q)(spark, d).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), s"$q carries a broadcast hint")
+    }
+  }
+
+  test("q103/q108: codec pipelines are pure per-partition chains (no shuffle)") {
+    // encode → decode → features never moves a payload byte between
+    // partitions; an Exchange here means media bytes on the wire
+    for (q <- Seq("q103_jpeg_decode", "q108_wav_audio")) {
+      assert(!plan(q).contains("Exchange"), s"$q shuffles its payloads")
+    }
+  }
+
+  test("q107: rerank scores through the native cosine expression, probe side broadcast") {
+    val p = plan("q107_matryoshka_rerank")
+    assert(p.contains("cosine_similarity"), "native CosineSimilarity missing from q107")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "q107 stage 1 should broadcast the probe side, never shuffle the corpus")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
