@@ -23,13 +23,15 @@ object Verify {
     // registered-query dirs and (below) restrict oracle_sql.json to the
     // selected subset, so a DuckDB compare over this outDir can never mix
     // fresh and stale results
-    // destructive cleanup is LOUD (each removed dir goes to stderr — a
+    // only-filter cleanup is LOUD (each removed dir goes to stderr — a
     // typo'd SPARK_GRAFT_VERIFY_ONLY destroying a full run's artifacts
-    // must be visible) and leak-free (the walk stream is closed)
-    def rmTree(name: String): Unit = {
+    // must be visible); the routine pre-run removal below is silent, or
+    // ~108 identical lines would drown exactly that signal. Both are
+    // leak-free (the walk stream is closed).
+    def rmTree(name: String, loud: Boolean): Unit = {
       val dir = Paths.get(s"$outDir/$name")
       if (Files.exists(dir)) {
-        System.err.println(s"[verify] removing stale $dir")
+        if (loud) System.err.println(s"[verify] removing unselected $dir")
         val walk = Files.walk(dir)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { Files.delete(p); () })
@@ -37,7 +39,7 @@ object Verify {
       }
     }
     only.foreach { sel =>
-      SparkEntry.queries.keys.filterNot(sel.contains).foreach(rmTree)
+      SparkEntry.queries.keys.filterNot(sel.contains).foreach(rmTree(_, loud = true))
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -45,7 +47,7 @@ object Verify {
         // remove the prior result BEFORE running: a query that throws must
         // leave an ABSENT dir (compare reports missing), never a stale one
         // from an earlier run that the compare would score as this run's
-        rmTree(name)
+        rmTree(name, loud = false)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -326,6 +326,17 @@ object Dedup {
     * 3 pair; `SimhashCapSpec` pins the skew behavior on a constructed
     * template corpus (the hot bucket's quadratic pair set vanishes, a
     * rare genuine near-dup pair survives).
+    *
+    * SCALE DIAL: 50 is calibrated to the test scale factors, where it
+    * already exceeds every honest bucket's df. Boilerplate is
+    * RELATIVE-common — a template chunk's df grows linearly with the
+    * corpus — so the production setting is corpus-relative,
+    * `max(50, ppm × N_docs)` (e.g. 10 ppm ⇒ df ≤ 20k at 2B docs): an
+    * absolute cap at 100 TB would keep only near-unique chunks and
+    * silently drop most genuine near-dup candidates. The constant stays
+    * absolute here because the oracle SQL inlines it; the dial's
+    * structure (one df aggregate, one semi-join) is unchanged by the
+    * threshold's form.
     */
   private val MaxChunkDf = 50
   val simhashPairsCapped = Q(
@@ -420,6 +431,12 @@ object Dedup {
     * dominate the whole job). Jaccard is computed consistently over the
     * FILTERED shingle space on both sides, so the oracle stays exact.
     * q24 (uncapped) remains the small-scale oracle twin of q23.
+    *
+    * SCALE DIAL: same rationale as q104's `MaxChunkDf` — boilerplate
+    * shingles are relative-common, so production wants the
+    * corpus-relative form `max(50, ppm × N_docs)`; an absolute 50 over
+    * 100 TB would prune all but near-unique shingles and gut Jaccard's
+    * denominator. Absolute here because the oracle inlines the constant.
     */
   private val MaxShingleDf = 50
   val ngramJaccardCapped = Q(

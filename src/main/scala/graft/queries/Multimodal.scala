@@ -372,7 +372,20 @@ object Multimodal {
           val param = writer.getDefaultWriteParam
           param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
           param.setCompressionQuality(0.8f)
-          it.map(id => (id, renderJpeg(id, writer, param)))
+          // completion-aware wrapper: dispose() the writer's native
+          // ImageIO resources when the partition drains, instead of
+          // leaving them to GC finalization (per-partition teardown is
+          // the other half of the per-partition setup discipline)
+          val base = it.map(id => (id, renderJpeg(id, writer, param)))
+          new Iterator[(Long, Array[Byte])] {
+            private var disposed = false
+            def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h && !disposed) { disposed = true; writer.dispose() }
+              h
+            }
+            def next(): (Long, Array[Byte]) = base.next()
+          }
         }
       encoded.mapPartitions { it =>
         it.map { case (id, bytes) =>

@@ -276,6 +276,13 @@ object Similarity {
     * either all finite or all NaN, and both engines break all-NaN ties
     * identically by cell id. `steps` is exposed for `IvfLloydSpec`'s
     * 1-step-vs-k-step comparison; queries use `IvfLloydSteps`.
+    *
+    * NOTE (construction-time side effect): the bounded collect below
+    * runs the full Lloyd chain as Spark jobs when the DataFrame is
+    * BUILT, not when it is executed — so merely constructing a q63/q76
+    * plan (PlanSpec's queryExecution inspection, dry-run tooling)
+    * triggers those jobs. Accepted trade: it dedups the k-step build
+    * across every consumer subtree and across q76's two actions.
     */
   private[graft] def ivfCents(s: SparkSession, d: String,
       steps: Int = IvfLloydSteps): DataFrame = {

@@ -337,6 +337,18 @@ object TextAnalysis {
     * (df ≈ #leaks), far under any sane cap. `DecontamCapSpec` pins both
     * halves on a constructed corpus: the hot-gram pair set vanishes, a
     * real leaked passage's pair survives with its full shared-gram count.
+    *
+    * SCALE DIAL: unlike the dedup caps (q73/q104, whose boilerplate
+    * target is RELATIVE-common and wants `ppm × N_docs`), leak evidence
+    * is ABSOLUTE-rare — a leaked benchmark passage's grams have
+    * df ≈ #leaked copies, independent of corpus size — so an absolute
+    * cap is the right production semantics for the QUALITY half. The
+    * cap must only exceed plausible leak multiplicity (a passage copied
+    * into tens of training docs must stay under it); 50 does. The COST
+    * half (join skew) is also bounded: worst case per surviving gram is
+    * 50 × 50 pairs. Production keeps the absolute form and monitors the
+    * dropped-gram count — a rising drop rate means boilerplate the
+    * exact-dedup passes (q22/q89) should have removed upstream.
     */
   private val MaxGram5Df = 50
   val decontaminateCapped = Q(

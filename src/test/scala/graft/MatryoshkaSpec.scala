@@ -21,7 +21,7 @@ class MatryoshkaSpec extends AnyFunSuite {
   test("q107: full-dim rerank recovers recall the truncated ranking loses") {
     val exact = pairs(SparkEntry.queries("q27_cosine_topk")(spark, d)
       .where(col("rnk") <= 5))
-    // arm 1: trust the 16-dim prefix ranking outright (top-5 direct)
+    // arm 1: trust the 32-dim prefix ranking outright (top-5 direct)
     val truncOnly = pairs(queries.Similarity.truncCandidates(spark, d, 5)
       .select(col("probe_id"), col("neighbor_id")))
     // arm 2: the registered two-stage query
