@@ -339,11 +339,15 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
   }
 
-  /** The q63/q76 oracle, with the Lloyd chain UNROLLED to `steps` CTEs —
-    * each step's `cent{t}` is the coalesced (refined | carried) centroid
-    * table computed from `cent{t-1}`, mirroring `lloydStep` exactly.
+  /** The q63/q76/q109 oracle CTE prefix, with the Lloyd chain UNROLLED
+    * to `steps` CTEs — each step's `cent{t}` is the coalesced
+    * (refined | carried) centroid table computed from `cent{t-1}`,
+    * mirroring `lloydStep` exactly — ending at `assigned` (the
+    * cell-assigned corpus) and `probes` (each probe's `IvfNProbe`
+    * cells). Shared so the blocked-matryoshka composition (q109) can
+    * never drift from q63's cell assignment.
     */
-  private def ivfOracle(steps: Int): String = {
+  private def ivfOracleCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""sdots$t AS (
               SELECT s.vec_id, s.v, c.j,
@@ -389,7 +393,11 @@ object Similarity {
               FROM dots),
             assigned AS (SELECT vec_id, v, j AS cell FROM ranked WHERE r = 1),
             probes AS (SELECT vec_id, v, j AS cell FROM ranked
-                       WHERE r <= $IvfNProbe AND vec_id < 8),
+                       WHERE r <= $IvfNProbe AND vec_id < 8)"""
+  }
+
+  private def ivfOracle(steps: Int): String =
+    s"""${ivfOracleCtes(steps)},
             scored AS (
               SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
@@ -400,7 +408,6 @@ object Similarity {
                              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
               FROM scored) t
             WHERE rnk <= 5"""
-  }
 
   val annIvf = Q(
     "q63_ann_ivf",
@@ -596,9 +603,10 @@ object Similarity {
     * summation orders could flip a 1-ulp boundary at rank = RerankCand.
     *
     * Scale shape: stage 1 is the q27 broadcast-probe pattern (no corpus
-    * shuffle; the rank window shuffles only scored pairs, and at 100 TB
-    * the prefix scoring composes with the IVF/LSH block instead of the
-    * full corpus); stage 2 touches RerankCand × probes rows — bounded.
+    * shuffle; the rank window shuffles only scored pairs; at 100 TB the
+    * prefix scoring composes with the IVF block instead of the full
+    * corpus — REGISTERED as q109 below, with its own full oracle);
+    * stage 2 touches RerankCand × probes rows — bounded.
     * `MatryoshkaSpec` asserts the rerank buys recall over
     * truncated-only ranking and holds the q27 floor.
     */
@@ -658,7 +666,83 @@ object Similarity {
             WHERE rnk <= 5""")
   )
 
+  /** q109 — the SCALE-TRUE matryoshka: q107's two-stage prefix/rerank
+    * composed with q63's IVF blocking, the composition q107's scaladoc
+    * promises for 100 TB. Stage 0 probes the learned IVF cells (q63's
+    * centroids, assignment, and nprobe — shared code AND shared oracle
+    * CTEs, so the blocking can never drift from q63); stage 1 scores the
+    * 32-of-64-dim truncated cosine ONLY against vectors in the probed
+    * cells (where q107 scores the whole corpus); stage 2 re-scores the
+    * surviving top `RerankCand` with exact full-dimension cosine and
+    * emits the top 5.
+    *
+    * Every stage is deterministic (learned centroids are bit-exact, the
+    * prefix/rerank ranks use rounded scores with id tiebreaks), so
+    * unlike most ANN pipelines the FULL composition has a DuckDB hash
+    * oracle. `MatryoshkaSpec` asserts the recall band vs plain q107 and
+    * the ANN floor; PlanSpec pins that stage 1's scoring join is KEYED
+    * by cell (a broadcast hash join, never the full-corpus
+    * nested-loop join q107 uses).
+    *
+    * Scale shape: the corpus is touched once for cell assignment
+    * (row-local argmax, no shuffle), the scoring join reads `nprobe/k`
+    * of it (with q76's inverted file: only the probed cells'
+    * partitions), prefix scoring halves the arithmetic per surviving
+    * pair, and the rerank touches `RerankCand × probes` rows — each
+    * multiplier bounded, nothing O(corpus) beyond the one narrow
+    * assignment pass.
+    */
+  val matryoshkaIvf = Q(
+    "q109_matryoshka_ivf",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      // cells partition the corpus and the probed cells are distinct, so
+      // a neighbor matches at most once — no dedup pass (q63's argument)
+      val scored = broadcast(ivfProbes(ev)).as("q")
+        .join(corpus.as("x"),
+          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          col("q.v").as("qv"), col("x.v").as("xv"),
+          round(CosineSimilarity(slice(col("q.v"), 1, TruncDim),
+            slice(col("x.v"), 1, TruncDim)), 6).as("t_sim"))
+      val w1 = Window.partitionBy("probe_id")
+        .orderBy(col("t_sim").desc, col("neighbor_id").asc)
+      val cand = scored.withColumn("crnk", row_number().over(w1))
+        .where(col("crnk") <= RerankCand)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(CosineSimilarity(col("qv"), col("xv")), 6).as("cos_sim"))
+      val w2 = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rnk", row_number().over(w2).cast("long")).where(col("rnk") <= 5)
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            tscored AS (
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     q.v AS qv, x.v AS xv,
+                     round(list_cosine_similarity(q.v[1:$TruncDim], x.v[1:$TruncDim]), 6)
+                       AS t_sim
+              FROM probes q JOIN assigned x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id),
+            cand AS (
+              SELECT probe_id, neighbor_id, qv, xv FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY t_sim DESC, neighbor_id ASC) AS crnk
+                FROM tscored) t
+              WHERE crnk <= $RerankCand),
+            rescored AS (
+              SELECT probe_id, neighbor_id,
+                     round(list_cosine_similarity(qv, xv), 6) AS cos_sim
+              FROM cand)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+              FROM rescored) t
+            WHERE rnk <= 5""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup, matryoshkaRerank)
+      embedLshNearDup, matryoshkaRerank, matryoshkaIvf)
 }

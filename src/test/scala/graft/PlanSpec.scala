@@ -200,6 +200,21 @@ class PlanSpec extends AnyFunSuite {
       "q107 stage 1 should broadcast the probe side, never shuffle the corpus")
   }
 
+  test("q109: stage-1 scoring join is keyed by the IVF cell (no full-corpus scoring)") {
+    // The scale-true composition: prefix scoring must run only within
+    // probed cells — a hash join keyed by cell. q107's full-corpus
+    // BroadcastNestedLoopJoin shape appearing on the SCORING path would
+    // mean the blocking silently fell away. (The bounded 8-cell centroid
+    // mount is itself a broadcast nested-loop crossJoin — that one
+    // carries no join condition on vec_id, so the scoring join is
+    // identified by its cell key.)
+    val p = plan("q109_matryoshka_ivf")
+    assert(p.contains("cosine_similarity"), "native CosineSimilarity missing from q109")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell")),
+      s"stage-1 scoring join not keyed by cell: ${p.take(3000)}")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
