@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.TextFns
+import graft.functions.{ScoredId, TextFns, TopKAggregator}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: token counting, language-ID
@@ -597,7 +597,95 @@ object TextAnalysis {
             ORDER BY cnt DESC, pair LIMIT 50""")
   )
 
+  /** q113 — BM25 RANKED RETRIEVAL over the inverted-index statistics,
+    * the consumer q84's postings exist for (RAG curation / quality
+    * retrieval runs this shape weekly): a deterministic query set of
+    * RARE word 2-grams (df ≥ 3, 8 rarest by (df, gram) — rare-term
+    * queries are where BM25's idf actually discriminates) scored with
+    * Okapi BM25 (k1 = 1.2, b = 0.75, the Lucene-style +1 idf so scores
+    * stay positive) over per-doc gram frequency and document length.
+    * The tf/df relations are exactly q84's posting statistics at bigram
+    * granularity; dl is the per-doc token-pair count.
+    *
+    * Top-10 per query goes through the bounded `TopKAggregator` (q60's
+    * discipline): partial aggregation keeps 10 entries per query × map
+    * task, so the shuffle carries the ANSWER, never the scored corpus —
+    * a window rank here would shuffle every scored posting at 100 TB
+    * (PlanSpec-gated: no Window). The query-gram selection itself is
+    * orderBy+limit → TakeOrderedAndProject (q85's discipline). The only
+    * forced broadcasts are BOUNDED relations: the 8-row query set and
+    * the 1-row corpus stats; the posting-shaped tf/dl join stays
+    * AQE-decided.
+    *
+    * Exact arithmetic discipline: tf/df/dl are integers, both engines
+    * evaluate the identical IEEE op sequence, and the score is rounded
+    * to 6 digits before ranking with a doc_id tiebreak (ln is
+    * libm-dependent — q46's rule), so the full result has a hash oracle.
+    */
+  val bm25 = Q(
+    "q113_bm25",
+    (s, d) => {
+      import s.implicits._
+      val grams2 = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+          .as("g"))
+      val tf = grams2.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dl = grams2.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val qgrams = dfreq.where(col("df") >= 3)
+        .orderBy(col("df").asc, col("g").asc).limit(8)
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val denom = col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      val scored = tf.join(broadcast(qgrams), "g")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("g"), col("doc_id"),
+          round(idf * col("tf") * lit(2.2) / denom, 6).as("score"))
+        .as[(String, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues { case (_, id, sc) => ScoredId(id, sc) }
+        .agg(new TopKAggregator(10).toColumn.name("topk"))
+        .flatMap { case (g, topk) =>
+          topk.iterator.zipWithIndex.map { case (sid, i) =>
+            (g, sid.id, sid.score, (i + 1).toLong)
+          }
+        }
+        .toDF("g", "doc_id", "score", "rnk")
+    },
+    Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                         FROM t0 WHERE len(ws) >= 2) t),
+            tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM g2 GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM g2 GROUP BY 1),
+            dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            qg AS (SELECT g, df FROM dfreq WHERE df >= 3 ORDER BY df, g LIMIT 8),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+            scored AS (
+              SELECT q.g, tf.doc_id,
+                     round(ln((CAST(n_docs AS DOUBLE) - q.df + 0.5)
+                              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS score
+              FROM tf JOIN qg q USING (g) JOIN dl USING (doc_id) CROSS JOIN stats)
+            SELECT g, doc_id, score, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY g
+                             ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+              FROM scored) t
+            WHERE rnk <= 10""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
-      decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs)
+      decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
+      bm25)
 }

@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite {
       s"stage-1 scoring join not keyed by cell: ${p.take(3000)}")
   }
 
+  test("q113: BM25 top-k is the bounded aggregator, never a window over scored postings") {
+    // a window rank here would shuffle every scored posting row; the
+    // TopKAggregator shuffles 10 rows per query × task — the answer,
+    // not the corpus
+    val p = plan("q113_bm25")
+    assert(!p.contains("Window"), s"window rank in q113: ${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "query-gram selection should compile to TakeOrderedAndProject (orderBy+limit)")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
