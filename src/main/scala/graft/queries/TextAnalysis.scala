@@ -567,34 +567,212 @@ object TextAnalysis {
     * map-side combined). Top-50 via orderBy+limit compiles to
     * TakeOrderedAndProject (per-task top-k, q85's discipline).
     */
+  /** The corpus-wide (pair, cnt) table behind q100 and q112's merge
+    * list: adjacent char pairs over the DISTINCT-word table × word
+    * frequency. Exactly ONE copy of this pipeline may exist — q112
+    * applies the top of the ranking q100 reports, and a drifted twin
+    * would silently decouple them.
+    */
+  private def bpePairCounts(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val words = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .where(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("cnt"))
+  }
+
+  /** DuckDB twin of [[bpePairCounts]] — `bwords(w, freq)` and
+    * `bpairs(pair, freq)` CTEs shared by the q100 and q112 oracles.
+    */
+  private[graft] val sqlBpeCtes =
+    """bwords AS (
+         SELECT w, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE w <> '' GROUP BY w),
+       bpairs AS (
+         SELECT substr(w, i, 2) AS pair, freq
+         FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+               FROM bwords WHERE length(w) >= 2) t)"""
+
   val bpePairs = Q(
     "q100_bpe_pairs",
+    (s, d) =>
+      bpePairCounts(s, d)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(50),
+    Some(s"""WITH $sqlBpeCtes
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM bpairs GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 50""")
+  )
+
+  private val BpeMergeK = 8
+  private val Sep = "\u0001" // symbol boundary inside an encoded word
+  private val WSep = "\u0002" // word boundary inside a doc fingerprint
+
+  /** One greedy merge pass per learned pair, in rank order — the
+    * reference BPE-apply loop: scan the symbol sequence left to right;
+    * where (syms(i), syms(i+1)) equals the pair, fuse and continue
+    * PAST the fused token (non-overlapping), so a run of k identical
+    * adjacencies merges ⌈k/2⌉ times. Later merges see earlier merges'
+    * multi-char symbols and only match SINGLE-char adjacencies of their
+    * own pair — merges never split a symbol.
+    */
+  private[graft] def encodeSyms(syms0: Array[String], merges: Seq[String]): Array[String] = {
+    var syms = syms0
+    for (m <- merges) {
+      val a = m.substring(0, 1)
+      val b = m.substring(1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += m; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+    }
+    syms
+  }
+
+  /** `w` split to chars, encoded through [[encodeSyms]], symbols joined
+    * by [[Sep]].
+    */
+  private[graft] def encodeWord(w: String, merges: Seq[String]): String =
+    encodeSyms(w.map(_.toString).toArray, merges).mkString(Sep)
+
+  /** The top-`k` merge pairs by (cnt desc, pair asc) — q100's ranking,
+    * truncated. BOUNDED construction-time collect (k strings; the
+    * orderBy+limit is TakeOrderedAndProject), the ivfCents trade: the
+    * merge list must reach a Scala fold, and k is a tokenizer
+    * hyperparameter, never corpus-sized.
+    */
+  private[graft] def topMerges(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): Seq[String] =
+    bpePairCounts(s, d)
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .select("pair").collect().map(_.getString(0)).toSeq
+
+  /** One unrolled merge step `t` of the q112 oracle: apply merge rank
+    * `t`'s pair to every word's symbol list via the run-parity
+    * formulation of the greedy pass — a match at position i is taken
+    * iff it sits at an ODD offset within its maximal run of consecutive
+    * matches (greedy takes the 1st, skips the overlapping 2nd, takes
+    * the 3rd, ...). Window functions express that without recursion:
+    * gaps-and-islands run ids, row_number parity, then drop the
+    * consumed right-hand rows and re-aggregate the symbol list.
+    */
+  private def sqlMergeStep(t: Int): String = {
+    val a = s"(SELECT substr(pair, 1, 1) FROM bmerges WHERE r = $t)"
+    val b = s"(SELECT substr(pair, 2, 1) FROM bmerges WHERE r = $t)"
+    s"""exp$t AS (
+          SELECT w, i, syms[i] AS s
+          FROM (SELECT w, syms, unnest(generate_series(1, len(syms))) AS i
+                FROM st${t - 1}) t),
+        mt$t AS (
+          SELECT w, i, s,
+                 (s = $a AND lead(s) OVER (PARTITION BY w ORDER BY i) = $b) AS m
+          FROM exp$t),
+        rn$t AS (
+          SELECT w, i, s, m,
+                 CASE WHEN m THEN i - row_number() OVER (PARTITION BY w, m ORDER BY i)
+                      END AS run
+          FROM mt$t),
+        sel$t AS (
+          SELECT w, i, s,
+                 CASE WHEN m THEN (row_number() OVER (PARTITION BY w, run ORDER BY i) % 2) = 1
+                      ELSE FALSE END AS take
+          FROM rn$t),
+        fold$t AS (
+          SELECT w, i,
+                 CASE WHEN take THEN s || lead(s) OVER (PARTITION BY w ORDER BY i)
+                      ELSE s END AS s2,
+                 lag(take, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+          FROM sel$t),
+        st$t AS (
+          SELECT w, list(s2 ORDER BY i) AS syms
+          FROM fold$t WHERE NOT consumed GROUP BY w)"""
+  }
+
+  /** q112 — BPE MERGE APPLICATION (tokenizer ENCODE), the missing half
+    * of the trainer loop next to q100's pair counting: the top
+    * `BpeMergeK` learned merges are applied greedily, in rank order, to
+    * every DISTINCT word (vocabulary scale — q100's own trick: the
+    * per-word loop never touches the corpus), then joined back to the
+    * position-exploded documents for per-doc BPE token counts and a
+    * boundary-marked fingerprint of the full token sequence. The
+    * per-word encoder is an honest Scala greedy loop (typed map over
+    * the distinct-word table); the merge list is a BOUNDED
+    * construction-time collect of k pairs.
+    *
+    * The oracle unrolls the k merge steps as CTE blocks (the ivfOracle
+    * move — no recursion, so each step can use window functions): the
+    * greedy pass is the run-parity selection over consecutive-match
+    * islands, provably equal to the left-to-right scan. Every
+    * quantity is integer/string-exact, so the full result hashes.
+    * `BpeApplySpec` pins merge-order sensitivity, greedy adjacency
+    * semantics, idempotence (re-applying the merge list to an encoded
+    * word changes nothing), and lossless reconstruction.
+    *
+    * Scale shape: corpus-sized work is one word-frequency aggregation
+    * (map-side combined) + the final (posexplode, vocabulary join,
+    * per-doc agg) — the join is AQE-decided (vocabulary grows with the
+    * corpus: q46's no-forced-broadcast discipline).
+    */
+  val bpeEncode = Q(
+    "q112_bpe_encode",
     (s, d) => {
-      val words = Tables.documents(s, d)
+      import s.implicits._
+      val merges = topMerges(s, d, BpeMergeK)
+      val encWords = Tables.documents(s, d)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      words
-        .where(length(col("w")) >= 2)
-        .select(col("freq"),
-          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-            .as("pair"))
-        .groupBy("pair")
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(50)
+        .distinct()
+        .as[String]
+        .map(w => (w, encodeWord(w, merges)))
+        .toDF("w", "sym")
+      val docToks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("p", "w")))
+        .where(col("w") =!= "")
+      docToks.join(encWords, "w")
+        .groupBy("doc_id")
+        .agg(
+          sum(size(split(col("sym"), Sep))).cast("long").as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("p"), col("sym")))),
+              x => x.getField("sym")),
+            WSep).cast("binary")).as("tok_fp"))
     },
-    Some("""WITH words AS (
-              SELECT w, count(*) AS freq
-              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-              WHERE w <> '' GROUP BY w),
-            pairs AS (
-              SELECT substr(w, i, 2) AS pair, freq
-              FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
-                    FROM words WHERE length(w) >= 2) t)
-            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
-            FROM pairs GROUP BY pair
-            ORDER BY cnt DESC, pair LIMIT 50""")
+    Some {
+      val steps = (1 to BpeMergeK).map(sqlMergeStep).mkString(",\n        ")
+      s"""WITH $sqlBpeCtes,
+        bmerges AS (
+          SELECT pair, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS r
+          FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+                FROM bpairs GROUP BY pair
+                ORDER BY cnt DESC, pair LIMIT $BpeMergeK) t),
+        st0 AS (SELECT w, string_split(w, '') AS syms FROM bwords),
+        $steps,
+        t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        toksp AS (
+          SELECT doc_id, i AS p, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t0) t
+          WHERE ws[i] <> ''),
+        j AS (SELECT tp.doc_id, tp.p, array_to_string(f.syms, chr(1)) AS sym,
+                     len(f.syms) AS n
+              FROM toksp tp JOIN st$BpeMergeK f ON f.w = tp.w)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               md5(string_agg(sym, chr(2) ORDER BY p)) AS tok_fp
+        FROM j GROUP BY doc_id"""
+    }
   )
 
   /** q113 — BM25 RANKED RETRIEVAL over the inverted-index statistics,
@@ -687,5 +865,5 @@ object TextAnalysis {
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bm25)
+      bpeEncode, bm25)
 }
