@@ -26,18 +26,17 @@ final case class MediaFeatures(
 /** Multimodal-column suite: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by a typed `mapPartitions` pipeline.
   *
-  * q33's decode step is a STUB only for VIDEO (the JDK ships no video
-  * codec); the image path is real — PNG (lossless, byte-exact oracle)
-  * in q77/q87 and JPEG (lossy, tolerance-band spec) in q103 via
-  * `javax.imageio` — and the audio path is real too: WAV/PCM
-  * (lossless, byte-exact oracle) in q108 via `javax.sound.sampled`.
-  * The stub: it
-  * deterministically derives features from the raw bytes — byte count and
-  * sum, base64 of the head, and a fake frame-sampler (16-byte "frames",
-  * every 4th sampled). The Spark-side plumbing is real: binary-typed
-  * Dataset, case-class Encoders, partition-local batch processing — the
-  * exact shape a JNI/FFmpeg decoder would plug into, one partition per
-  * decoder instance.
+  * EVERY modality now has a real in-JDK codec path: images — PNG
+  * (lossless, byte-exact oracle) in q77/q87 and JPEG (lossy,
+  * tolerance-band spec) in q103 via `javax.imageio`; audio — WAV/PCM
+  * (lossless, byte-exact oracle) in q108 via `javax.sound.sampled`;
+  * video — multi-frame ANIMATED GIF (lossless palette LZW, byte-exact
+  * oracle) in q110 via `javax.imageio`'s sequence writer. q33 remains
+  * the codec-agnostic BYTE-stub shape on purpose: it deterministically
+  * derives features from raw bytes — byte count and sum, base64 of the
+  * head, a fake frame-sampler (16-byte "frames", every 4th sampled) —
+  * the exact `mapPartitions` harness an out-of-JDK decoder (FFmpeg/JNI
+  * for MP4/H.264) would plug into, one partition per decoder instance.
   *
   * Scale design (100 TB): `mapPartitions` keeps decoder init per-partition
   * (not per-row); payloads never shuffle — features are extracted before
@@ -442,8 +441,8 @@ object Multimodal {
     * equal the closed form EXACTLY — DuckDB (no audio support) oracles a
     * real audio codec byte-for-byte by recomputing the waveform in SQL,
     * the q77 trick. Any codec bug — endianness, sign convention, frame
-    * size, header misparse — breaks the hash. (Video remains the one
-    * stubbed modality in q33: the JDK ships no video codec.)
+    * size, header misparse — breaks the hash. (Video gets the same
+    * treatment via animated GIF in q110.)
     *
     * Scale shape matches q77/q103: both stages `mapPartitions` (format
     * objects and stream plumbing once per partition), payloads never
@@ -512,6 +511,178 @@ object Multimodal {
                    CAST(max(s) AS BIGINT) AS max_s,
                    md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS sample_fp
             FROM smp GROUP BY doc_id""")
+  )
+
+  /** Closed-form frame generation for the GIF video path: a bounded
+    * 16-color palette (GIF is palette-based; staying ≤ 256 colors keeps
+    * the LZW encode LOSSLESS) and a per-(doc, frame, x, y) palette
+    * index, both pure integer closed forms the DuckDB oracle recomputes.
+    */
+  private[graft] def gifDims(id: Long): (Int, Int, Int) =
+    (16 + (id % 2).toInt * 8, 8, 3 + (id % 3).toInt) // (w 16|24, h 8, frames 3|4|5)
+
+  private[graft] def gifPaletteRgb(k: Int): (Int, Int, Int) =
+    ((k * 37 + 11) % 256, (k * 59 + 7) % 256, (k * 83 + 3) % 256)
+
+  private[graft] def gifPixelIdx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 7 + f * 11 + x * 3 + y * 5) % 16).toInt
+
+  private def gifColorModel: java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](16); val g = new Array[Byte](16); val b = new Array[Byte](16)
+    var k = 0
+    while (k < 16) {
+      val (pr, pg, pb) = gifPaletteRgb(k)
+      r(k) = pr.toByte; g(k) = pg.toByte; b(k) = pb.toByte
+      k += 1
+    }
+    new java.awt.image.IndexColorModel(8, 16, r, g, b)
+  }
+
+  private def renderGif(id: Long, writer: javax.imageio.ImageWriter,
+      icm: java.awt.image.IndexColorModel): Array[Byte] = {
+    val (w, h, nf) = gifDims(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, gifPixelIdx(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** q110 — REAL-codec VIDEO pipeline, closing the last stubbed
+    * modality: a multi-frame ANIMATED GIF is a genuine in-JDK,
+    * frame-indexed video container (`javax.imageio`'s GIF writer
+    * supports `canWriteSequence`; LZW over a ≤ 256-color palette is
+    * LOSSLESS), so the q77/q108 byte-exact-oracle move applies to
+    * moving pictures too. Each document becomes 3–5 closed-form
+    * palette-bounded frames (q75's frame discipline × q77's codec
+    * discipline) encoded into ONE GIF payload per doc, then decoded
+    * frame-by-frame through an `ImageReader` and reduced to per-frame
+    * rows — per-channel sums and a pixel-hex md5 — the batch shape a
+    * per-frame model consumes (q75's row contract, now through a real
+    * codec). Any codec bug — palette mix-up, frame order, interlace,
+    * LZW corruption — breaks the hash; DuckDB recomputes palette and
+    * pixels in closed form.
+    *
+    * Scale shape matches q77/q103/q108: both stages `mapPartitions`
+    * (writer/reader + palette model once per partition, disposed when
+    * the partition drains), payloads never shuffle (PlanSpec: no
+    * Exchange), output is a narrow frame-row projection.
+    */
+  val gifVideo = Q(
+    "q110_gif_video",
+    (s, d) => {
+      import s.implicits._
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          require(writer.canWriteSequence, "JDK GIF writer must support sequences")
+          val icm = gifColorModel
+          val base = it.map(id => (id, renderGif(id, writer, icm)))
+          new Iterator[(Long, Array[Byte])] {
+            private var disposed = false
+            def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h && !disposed) { disposed = true; writer.dispose() }
+              h
+            }
+            def next(): (Long, Array[Byte]) = base.next()
+          }
+        }
+      encoded.mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val base = it.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, false, true) // seekable; ignore metadata
+          val nf = reader.getNumImages(true)
+          (0 until nf).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            val hexes = new StringBuilder
+            var sumR = 0L; var sumG = 0L; var sumB = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sumR += r; sumG += g; sumB += b
+                hexes.append(f"$r%02x$g%02x$b%02x")
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val fp = md.digest(hexes.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, f.toLong, w.toLong, h.toLong, nf.toLong, sumR, sumG, sumB, fp)
+          }
+        }
+        new Iterator[(Long, Long, Long, Long, Long, Long, Long, Long, String)] {
+          private var disposed = false
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !disposed) { disposed = true; reader.dispose() }
+            h
+          }
+          def next(): (Long, Long, Long, Long, Long, Long, Long, Long, String) = base.next()
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "n_frames",
+        "sum_r", "sum_g", "sum_b", "px_fp")
+    },
+    Some("""WITH gdims AS (
+              SELECT doc_id, 16 + (doc_id % 2) * 8 AS w, 8 AS h,
+                     3 + (doc_id % 3) AS nf
+              FROM documents),
+            fr AS (SELECT doc_id, w, h, nf,
+                          unnest(generate_series(0, CAST(nf AS INT) - 1)) AS f
+                   FROM gdims),
+            gxs AS (SELECT doc_id, w, h, nf, f,
+                           unnest(generate_series(0, CAST(w AS INT) - 1)) AS x
+                    FROM fr),
+            gpx AS (SELECT doc_id, w, h, nf, f, x,
+                           unnest(generate_series(0, CAST(h AS INT) - 1)) AS y
+                    FROM gxs),
+            pal AS (SELECT k, (k * 37 + 11) % 256 AS r, (k * 59 + 7) % 256 AS g,
+                           (k * 83 + 3) % 256 AS b
+                    FROM (SELECT unnest(generate_series(0, 15)) AS k) ks),
+            v AS (SELECT p.doc_id, p.w, p.h, p.nf, p.f, p.x, p.y,
+                         pal.r, pal.g, pal.b
+                  FROM gpx p JOIN pal
+                    ON pal.k = (p.doc_id * 7 + p.f * 11 + p.x * 3 + p.y * 5) % 16)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   md5(string_agg(format('{:02x}{:02x}{:02x}', r, g, b), ''
+                       ORDER BY y, x)) AS px_fp
+            FROM v GROUP BY doc_id, f, w, h, nf""")
   )
 
   /** q87 — the BINARY-FILE source, the lake-native multimodal ingest
@@ -586,5 +757,5 @@ object Multimodal {
   )
 
   val all: Seq[Q] =
-    Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, binaryFiles)
+    Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles)
 }

@@ -185,10 +185,10 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q103/q108: codec pipelines are pure per-partition chains (no shuffle)") {
+  test("q103/q108/q110: codec pipelines are pure per-partition chains (no shuffle)") {
     // encode → decode → features never moves a payload byte between
     // partitions; an Exchange here means media bytes on the wire
-    for (q <- Seq("q103_jpeg_decode", "q108_wav_audio")) {
+    for (q <- Seq("q103_jpeg_decode", "q108_wav_audio", "q110_gif_video")) {
       assert(!plan(q).contains("Exchange"), s"$q shuffles its payloads")
     }
   }
