@@ -742,7 +742,254 @@ object Similarity {
             WHERE rnk <= 5""")
   )
 
+  private val PqM = 8 // subspaces
+  private val PqSubDim = Dim / PqM
+  private val PqK = 8 // codes per subspace
+  private[graft] val PqLloydSteps = 2
+
+  /** Hash-derived PQ seed component (prefix 'q' keeps the family
+    * disjoint from the LSH planes 'p'-free scheme and the IVF 'c').
+    */
+  private def pqSeedComponent(m: Int, k: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q$m,$k,$i".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    u.toDouble / (1L << 32).toDouble - 0.5
+  }
+
+  /** The PQ training sample: each finite sample vector exploded into
+    * its `PqM` subvectors — (m, vec_id, sv).
+    */
+  private def pqSample(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .where(col("vec_id") % IvfSampleMod === 0)
+      .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"), expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)").as("sv"))
+
+  /** One PQ Lloyd step over ALL subspaces at once (state: one row per
+    * subspace m, codebook `cs` sorted by code id): assignment is argmin
+    * L2 — expressed as argmax (dot − ½‖c‖²), i.e. ascending
+    * `½‖c‖² − dot` with code-id tiebreak, so only SeqDot folds are
+    * needed and the oracle mirrors them exactly — then the vec_id-
+    * ordered mean per (m, code), carrying the prior code for empty
+    * cells (the lloydStep discipline at subvector granularity; proper
+    * L2 here, unlike the coarse quantizer's max-dot, because PQ codes
+    * must RECONSTRUCT subvectors, not rank them).
+    */
+  private def pqLloydStep(sample: DataFrame, cents: DataFrame): DataFrame = {
+    val near = array_sort(transform(col("cs"), sc =>
+      struct((lit(0.5) * SeqDot(sc.getField("c"), sc.getField("c"))
+        - SeqDot(col("sv"), sc.getField("c"))).as("nd"),
+        sc.getField("cell").as("j"))))
+    val refined = sample.join(broadcast(cents), "m")
+      .withColumn("code", element_at(near, 1)("j"))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("sv")))).as("vs"))
+      .select(col("m"), col("code").as("cell"), expr(
+        s"""transform(sequence(1, $PqSubDim), i ->
+            aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sv[i-1])
+            / size(vs))""").as("c1"))
+    cents.select(col("m"), explode(col("cs")).as("sc"))
+      .select(col("m"), col("sc")("cell").as("cell"), col("sc")("c").as("c0"))
+      .join(refined, Seq("m", "cell"), "left")
+      .select(col("m"), col("cell"), coalesce(col("c1"), col("c0")).as("c"))
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+  }
+
+  /** The learned PQ codebooks as a BOUNDED literal relation — one row
+    * per subspace, `PqK` codes each — after `steps` deterministic Lloyd
+    * steps on the shared fixed-modulus sample. Same construction-time
+    * bounded collect as [[ivfCents]] (8 × 8 × 8 doubles), same
+    * rationale: the chain must never re-execute per consumer.
+    */
+  private[graft] def pqBooks(s: SparkSession, d: String,
+      steps: Int = PqLloydSteps): DataFrame = {
+    import s.implicits._
+    val seedRow = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield (m, k, (0 until PqSubDim).map(i => pqSeedComponent(m, k, i))))
+      .toDF("m", "cell", "c")
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+    val chain = (1 to steps).foldLeft(seedRow)((c, _) => pqLloydStep(pqSample(s, d), c))
+    s.createDataFrame(java.util.Arrays.asList(chain.collect(): _*), chain.schema)
+  }
+
+  /** All `PqM` codebooks as ONE broadcast-able row (`books`, sorted by
+    * subspace), for row-local encode/LUT construction.
+    */
+  private[graft] def pqBooksRow(books: DataFrame): DataFrame =
+    books.agg(array_sort(collect_list(struct(col("m"), col("cs")))).as("books"))
+
+  /** PQ-encode a (vec_id, v, cell) relation: 8 small code ids replace
+    * the 64-double vector — `v` is DROPPED from the output, which IS
+    * the compression story (8 codes ≈ 8 bytes vs 512 vector bytes).
+    * Row-local: one broadcast codebook row, nested-lambda argmin per
+    * subspace, no shuffle. Exposed for `PqSpec`'s compression check.
+    */
+  private[graft] def pqEncode(corpus: DataFrame, booksRow: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(booksRow))
+      .withColumn("codes", transform(col("books"), mb => {
+        val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
+        element_at(array_sort(transform(mb.getField("cs"), sc =>
+          struct((lit(0.5) * SeqDot(sc.getField("c"), sc.getField("c"))
+            - SeqDot(sub, sc.getField("c"))).as("nd"),
+            sc.getField("cell").as("j")))), 1)("j")
+      }))
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** q111 — IVF-PQ: the canonical 100 TB ANN MEMORY story q76's
+    * inverted file lacks (it stores full-precision vectors per cell).
+    * Product quantization splits each vector into 8 subspaces of 8
+    * dims; per-subspace codebooks (8 codes each) are learned with the
+    * same deterministic Lloyd machinery as the coarse quantizer — but
+    * under proper L2 assignment (argmin ‖sv − c‖² via the ½‖c‖² − dot
+    * identity, so only SeqDot folds are needed) because codes must
+    * reconstruct subvectors. Codes are assigned to the RAW vector (the
+    * `by_residual=false` IVF-PQ variant — residual encoding would chain
+    * the coarse argmax into every PQ fold and buy little at 8 coarse
+    * cells), shrinking each stored vector 64× (8 code ids vs 64
+    * doubles; 21× vs float32).
+    *
+    * Search is classic ADC (asymmetric distance computation): each
+    * probe builds a 8×8 lookup table of subspace dots against the
+    * codebooks (one bounded broadcast row), scores every encoded vector
+    * in its probed IVF cells by summing 8 table entries in subspace
+    * order (a strict fold — bit-exact in the oracle's ORDER BY m list
+    * fold), keeps the ADC top `RerankCand`, and re-scores ONLY those
+    * candidates with exact full-dimension cosine fetched by a
+    * candidate-sized join back to the vector table — at 100 TB the
+    * full-precision vectors live only in that rerank fetch, never in
+    * the scan. Fully deterministic ⇒ FULL DuckDB oracle (coarse chain
+    * CTEs shared with q63/q109; PQ Lloyd steps unrolled per step).
+    * `PqSpec` pins the recall floor vs q63's full-precision scan and
+    * the compression contract.
+    */
+  val annIvfPq = Q(
+    "q111_ann_ivf_pq",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      val booksRow = pqBooksRow(pqBooks(s, d))
+      val enc = pqEncode(corpus, booksRow)
+      val probesLut = ivfProbes(ev).crossJoin(broadcast(booksRow))
+        .withColumn("lut", transform(col("books"), mb => {
+          val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
+          transform(mb.getField("cs"), sc => SeqDot(sub, sc.getField("c")))
+        }))
+        .select(col("vec_id"), col("v"), col("cell"), col("lut"))
+      val adc = broadcast(probesLut).as("q")
+        .join(enc.as("x"),
+          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+          col("q.v").as("qv"),
+          round(expr(
+            """aggregate(zip_with(lut, codes, (l, cd) -> element_at(l, cd + 1)),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""), 6).as("adc"))
+      val w1 = Window.partitionBy("probe_id")
+        .orderBy(col("adc").desc, col("neighbor_id").asc)
+      val cand = adc.withColumn("crnk", row_number().over(w1))
+        .where(col("crnk") <= RerankCand)
+      val rer = cand.join(
+        vectors(s, d).select(col("vec_id").as("neighbor_id"), col("v").as("xv")),
+        "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          round(CosineSimilarity(col("qv"), col("xv")), 6).as("cos_sim"))
+      val w2 = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      rer.withColumn("rnk", row_number().over(w2).cast("long")).where(col("rnk") <= 5)
+    },
+    Some(pqOracle(IvfLloydSteps, PqLloydSteps))
+  )
+
+  /** The q111 oracle: the shared coarse CTE chain, then the PQ Lloyd
+    * steps unrolled (`pq{t}` from `pq{t-1}` exactly as [[pqLloydStep]]),
+    * corpus encoding by per-subspace argmin, per-probe LUT, the
+    * m-ordered ADC fold, candidate cut, exact rerank.
+    */
+  private def pqOracle(coarseSteps: Int, pqSteps: Int): String = {
+    val sub = (v: String) => s"list_transform(generate_series(1, $PqSubDim), i -> $v[m * $PqSubDim + i])"
+    val dot = (a: String, b: String) =>
+      s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
+    val stepCtes = (1 to pqSteps).map { t =>
+      s"""pd$t AS (
+              SELECT s.m, s.vec_id, s.sv, p.k,
+                     0.5 * ${dot("p.c", "p.c")} - ${dot("s.sv", "p.c")} AS nd
+              FROM ssub s JOIN pq${t - 1} p USING (m)),
+            pa$t AS (
+              SELECT m, vec_id, sv, k AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                               ORDER BY nd ASC, k ASC) AS r
+                FROM pd$t) q
+              WHERE r = 1),
+            pg$t AS (SELECT m, code, list(sv ORDER BY vec_id) AS vs
+                     FROM pa$t GROUP BY m, code),
+            pr$t AS (
+              SELECT m, code, list_transform(generate_series(1, $PqSubDim), i ->
+                       list_aggregate(list_transform(vs, x -> x[i]), 'sum') / len(vs)) AS c1
+              FROM pg$t),
+            pq$t AS (
+              SELECT p.m, p.k, coalesce(r.c1, p.c) AS c
+              FROM pq${t - 1} p LEFT JOIN pr$t r ON r.m = p.m AND r.code = p.k)"""
+    }.mkString(",\n            ")
+    s"""${ivfOracleCtes(coarseSteps)},
+            ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+            pq0 AS (
+              SELECT m, k, list_transform(generate_series(0, ${PqSubDim - 1}),
+                       i -> (('0x' || substr(md5(concat('q', m, ',', k, ',', i)), 1, 8))::BIGINT
+                             / 4294967296.0) - 0.5) AS c
+              FROM ms, (SELECT unnest(generate_series(0, ${PqK - 1})) AS k) ks),
+            ssub AS (SELECT m, vec_id, ${sub("v")} AS sv FROM samp, ms),
+            $stepCtes,
+            xcodes AS (
+              SELECT vec_id, m, k AS code FROM (
+                SELECT a.vec_id, p.m, p.k,
+                       row_number() OVER (PARTITION BY a.vec_id, p.m
+                           ORDER BY 0.5 * ${dot("p.c", "p.c")}
+                                    - ${dot(s"${sub("a.v")}", "p.c")} ASC, p.k ASC) AS r
+                FROM assigned a CROSS JOIN pq$pqSteps p) q
+              WHERE r = 1),
+            lutc AS (
+              SELECT q.vec_id AS probe_id, p.m, p.k,
+                     ${dot(s"${sub("q.v")}", "p.c")} AS lv
+              FROM (SELECT DISTINCT vec_id, v FROM probes) q CROSS JOIN pq$pqSteps p),
+            pairs AS (
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id
+              FROM probes q JOIN assigned x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id),
+            adc AS (
+              SELECT pr.probe_id, pr.neighbor_id,
+                     round(list_aggregate(list(l.lv ORDER BY l.m), 'sum'), 6) AS adc
+              FROM pairs pr
+              JOIN xcodes xc ON xc.vec_id = pr.neighbor_id
+              JOIN lutc l ON l.probe_id = pr.probe_id AND l.m = xc.m AND l.k = xc.code
+              GROUP BY pr.probe_id, pr.neighbor_id),
+            cand AS (
+              SELECT probe_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc DESC, neighbor_id ASC) AS crnk
+                FROM adc) t
+              WHERE crnk <= $RerankCand),
+            rescored AS (
+              SELECT c.probe_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM cand c
+              JOIN (SELECT DISTINCT vec_id, v FROM probes) q ON q.vec_id = c.probe_id
+              JOIN e x ON x.vec_id = c.neighbor_id)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+              FROM rescored) t
+            WHERE rnk <= 5"""
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup, matryoshkaRerank, matryoshkaIvf)
+      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq)
 }
