@@ -215,6 +215,26 @@ class PlanSpec extends AnyFunSuite {
       s"stage-1 scoring join not keyed by cell: ${p.take(3000)}")
   }
 
+  test("q111: ADC scoring join is keyed by the IVF cell, codes join back for rerank") {
+    // same discipline as q109: the ADC scan must run only within probed
+    // cells (hash join on cell); the full-precision vectors reappear
+    // only through the candidate-sized rerank join
+    val p = plan("q111_ann_ivf_pq")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell")),
+      s"ADC scoring join not keyed by cell: ${p.take(3000)}")
+    assert(p.contains("cosine_similarity"), "exact rerank missing the native cosine")
+  }
+
+  test("q112: vocabulary join-back carries no forced broadcast hint (q46 discipline)") {
+    // the encoded-word relation is vocabulary-sized — it grows with the
+    // corpus, so a forced broadcast is the 100 TB OOM class; AQE may
+    // still choose one at runtime
+    val analyzed = SparkEntry.queries("q112_bpe_encode")(spark, d)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "q112 carries a broadcast hint")
+  }
+
   test("q113: BM25 top-k is the bounded aggregator, never a window over scored postings") {
     // a window rank here would shuffle every scored posting row; the
     // TopKAggregator shuffles 10 rows per query × task — the answer,
