@@ -256,6 +256,15 @@ object Multimodal {
     (id, w.toLong, h.toLong, sumR, sumG, sumB, fp)
   }
 
+  /** ImageIO's default stream plumbing caches every image stream in a
+    * TEMP FILE (`ImageIO.getUseCache` is true out of the box) — one
+    * disk round-trip per image, pure overhead when the payload is an
+    * in-memory byte array. Every codec partition calls this in its
+    * init so encode/decode streams stay on-heap. (JVM-global flag;
+    * setting it repeatedly is idempotent.)
+    */
+  private def imageIoOnHeap(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   val pngDecode = Q(
     "q77_png_decode",
     (s, d) => {
@@ -263,9 +272,11 @@ object Multimodal {
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           // encoder init once per partition (ImageIO plugin lookup)
+          imageIoOnHeap()
           it.map(id => (id, renderPng(id)))
         }
       encoded.mapPartitions { it =>
+        imageIoOnHeap()
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) => decodeFeatures(id, bytes, md) }
       }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
@@ -367,6 +378,7 @@ object Multimodal {
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           // writer + explicit-quality param once per partition
+          imageIoOnHeap()
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
           val param = writer.getDefaultWriteParam
           param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -387,6 +399,7 @@ object Multimodal {
           }
         }
       encoded.mapPartitions { it =>
+        imageIoOnHeap()
         it.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           val w = img.getWidth
@@ -594,6 +607,7 @@ object Multimodal {
       import s.implicits._
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          imageIoOnHeap()
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
           require(writer.canWriteSequence, "JDK GIF writer must support sequences")
           val icm = gifColorModel
@@ -609,6 +623,7 @@ object Multimodal {
           }
         }
       encoded.mapPartitions { it =>
+        imageIoOnHeap()
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         val md = java.security.MessageDigest.getInstance("MD5")
         val base = it.flatMap { case (id, bytes) =>
@@ -718,6 +733,7 @@ object Multimodal {
       // disks on a real cluster)
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .foreachPartition { (it: Iterator[Long]) =>
+          imageIoOnHeap()
           // two write paths with one contract: a URI scratch root
           // (s3a://…, hdfs://…) goes through the Hadoop FS resolved from
           // the path, so all executors target the shared store; a plain
@@ -749,6 +765,7 @@ object Multimodal {
           regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("doc_id"),
           col("content"))
       files.as[(Long, Array[Byte])].mapPartitions { it =>
+        imageIoOnHeap()
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) => decodeFeatures(id, bytes, md) }
       }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "px_fp")
