@@ -870,6 +870,48 @@ object Similarity {
     * `PqSpec` pins the recall floor vs q63's full-precision scan and
     * the compression contract.
     */
+  /** Per-probe ADC lookup table: for each subspace, the probe
+    * subvector's dot against each code — an 8×8 double table riding on
+    * the (bounded) probe rows.
+    */
+  private def pqProbesLut(probes: DataFrame, booksRow: DataFrame): DataFrame =
+    probes.crossJoin(broadcast(booksRow))
+      .withColumn("lut", transform(col("books"), mb => {
+        val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
+        transform(mb.getField("cs"), sc => SeqDot(sub, sc.getField("c")))
+      }))
+      .select(col("vec_id"), col("v"), col("cell"), col("lut"))
+
+  /** ADC scan + candidate cut + exact rerank — the q111/q114 search
+    * tail over any (vec_id, cell, codes) encoded relation: the fold
+    * over `zip_with(lut, codes)` sums the 8 table entries in subspace
+    * order (bit-exact vs the oracle's ORDER BY m list fold); the
+    * full-precision vectors appear only through the candidate-sized
+    * rerank join against `vecs`.
+    */
+  private def pqAdcRank(probesLut: DataFrame, enc: DataFrame, vecs: DataFrame): DataFrame = {
+    val adc = broadcast(probesLut).as("q")
+      .join(enc.as("x"),
+        col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
+        col("q.v").as("qv"),
+        round(expr(
+          """aggregate(zip_with(lut, codes, (l, cd) -> element_at(l, cd + 1)),
+             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""), 6).as("adc"))
+    val w1 = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = adc.withColumn("crnk", row_number().over(w1))
+      .where(col("crnk") <= RerankCand)
+    val rer = cand.join(
+      vecs.select(col("vec_id").as("neighbor_id"), col("v").as("xv")),
+      "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        round(CosineSimilarity(col("qv"), col("xv")), 6).as("cos_sim"))
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    rer.withColumn("rnk", row_number().over(w2).cast("long")).where(col("rnk") <= 5)
+  }
+
   val annIvfPq = Q(
     "q111_ann_ivf_pq",
     (s, d) => {
@@ -877,35 +919,40 @@ object Similarity {
       val corpus = ev.select(col("vec_id"), col("v"),
         element_at(col("cells"), 1)("j").as("cell"))
       val booksRow = pqBooksRow(pqBooks(s, d))
-      val enc = pqEncode(corpus, booksRow)
-      val probesLut = ivfProbes(ev).crossJoin(broadcast(booksRow))
-        .withColumn("lut", transform(col("books"), mb => {
-          val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
-          transform(mb.getField("cs"), sc => SeqDot(sub, sc.getField("c")))
-        }))
-        .select(col("vec_id"), col("v"), col("cell"), col("lut"))
-      val adc = broadcast(probesLut).as("q")
-        .join(enc.as("x"),
-          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
-        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("neighbor_id"),
-          col("q.v").as("qv"),
-          round(expr(
-            """aggregate(zip_with(lut, codes, (l, cd) -> element_at(l, cd + 1)),
-               CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""), 6).as("adc"))
-      val w1 = Window.partitionBy("probe_id")
-        .orderBy(col("adc").desc, col("neighbor_id").asc)
-      val cand = adc.withColumn("crnk", row_number().over(w1))
-        .where(col("crnk") <= RerankCand)
-      val rer = cand.join(
-        vectors(s, d).select(col("vec_id").as("neighbor_id"), col("v").as("xv")),
-        "neighbor_id")
-        .select(col("probe_id"), col("neighbor_id"),
-          round(CosineSimilarity(col("qv"), col("xv")), 6).as("cos_sim"))
-      val w2 = Window.partitionBy("probe_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      rer.withColumn("rnk", row_number().over(w2).cast("long")).where(col("rnk") <= 5)
+      pqAdcRank(pqProbesLut(ivfProbes(ev), booksRow),
+        pqEncode(corpus, booksRow), vectors(s, d))
     },
     Some(pqOracle(IvfLloydSteps, PqLloydSteps))
+  )
+
+  /** q114 — the MATERIALIZED PQ inverted file, the artifact a 100 TB
+    * serving deployment actually ships (q76 materializes full vectors;
+    * this materializes the 64×-smaller CODE table): the PQ-encoded
+    * corpus is written ONCE as parquet partitioned by IVF cell, then
+    * probed — the ADC join is on the partition column, so dynamic
+    * partition pruning limits the scan to the probed cells' directories
+    * of an index that is itself two orders of magnitude smaller than
+    * q76's. Exact rerank still fetches full vectors from the BASE
+    * table, candidate-sized — the index never stores them. Same oracle
+    * as q111: materialization must not change a single row. PlanSpec
+    * gates the DPP; `PqSpec` gates the on-disk size vs q76's
+    * full-vector file.
+    */
+  val annIvfPqFile = Q(
+    "q114_ann_ivf_pq_file",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      val booksRow = pqBooksRow(pqBooks(s, d))
+      val out = graft.sources.Sources.scratchLeaf(d, "ivf_pq_file")
+      pqEncode(corpus, booksRow)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(out)
+      val enc = s.read.parquet(out)
+      pqAdcRank(pqProbesLut(ivfProbes(ev), booksRow), enc, vectors(s, d))
+    },
+    annIvfPq.oracle // identical semantics: the code file is q111, materialized
   )
 
   /** The q111 oracle: the shared coarse CTE chain, then the PQ Lloyd
@@ -991,5 +1038,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq)
+      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile)
 }

@@ -140,6 +140,18 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the inverted-file scan: ${p.take(3000)}")
   }
 
+  test("q114: PQ inverted-file read is pruned to the probed cells (dynamic partition pruning)") {
+    // q76's gate for the code file: the ADC join is on the partition
+    // column, so the runtime subquery must land in PartitionFilters —
+    // at 100 TB this scan reads nprobe/k of an index that is already
+    // 64× smaller than the vectors
+    val p = plan("q114_ann_ivf_pq_file")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the PQ inverted-file scan: ${p.take(3000)}")
+  }
+
   test("q79/q81: split assignment and quantization are pure narrow projections (no shuffle)") {
     // Both are per-row rewrites; any Exchange in the plan would mean the
     // operator shuffles a 100 TB corpus to compute a row-local function.
