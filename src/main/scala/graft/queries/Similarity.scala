@@ -283,27 +283,47 @@ object Similarity {
     * plan (PlanSpec's queryExecution inspection, dry-run tooling)
     * triggers those jobs. Accepted trade: it dedups the k-step build
     * across every consumer subtree and across q76's two actions.
+    *
+    * MEMOIZED per (dir, steps) — a TRAINING artifact, like q99's base
+    * index: with five consumers (q63/q76/q109/q111/q114) the identical
+    * deterministic chain would otherwise rebuild on every plan
+    * construction in a long-lived JVM. The cache holds the collected
+    * ROWS (session-independent plain data); each call re-wraps them in
+    * the caller's session. First construction per JVM pays the build —
+    * the production train-once/serve-many shape — and determinism makes
+    * the cached rows bit-identical to a rebuild, so oracle parity is
+    * untouched. (Scale caveat: keyed by the data DIR string; a dir
+    * whose contents mutate between constructions would serve stale
+    * centroids — the test dirs are immutable, and a production index
+    * would version the path.)
     */
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (java.util.List[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+
   private[graft] def ivfCents(s: SparkSession, d: String,
       steps: Int = IvfLloydSteps): DataFrame = {
     import s.implicits._
-    val seeds = (0 until IvfCentroids)
-      .map(j => (0 until Dim).map(i => centComponent(j, i)))
-    val seedRow = seeds.zipWithIndex.map { case (c, j) => (j, c) }
-      .toDF("cell", "c")
-      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
-    val sample = vectors(s, d)
-      .where(col("vec_id") % IvfSampleMod === 0)
-      .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
-    val chain = (1 to steps).foldLeft(seedRow)((c, _) => lloydStep(sample, c))
-    // The centroid row is BOUNDED (8 cells × 64 dims of doubles):
-    // materialize it ONCE and hand consumers a literal local relation.
-    // Lazy, the k-step chain would re-execute per consumer — q63 mounts
-    // it in two subtrees (probe + corpus assignment) and q76 across two
-    // actions — multiplying k sample aggregations by the consumer count.
-    // collect() → createDataFrame round-trips the doubles bit-exactly
-    // (no string form), so oracle argmax parity is untouched.
-    s.createDataFrame(java.util.Arrays.asList(chain.collect(): _*), chain.schema)
+    val (rows, schema) = centCache.getOrElseUpdate((d, steps), {
+      val seeds = (0 until IvfCentroids)
+        .map(j => (0 until Dim).map(i => centComponent(j, i)))
+      val seedRow = seeds.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell", "c")
+        .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+      val sample = vectors(s, d)
+        .where(col("vec_id") % IvfSampleMod === 0)
+        .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+      val chain = (1 to steps).foldLeft(seedRow)((c, _) => lloydStep(sample, c))
+      // The centroid row is BOUNDED (8 cells × 64 dims of doubles):
+      // materialize it ONCE and hand consumers a literal local relation.
+      // Lazy, the k-step chain would re-execute per consumer — q63
+      // mounts it in two subtrees (probe + corpus assignment) and q76
+      // across two actions — multiplying k sample aggregations by the
+      // consumer count. collect() → createDataFrame round-trips the
+      // doubles bit-exactly (no string form), so argmax parity holds.
+      (java.util.Arrays.asList(chain.collect(): _*), chain.schema)
+    })
+    s.createDataFrame(rows, schema)
   }
 
   /** Every corpus vector with its sorted probe-cell array (`cells`) from
@@ -803,21 +823,29 @@ object Similarity {
   /** The learned PQ codebooks as a BOUNDED literal relation — one row
     * per subspace, `PqK` codes each — after `steps` deterministic Lloyd
     * steps on the shared fixed-modulus sample. Same construction-time
-    * bounded collect as [[ivfCents]] (8 × 8 × 8 doubles), same
-    * rationale: the chain must never re-execute per consumer.
+    * bounded collect AND same (dir, steps) training-artifact
+    * memoization as [[ivfCents]] (8 × 8 × 8 doubles; q111/q114 would
+    * otherwise retrain per plan construction).
     */
+  private val bookCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (java.util.List[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+
   private[graft] def pqBooks(s: SparkSession, d: String,
       steps: Int = PqLloydSteps): DataFrame = {
     import s.implicits._
-    val seedRow = (for {
-      m <- 0 until PqM
-      k <- 0 until PqK
-    } yield (m, k, (0 until PqSubDim).map(i => pqSeedComponent(m, k, i))))
-      .toDF("m", "cell", "c")
-      .groupBy("m")
-      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
-    val chain = (1 to steps).foldLeft(seedRow)((c, _) => pqLloydStep(pqSample(s, d), c))
-    s.createDataFrame(java.util.Arrays.asList(chain.collect(): _*), chain.schema)
+    val (rows, schema) = bookCache.getOrElseUpdate((d, steps), {
+      val seedRow = (for {
+        m <- 0 until PqM
+        k <- 0 until PqK
+      } yield (m, k, (0 until PqSubDim).map(i => pqSeedComponent(m, k, i))))
+        .toDF("m", "cell", "c")
+        .groupBy("m")
+        .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+      val chain = (1 to steps).foldLeft(seedRow)((c, _) => pqLloydStep(pqSample(s, d), c))
+      (java.util.Arrays.asList(chain.collect(): _*), chain.schema)
+    })
+    s.createDataFrame(rows, schema)
   }
 
   /** All `PqM` codebooks as ONE broadcast-able row (`books`, sorted by
