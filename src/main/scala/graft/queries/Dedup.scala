@@ -609,6 +609,112 @@ object Dedup {
              FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")
   )
 
+  private val CdcW = 8 // rolling-hash window (chars)
+  private val CdcM = 1000003 // hash modulus (prime)
+  private val CdcSel = 32 // boundary selector → expected chunk ≈ 32 chars
+
+  /** The window-polynomial hash at window-END position `i` (1-based),
+    * written with PRE-COMPUTED power-of-31 coefficient literals so the
+    * identical arithmetic string serves both engines (exact integer
+    * math; max term 127 · 31⁷ ≈ 3.5e12, well inside BIGINT).
+    */
+  private val cdcHashSum: String = {
+    val pow31 = Iterator.iterate(1L)(_ * 31).take(CdcW).toSeq.reverse // 31^7 .. 31^0
+    pow31.zipWithIndex.map { case (c, t) =>
+      val off = CdcW - 1 - t
+      val ch = if (off == 0) "ascii(substring(text, i, 1))"
+      else s"ascii(substring(text, i - $off, 1))"
+      // CAST every coefficient to BIGINT: the smaller powers of 31 fit
+      // INT, and Spark ANSI would overflow the INT×INT product of
+      // ascii() against them (DuckDB accepts the same CAST spelling)
+      if (c == 1L) ch else s"$ch * CAST($c AS BIGINT)"
+    }.mkString(" + ")
+  }
+
+  /** Content-defined chunks of (doc_id, text) rows: boundary wherever
+    * the rolling hash of the trailing `CdcW` chars selects (mod
+    * `CdcSel`), chunks = the spans between boundaries. One row per
+    * chunk: (doc_id, chunk_idx, start, chunk_len, chunk_fp). Exposed
+    * for `CdcSpec`'s shift-robustness property.
+    */
+  private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("bp", expr(
+        s"""CASE WHEN length(text) >= $CdcW
+             THEN filter(sequence($CdcW, length(text)),
+                         i -> (($cdcHashSum) % $CdcM) % $CdcSel = 0)
+             ELSE CAST(array() AS ARRAY<INT>) END"""))
+      .withColumn("bounds", expr("concat(array(0), bp, array(length(text)))"))
+      .withColumn("chs", expr(
+        """filter(transform(sequence(1, size(bounds) - 1),
+             k -> named_struct('start', element_at(bounds, k) + 1,
+                               'clen', element_at(bounds, k + 1) - element_at(bounds, k))),
+             c -> c.clen > 0)"""))
+      .select(col("doc_id"), col("text"), posexplode(col("chs")).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("start"),
+        col("c.clen").cast("long").as("chunk_len"),
+        TextFns.md5Hex(expr("substring(text, c.start, c.clen)")).as("chunk_fp"))
+
+  /** q115 — CONTENT-DEFINED CHUNKING (CDC) dedup, the SHIFT-ROBUST
+    * complement to q89's fixed segments: q89 cuts every `SegLen` words
+    * from position 0, so a one-word insertion shifts every later
+    * segment and the exact pass misses the duplication; CDC cuts where
+    * a rolling hash of the trailing `CdcW` chars hits a selector, so
+    * boundaries are a function of CONTENT — after any local edit the
+    * boundary stream realigns within ~one window and the downstream
+    * chunks fingerprint identically (the rsync/LBFS/FastCDC idea,
+    * minus min/max clamps, which would need a sequential scan; the
+    * declarative form recomputes each window — a `CdcW`× constant over
+    * the incremental rolling property, the price of staying inside
+    * whole-stage codegen). Output: one row per chunk with its corpus-
+    * wide occurrence count `df` — the evidence a dedup/retention join
+    * consumes (df > 1 ⇒ shared content, however shifted).
+    *
+    * Pure integer/string closed form ⇒ full hash oracle. One shuffle
+    * (the df aggregation) plus the fp join-back — no hint (chunk space
+    * is corpus-sized; q46's discipline). Zero-length docs produce no
+    * chunks (frame-granularity totality, q75's contract). `CdcSpec`
+    * pins the shift property: a prefix edit preserves most chunk
+    * fingerprints where fixed-width chunking preserves none.
+    */
+  val cdcChunkDedup = Q(
+    "q115_cdc_chunks",
+    (s, d) => {
+      val chunks = cdcChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      val dfs = chunks.groupBy("chunk_fp").agg(count(lit(1)).as("df"))
+      chunks.join(dfs, "chunk_fp")
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
+          col("chunk_fp"), col("df"))
+    },
+    Some(s"""WITH ch AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_filter(generate_series($CdcW, length(text)),
+                                 i -> (($cdcHashSum) % $CdcM) % $CdcSel = 0) AS bp
+              FROM documents),
+            bs AS (SELECT doc_id, text, ([0] || bp || [n]) AS bounds FROM ch),
+            gaps AS (SELECT doc_id, text, bounds,
+                            unnest(generate_series(1, len(bounds) - 1)) AS k
+                     FROM bs),
+            chunks AS (
+              SELECT doc_id, k, bounds[k] + 1 AS start,
+                     bounds[k+1] - bounds[k] AS clen,
+                     substring(text, CAST(bounds[k] + 1 AS INT),
+                               CAST(bounds[k+1] - bounds[k] AS INT)) AS chunk
+              FROM gaps WHERE bounds[k+1] - bounds[k] > 0),
+            idxed AS (
+              SELECT doc_id, start, clen, md5(chunk) AS fp,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_idx
+              FROM chunks),
+            dfs AS (SELECT md5(chunk) AS fp, count(*) AS df FROM chunks GROUP BY 1)
+            SELECT i.doc_id, CAST(i.chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(i.start AS BIGINT) AS start,
+                   CAST(i.clen AS BIGINT) AS chunk_len,
+                   i.fp AS chunk_fp, CAST(d.df AS BIGINT) AS df
+            FROM idxed i JOIN dfs d ON d.fp = i.fp""")
+  )
+
   /** q99 — APPEND-MODE INCREMENTAL near-dedup against a MATERIALIZED
     * signature index: the daily-crawl contract, two batches deep. The
     * base corpus (80% of docs) has its LSH band table built ONCE and
@@ -767,5 +873,5 @@ object Dedup {
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
-      simhashPairsCapped, segmentDedup, incrementalDedup)
+      simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup)
 }
