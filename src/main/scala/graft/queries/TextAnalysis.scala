@@ -862,8 +862,111 @@ object TextAnalysis {
             WHERE rnk <= 10""")
   )
 
+  /** q116 — N-GRAM LANGUAGE-MODEL QUALITY SCORING, the model-based
+    * quality filter (the CCNet/Gopher pipeline stage q31's heuristics
+    * approximate): a bigram LM with add-one smoothing is "trained" on a
+    * deterministic reference subset (`doc_id % 11 == 0` stands in for
+    * the curated high-quality corpus), then every document is scored by
+    * its mean per-bigram log-probability and perplexity — low-probability
+    * documents are the gibberish/boilerplate a quality cut removes.
+    *
+    * Portability discipline (how a floating LM score gets a HASH
+    * oracle): each bigram's `ln((c2+1)/(c1+V))` is computed with the
+    * identical IEEE op sequence on both engines, rounded to 1e-6 via
+    * portable `floor(x·1e6+0.5)/1e6` (ln is libm-dependent — q46's
+    * rule; `round()` itself is not portable), then summed as
+    * DECIMAL(28,6) — exact and ORDER-INDEPENDENT, immune to Spark's
+    * partial-aggregation order (the Q.dsum discipline at scale 6).
+    * `avg_lp` is one exact division; `ppl = exp(-avg_lp)` is rounded to
+    * 1e-3 (same accepted boundary-risk class as every rounded score).
+    *
+    * Scale shape: count relations are reference-sized and join WITHOUT
+    * hints (vocabulary grows with the corpus — q46's discipline); the
+    * only broadcast is the 1-row vocabulary/total aggregate; one
+    * corpus shuffle for the per-doc aggregation. Docs with < 2 tokens
+    * get defined zeros via the left join from the documents base
+    * (total contract).
+    */
+  /** The q116 scoring core over any (doc_id, text) relation — exposed
+    * for `LmQualitySpec`'s discrimination property on constructed docs.
+    */
+  private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def bigrams(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"""))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val ref = docs.where(col("doc_id") % 11 === 0)
+      val refToks = ref.select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val c1 = refToks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = bigrams(ref).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val vrow = refToks.agg(countDistinct(col("w")).as("v"))
+      val scored = bigrams(docs)
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vrow))
+        .select(col("doc_id"),
+          (floor(log((coalesce(col("c2"), lit(0L)) + lit(1L))
+            / (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("lp6"))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp6").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double").as("sum_lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_lp") / col("n_bigrams")).as("avg_lp"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("avg_lp"), lit(0.0)).as("avg_lp"),
+          when(col("n_bigrams").isNull, lit(0.0))
+            .otherwise(floor(exp(-col("avg_lp")) * lit(1e3) + lit(0.5)) / lit(1e3))
+            .as("ppl"))
+  }
+
+  val lmQuality = Q(
+    "q116_lm_quality",
+    (s, d) => lmScore(Tables.documents(s, d)),
+    Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                         FROM t0 WHERE len(ws) >= 2) t),
+            rtoks AS (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE doc_id % 11 = 0),
+            c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
+                   FROM rtoks WHERE w <> '' GROUP BY 1),
+            c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                   FROM bg WHERE doc_id % 11 = 0 GROUP BY 1, 2),
+            vrow AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                     FROM rtoks WHERE w <> ''),
+            scored AS (
+              SELECT bg.doc_id,
+                     floor(ln((coalesce(c2.c2, 0) + 1)
+                              / (coalesce(c1.c1, 0) + v)) * 1e6 + 0.5) / 1e6 AS lp6
+              FROM bg
+              LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+              LEFT JOIN c1 ON c1.w1 = bg.w1
+              CROSS JOIN vrow),
+            perdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(CAST(SUM(CAST(lp6 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                          AS DOUBLE) AS avg_lp
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(p.avg_lp, 0.0) AS avg_lp,
+                   CASE WHEN p.n_bigrams IS NULL THEN 0.0
+                        ELSE floor(exp(-p.avg_lp) * 1e3 + 0.5) / 1e3 END AS ppl
+            FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25)
+      bpeEncode, bm25, lmQuality)
 }
