@@ -614,42 +614,67 @@ object Dedup {
   private val CdcSel = 32 // boundary selector → expected chunk ≈ 32 chars
 
   /** The window-polynomial hash at window-END position `i` (1-based),
-    * written with PRE-COMPUTED power-of-31 coefficient literals so the
-    * identical arithmetic string serves both engines (exact integer
-    * math; max term 127 · 31⁷ ≈ 3.5e12, well inside BIGINT).
+    * written with PRE-COMPUTED power-of-31 coefficient literals (exact
+    * integer math; max term 127 · 31⁷ ≈ 3.5e12, well inside BIGINT).
+    * `at(off)` supplies the engine's O(1) accessor for the char code at
+    * position `i - off` — the hash MUST read a materialized code
+    * array, never `substring(text, i - off, 1)`: locating a char
+    * offset in a UTF-8 string is O(position), which turned the whole
+    * chunker O(len²) per document (measured: 930 s at sf0.1 before the
+    * array form). And on the Spark side the array must be bound as a
+    * LAMBDA VARIABLE, not a projected column: `PhysicalOperation`
+    * collapses every deterministic Project onto the file scan with
+    * unconditional alias inlining, so a `cs` column gets re-expanded
+    * into all 8 taps of every position's hash — the array is then
+    * REBUILT per tap (thread-dump-verified: ArrayTransform.eval inside
+    * ArrayFilter's predicate), which is quadratic with a bigger
+    * constant than the substring form. A lambda binding
+    * (`transform(array(<build>), cs -> …)`) evaluates the build once
+    * per row no matter what the optimizer inlines around it.
     */
-  private val cdcHashSum: String = {
+  private def cdcHashSum(at: Int => String): String = {
     val pow31 = Iterator.iterate(1L)(_ * 31).take(CdcW).toSeq.reverse // 31^7 .. 31^0
     pow31.zipWithIndex.map { case (c, t) =>
       val off = CdcW - 1 - t
-      val ch = if (off == 0) "ascii(substring(text, i, 1))"
-      else s"ascii(substring(text, i - $off, 1))"
       // CAST every coefficient to BIGINT: the smaller powers of 31 fit
       // INT, and Spark ANSI would overflow the INT×INT product of
       // ascii() against them (DuckDB accepts the same CAST spelling)
-      if (c == 1L) ch else s"$ch * CAST($c AS BIGINT)"
+      if (c == 1L) at(off) else s"${at(off)} * CAST($c AS BIGINT)"
     }.mkString(" + ")
   }
+
+  private val cdcHashSpark =
+    cdcHashSum(off => if (off == 0) "element_at(cs, i)" else s"element_at(cs, i - $off)")
+  private val cdcHashDuck =
+    cdcHashSum(off => if (off == 0) "cs[i]" else s"cs[i - $off]")
 
   /** Content-defined chunks of (doc_id, text) rows: boundary wherever
     * the rolling hash of the trailing `CdcW` chars selects (mod
     * `CdcSel`), chunks = the spans between boundaries. One row per
     * chunk: (doc_id, chunk_idx, start, chunk_len, chunk_fp). Exposed
     * for `CdcSpec`'s shift-robustness property.
+    *
+    * The whole chunk list is ONE expression: `cs` (the char-code
+    * array) and `bounds` are bound as nested lambda variables via the
+    * single-element `transform(array(…), v -> …)` idiom, evaluated
+    * exactly once per row — see `cdcHashSum`'s scaladoc for why a
+    * projected column is quadratic here.
     */
   private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("bp", expr(
-        s"""CASE WHEN length(text) >= $CdcW
-             THEN filter(sequence($CdcW, length(text)),
-                         i -> (($cdcHashSum) % $CdcM) % $CdcSel = 0)
-             ELSE CAST(array() AS ARRAY<INT>) END"""))
-      .withColumn("bounds", expr("concat(array(0), bp, array(length(text)))"))
       .withColumn("chs", expr(
-        """filter(transform(sequence(1, size(bounds) - 1),
-             k -> named_struct('start', element_at(bounds, k) + 1,
-                               'clen', element_at(bounds, k + 1) - element_at(bounds, k))),
-             c -> c.clen > 0)"""))
+        s"""element_at(transform(array(transform(split(text, ''), c -> ascii(c))), cs ->
+              element_at(transform(array(concat(
+                  array(0),
+                  CASE WHEN length(text) >= $CdcW
+                       THEN filter(sequence($CdcW, length(text)),
+                                   i -> (($cdcHashSpark) % $CdcM) % $CdcSel = 0)
+                       ELSE CAST(array() AS ARRAY<INT>) END,
+                  array(length(text)))), bounds ->
+                filter(transform(sequence(1, size(bounds) - 1),
+                         k -> named_struct('start', element_at(bounds, k) + 1,
+                                           'clen', element_at(bounds, k + 1) - element_at(bounds, k))),
+                       c -> c.clen > 0)), 1)), 1)"""))
       .select(col("doc_id"), col("text"), posexplode(col("chs")).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
@@ -688,11 +713,15 @@ object Dedup {
         .select(col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
           col("chunk_fp"), col("df"))
     },
-    Some(s"""WITH ch AS (
+    Some(s"""WITH cm AS (
+              SELECT doc_id, text,
+                     list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+              FROM documents),
+            ch AS (
               SELECT doc_id, text, length(text) AS n,
                      list_filter(generate_series($CdcW, length(text)),
-                                 i -> (($cdcHashSum) % $CdcM) % $CdcSel = 0) AS bp
-              FROM documents),
+                                 i -> (($cdcHashDuck) % $CdcM) % $CdcSel = 0) AS bp
+              FROM cm),
             bs AS (SELECT doc_id, text, ([0] || bp || [n]) AS bounds FROM ch),
             gaps AS (SELECT doc_id, text, bounds,
                             unnest(generate_series(1, len(bounds) - 1)) AS k
