@@ -1064,7 +1064,87 @@ object Similarity {
             WHERE rnk <= 5"""
   }
 
+  /** q117 — SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al.
+    * 2023): cluster the embedding space with k-means, then search for
+    * near-duplicate pairs ONLY within each cluster, dropping the
+    * higher-id member of every pair above the cosine threshold. Output
+    * is the retained corpus membership (vec_id, cell).
+    *
+    * This is the third blocking strategy in the embedding-near-dup
+    * family — q26 blocks by a trusted label, q96 by a random-hyperplane
+    * LSH bucket, q117 by a LEARNED k-means cell (the published SemDeDup
+    * choice: semantic duplicates concentrate in the same cluster far
+    * more reliably than in the same random bucket, so fewer probes catch
+    * more dups). The cells are the SAME deterministic 3-step-Lloyd
+    * centroids the IVF index trains ([[ivfCents]], memoized per dir), so
+    * the dedup pass and the ANN index share one training artifact.
+    *
+    * Scale shape: one shuffle on the cell id, then a block-nested-loop
+    * per cell as a typed flatMapGroups (q26's discipline — tight scalar
+    * loops, ~30× over per-pair Catalyst array expressions). Within-cell
+    * work is quadratic in CELL size, never corpus size: at 100 TB the
+    * centroid count k scales with the corpus (SemDeDup uses n/⌀cluster;
+    * here k = [[IvfCentroids]] at test scale) so cells stay
+    * executor-bounded, and a runaway hot cell would get the q48 salting
+    * treatment on its block loop. The survivor rule (keep the smallest
+    * vec_id of each qualifying pair) is q22/q89's deterministic
+    * min-id discipline — no RNG, rerun-stable.
+    *
+    * Oracle: the IVF CTE chain ([[ivfOracleCtes]] — shared with
+    * q63/q109, so the blocking can never drift from the index) ending at
+    * `assigned`, then a within-cell self-join with the q96 portable
+    * rounding rule (floor(x·1e6 + 0.5)/1e6, not round()) at the same
+    * [[NearDupThreshold]]. Non-finite cosines (NaN-element vectors
+    * exist in the corpus) are dropped from the PAIR set on both engines,
+    * so those vectors are always retained.
+    */
+  val semDedup = Q(
+    "q117_semdedup",
+    (s, d) => {
+      import s.implicits._
+      val assigned = ivfWithCells(s, d, ivfCents(s, d))
+        .select(element_at(col("cells"), 1)("j").as("cell"), col("vec_id"), col("v"))
+      val dropped = assigned.as[(Int, Long, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val block = it.toArray.sortBy(_._2)
+          val norms = block.map { case (_, _, v) =>
+            var ss = 0.0; var i = 0
+            while (i < v.length) { ss += v(i) * v(i); i += 1 }
+            math.sqrt(ss)
+          }
+          for {
+            a <- block.indices.iterator
+            b <- (a + 1) until block.length
+            dot = {
+              val va = block(a)._3; val vb = block(b)._3
+              var acc = 0.0; var i = 0
+              while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+              acc
+            }
+            raw = dot / (norms(a) * norms(b))
+            if java.lang.Double.isFinite(raw)
+            if math.floor(raw * 1e6 + 0.5) / 1e6 >= NearDupThreshold
+          } yield block(b)._2 // the higher id of the pair is the duplicate
+        }
+        .toDF("vec_id").distinct()
+      assigned.select(col("vec_id"), col("cell").cast("long"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b
+                ON b.cell = a.cell AND a.vec_id < b.vec_id
+              WHERE isfinite(list_cosine_similarity(a.v, b.v))
+                AND floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6
+                      >= $NearDupThreshold)
+            SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell
+            FROM assigned s LEFT JOIN dropped dr ON dr.vec_id = s.vec_id
+            WHERE dr.vec_id IS NULL""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile)
+      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup)
 }

@@ -257,6 +257,19 @@ class PlanSpec extends AnyFunSuite {
       "query-gram selection should compile to TakeOrderedAndProject (orderBy+limit)")
   }
 
+  test("q117: pair search is the per-cell block loop, never a corpus-level join") {
+    // the only nested-loop shape allowed is the bounded 1-row centroid
+    // mount — it appears once per `assigned` subtree (the block-loop
+    // input and the survivor projection), hence ≤ 2; the quadratic pair
+    // work must run inside the typed flatMapGroups after one exchange on
+    // the cell id — any further NL join would mean the blocking fell
+    // away and the corpus is self-joining
+    val p = plan("q117_semdedup")
+    assert(p.contains("MapGroups"), "q117 lost its flatMapGroups block loop")
+    val nlJoins = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlJoins <= 2, s"q117 has $nlJoins NL joins (only centroid mounts are allowed)")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
