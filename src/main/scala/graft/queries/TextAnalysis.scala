@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{ScoredId, TextFns, TopKAggregator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: token counting, language-ID
@@ -965,8 +966,126 @@ object TextAnalysis {
             FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""")
   )
 
+  /** TextRank damping factor and iteration count (Mihalcea & Tarau 2004:
+    * d = 0.85, convergence typically < 30 iterations; 10 fixed steps keep
+    * the oracle CTE chain bounded while the contraction spec shows the
+    * sequence is already settling).
+    */
+  private[graft] val TextRankDamping = 0.85
+  private[graft] val TextRankIters = 10
+
+  /** Full TextRank score table (every graph node), with the iteration
+    * count exposed for the contraction spec. See [[textRank]] (q118) for
+    * semantics and scale notes; the registered query is the top-20 slice.
+    */
+  private[graft] def textRankScores(s: SparkSession, d: String,
+      iters: Int = TextRankIters): DataFrame = {
+    // adjacent-token bigrams as a NARROW array transform (no positional
+    // self-join): docs shorter than 2 tokens contribute nothing — guarded
+    // explicitly because Spark's sequence(2, n) REVERSES for n < 2 where
+    // DuckDB's generate_series returns empty
+    val big = Tables.documents(s, d)
+      .select(TextFns.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(ws)),
+             i -> struct(element_at(ws, i-1) AS a, element_at(ws, i) AS b))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    // undirected co-occurrence graph as a symmetric directed edge list:
+    // each adjacency feeds both (u,v) and (v,u), so weights are symmetric
+    // and every node has out-edges — no dangling-mass redistribution term
+    val e = big.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(big.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val wout = e.groupBy("src").agg(sum("cnt").cast("double").as("wsum"))
+    val nodes = e.select(col("src").as("w")).distinct()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val edges = e.join(wout, "src")
+    val r0 = nodes.crossJoin(broadcast(nRow))
+      .select(col("w"), (lit(1.0) / col("n")).as("r"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      // bit-exact cross-engine sums: fold contributions in src order
+      // (array_sort(collect_list(struct)) + aggregate == DuckDB
+      // list(x ORDER BY src) + list_aggregate 'sum'), the q63 centroid
+      // discipline — scores stay raw doubles, no rounding anywhere
+      edges.join(r, col("src") === col("w"))
+        .select(col("dst"), col("src"),
+          ((col("cnt").cast("double") / col("wsum")) * col("r")).as("contrib"))
+        .groupBy("dst")
+        .agg(expr(
+          """aggregate(array_sort(collect_list(struct(src, contrib))),
+               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)""").as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("w"),
+          ((lit(1.0) - lit(TextRankDamping)) / col("n")
+            + lit(TextRankDamping) * col("s")).as("r"))
+    }
+  }
+
+  /** q118 — TEXTRANK keyword extraction (Mihalcea & Tarau 2004): damped
+    * PageRank over the corpus-wide word co-occurrence graph (adjacent
+    * tokens, undirected, co-occurrence-count weights), 10 fixed
+    * iterations, top-20 words by final score. The graph-centrality
+    * member of the text-analysis family: q85 ranks words by raw count,
+    * q46 by TF-IDF; TextRank ranks by how strongly a word is endorsed by
+    * other well-endorsed words — the unsupervised keyword/keyphrase
+    * primitive.
+    *
+    * Scale shape: the bigram build is a narrow array transform (no
+    * positional self-join); the edge list aggregates once on (src, dst)
+    * and is vocabulary²-bounded — in practice power-law sparse, far
+    * smaller than the token stream. Each iteration is one
+    * vocabulary-sized join + aggregation; the chained 10-step plan
+    * mounts the SAME edge subtree per step, which AQE materializes once
+    * and reuses (ReusedExchange, plan-gated like q23) — the iteration
+    * cost is 10 tiny re-aggregations, not 10 corpus scans. No forced
+    * broadcast on any corpus-growing relation (the only hint is the
+    * 1-row node-count mount). At 100 TB the per-iteration state is one
+    * (word, score) table — a checkpoint-per-iteration loop (q70's
+    * discipline) swaps in when plan depth outgrows the optimizer.
+    *
+    * Determinism: scores are raw doubles with NO rounding — every sum
+    * folds in sorted src order on both engines (the q63 bit-exact
+    * discipline), teleport and damping terms use the identical IEEE op
+    * sequence, and the top-20 boundary tie-breaks on the word itself.
+    */
+  val textRank = Q(
+    "q118_textrank",
+    (s, d) => textRankScores(s, d)
+      .orderBy(col("r").desc, col("w").asc)
+      .limit(20),
+    Some {
+      val stepCtes = (1 to TextRankIters).map { t =>
+        s"""r$t AS (
+              SELECT e.dst AS w,
+                     (1.0 - $TextRankDamping) / (SELECT n FROM n)
+                       + $TextRankDamping * list_aggregate(
+                           list((CAST(e.cnt AS DOUBLE) / wout.wsum) * rp.r
+                                ORDER BY e.src), 'sum') AS r
+              FROM e JOIN wout USING (src) JOIN r${t - 1} rp ON rp.w = e.src
+              GROUP BY e.dst)"""
+      }.mkString(",\n            ")
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            big AS (SELECT ws[i-1] AS a, ws[i] AS b
+                    FROM (SELECT ws, unnest(generate_series(2, len(ws))) AS i
+                          FROM toks) t
+                    WHERE ws[i-1] <> '' AND ws[i] <> '' AND ws[i-1] <> ws[i]),
+            e AS (SELECT src, dst, count(*) AS cnt FROM (
+                    SELECT a AS src, b AS dst FROM big
+                    UNION ALL SELECT b AS src, a AS dst FROM big) u
+                  GROUP BY src, dst),
+            wout AS (SELECT src, CAST(sum(cnt) AS DOUBLE) AS wsum FROM e GROUP BY src),
+            n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e),
+            r0 AS (SELECT DISTINCT src AS w, 1.0 / (SELECT n FROM n) AS r FROM e),
+            $stepCtes
+            SELECT w, r FROM r$TextRankIters
+            ORDER BY r DESC, w ASC LIMIT 20"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality)
+      bpeEncode, bm25, lmQuality, textRank)
 }

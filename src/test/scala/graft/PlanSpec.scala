@@ -270,6 +270,19 @@ class PlanSpec extends AnyFunSuite {
     assert(nlJoins <= 2, s"q117 has $nlJoins NL joins (only centroid mounts are allowed)")
   }
 
+  test("q118: the 10-step iteration reuses the edge exchange at runtime (AQE)") {
+    // the chained PageRank plan mounts the identical edge-list subtree
+    // once per iteration; AQE must materialize that shuffle once and
+    // reuse it — otherwise every iteration re-scans the corpus and the
+    // loop costs 10 token-stream passes instead of one
+    val df = SparkEntry.queries("q118_textrank")(spark, d)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    assert(finalPlan.contains("ReusedExchange"),
+      "expected AQE to reuse the edge-list exchange across PageRank iterations")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
