@@ -1084,8 +1084,80 @@ object TextAnalysis {
     }
   )
 
+  /** q119 — PHRASE SEARCH by posting-list intersection: the second
+    * consumer of the positional index (q113's BM25 scores bags of words;
+    * phrase queries need ORDER, which is exactly what q84's position
+    * lists carry). The query set is the corpus's top-3 bigrams by
+    * frequency (deterministic, tie-broken lexicographically); for each
+    * query (w1, w2), a doc matches where the intersection of (positions
+    * of w1, each +1) with positions of w2 is non-empty — the classic
+    * positional-intersection algorithm, hit count = number of phrase
+    * occurrences.
+    *
+    * Scale shape: the 3-row query table broadcasts against the postings
+    * relation, so the index scan is pruned to the query terms before any
+    * doc-level work (the "fetch only query-term postings" discipline a
+    * real search engine lives by — never materialize non-query
+    * postings). The per-doc pairing then joins two already-tiny posting
+    * subsets on (phrase, doc). Query selection is orderBy+limit
+    * (TakeOrderedAndProject — q85's discipline: ship the answer, not the
+    * bigram table). All-integer arithmetic ⇒ exact oracle.
+    */
+  val phraseSearch = Q(
+    "q119_phrase_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pos = docs
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("p", "w")))
+        .where(col("w") =!= "")
+      val postings = pos.groupBy("w", "doc_id")
+        .agg(sort_array(collect_list((col("p") + lit(1)).cast("long"))).as("ps"))
+      val qs = docs
+        .select(TextFns.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(2, size(ws)),
+               i -> struct(element_at(ws, i-1) AS w1, element_at(ws, i) AS w2))""")).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .where(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+        .limit(3)
+      postings.as("a").join(broadcast(qs), col("a.w") === col("w1"))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+          col("w2"), col("a.doc_id").as("doc_a"), col("a.ps").as("ps1"))
+        .join(postings.as("b"),
+          col("b.w") === col("w2") && col("b.doc_id") === col("doc_a"))
+        .select(col("phrase"), col("doc_a").as("doc_id"),
+          size(array_intersect(expr("transform(ps1, x -> x + 1)"), col("b.ps")))
+            .cast("long").as("hits"))
+        .where(col("hits") > 0)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pos AS (SELECT doc_id, i, ws[i] AS w
+                    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                          FROM toks) t
+                    WHERE ws[i] <> ''),
+            big AS (SELECT ws[i-1] AS w1, ws[i] AS w2
+                    FROM (SELECT ws, unnest(generate_series(2, len(ws))) AS i
+                          FROM toks) t
+                    WHERE ws[i-1] <> '' AND ws[i] <> ''),
+            qs AS (SELECT w1, w2 FROM (
+                     SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2)
+                   ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 3),
+            post AS (SELECT w, doc_id, list(i ORDER BY i) AS ps
+                     FROM pos GROUP BY w, doc_id),
+            m AS (SELECT q.w1 || ' ' || q.w2 AS phrase, a.doc_id,
+                         CAST(len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps))
+                              AS BIGINT) AS hits
+                  FROM qs q
+                  JOIN post a ON a.w = q.w1
+                  JOIN post b ON b.w = q.w2 AND b.doc_id = a.doc_id)
+            SELECT phrase, doc_id, hits FROM m WHERE hits > 0""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality, textRank)
+      bpeEncode, bm25, lmQuality, textRank, phraseSearch)
 }

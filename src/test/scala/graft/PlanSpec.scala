@@ -283,6 +283,19 @@ class PlanSpec extends AnyFunSuite {
       "expected AQE to reuse the edge-list exchange across PageRank iterations")
   }
 
+  test("q119: query-term selection is bounded top-k; postings prune via broadcast") {
+    // the 3-row query table must compile to TakeOrderedAndProject (never
+    // a global window over the bigram table) and reach the postings
+    // relation as a broadcast, so only query-term postings are ever
+    // materialized doc-side
+    val p = plan("q119_phrase_search")
+    assert(!p.contains("Window"), s"window rank in q119: ${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "query selection should compile to TakeOrderedAndProject (orderBy+limit)")
+    assert(p.contains("BroadcastHashJoin"),
+      "query table should broadcast against the postings relation")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
