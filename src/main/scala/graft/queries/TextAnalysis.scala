@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.{ScoredId, TextFns, TopKAggregator}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: token counting, language-ID
@@ -1156,8 +1157,60 @@ object TextAnalysis {
             SELECT phrase, doc_id, hits FROM m WHERE hits > 0""")
   )
 
+  /** q120 — PER-SOURCE ADAPTIVE QUALITY GATE: keep the documents at or
+    * above their OWN source's median quality. An absolute quality
+    * threshold is wrong across heterogeneous domains (an academic crawl
+    * and a chat log occupy different score ranges; one global cut
+    * either guts the weak domain or keeps its junk) — the CCNet-style
+    * move is a per-domain quantile gate. The score is EXACTLY q31's
+    * (the Spark side calls q31's own builder; the oracle nests q31's own
+    * SQL — the two queries cannot drift), and the median is
+    * RANK-DEFINED (the value at row ⌈n/2⌉ ordered by (quality, doc_id)),
+    * not interpolated — interpolation averages two doubles and lands on
+    * engine-divergent bits, while the rank-median SELECTS an existing
+    * bit-exact score, so `quality >= med` is portable with no rounding.
+    *
+    * Scale shape: one shuffle on the source key; the exact median costs
+    * a per-source sort (the window) — at 100 TB the same join-back
+    * shape runs with `approx_percentile` per source (q49's sketch
+    * family) and the exact rank-median remains its oracle-able twin at
+    * audit scale. The median table is per-source (tiny) and broadcasts
+    * back; null sources are coalesced to 'unknown' (q94's rule — an
+    * equi-join on raw nullable source would silently drop those docs).
+    */
+  val qualityGate = Q(
+    "q120_quality_gate",
+    (s, d) => {
+      val q = qualityScore.fn(s, d).select(col("doc_id"), col("quality"))
+      val src = Tables.documents(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val scored = q.join(src, "doc_id")
+      val ranked = scored
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("quality"), col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val meds = ranked.where(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("source"), col("quality").as("med"))
+      scored.join(meds, "source")
+        .where(col("quality") >= col("med"))
+        .select(col("doc_id"), col("source"), col("quality"), col("med"))
+    },
+    Some(s"""WITH q AS (${qualityScore.oracle.get}),
+            s AS (SELECT q.doc_id, coalesce(d.source, 'unknown') AS source, q.quality
+                  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY quality, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM s),
+            m AS (SELECT source, quality AS med FROM r WHERE rn = (n + 1) // 2)
+            SELECT s.doc_id, s.source, s.quality, m.med
+            FROM s JOIN m USING (source) WHERE s.quality >= m.med""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality, textRank, phraseSearch)
+      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate)
 }
