@@ -131,5 +131,62 @@ object Sampling {
             WHERE r.rnk <= CAST(floor(sqrt(c.n_l)) AS BIGINT) * 3""")
   )
 
-  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix)
+  /** q121 — EPOCH-REPEAT DOMAIN REBALANCING: materialize the training
+    * stream with small sources repeated (multiple epochs) up to parity
+    * with the largest source, capped at 4 epochs. The OVERSAMPLING half
+    * of the mixing story — q94 subsamples big domains down (temperature
+    * quotas); q121 repeats small domains up, which is how an LLM run
+    * hits a token budget without discarding scarce high-value data
+    * (the "more epochs for underrepresented sets" scheduling move). The
+    * stratum is the LANGUAGE, matching its subsampling twin q94 (the
+    * `source` column is uniform by construction in this corpus — a
+    * rebalancer over it would be the identity).
+    *
+    * Epoch counts are INTEGER-ONLY: `min(4, ⌈max_n / n_s⌉)` computed as
+    * `(max_n + n_s - 1) DIV n_s` — no doubles anywhere near the
+    * ceiling, so the count can never drift across engines (the q94
+    * floor-at-quota-boundary lesson). Each copy carries a seeded-md5
+    * shuffle key over (doc_id, copy): a deterministic global interleave
+    * — two copies of one doc land far apart, reruns are stable, and any
+    * consumer can recompute the key from ids alone. Downstream,
+    * range-partitioning on the key plus q98's global-order index turns
+    * it into a materialized training order.
+    *
+    * Scale shape: one count aggregation (map-side combined), a 1-row
+    * max mount, the per-source epoch table joined back (AQE-decided,
+    * no hint — sources are corpus-growing), then a narrow
+    * explode-by-sequence and hash projection. Output is epochs-bounded:
+    * ≤ 4× corpus rows, streamed, never collected.
+    */
+  val epochMix = Q(
+    "q121_epoch_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("lang"), lit("unknown")).as("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      val maxn = counts.agg(max("n_s").as("maxn"))
+      val epochs = counts.crossJoin(broadcast(maxn))
+        .select(col("lang"),
+          least(lit(4L), expr("(maxn + n_s - 1) DIV n_s")).as("epochs"))
+      docs.join(epochs, Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("epochs"))).as("copy"))
+        .withColumn("skey",
+          expr("md5(CAST(concat('epoch|', doc_id, '|', copy) AS BINARY))"))
+    },
+    Some("""WITH d AS (SELECT doc_id, coalesce(lang, 'unknown') AS lang
+                       FROM documents),
+            c AS (SELECT lang, count(*) AS n_s FROM d GROUP BY lang),
+            mx AS (SELECT max(n_s) AS maxn FROM c),
+            e AS (SELECT lang, least(4, (mx.maxn + n_s - 1) // n_s) AS epochs
+                  FROM c, mx),
+            x AS (SELECT d.doc_id, d.lang,
+                         unnest(generate_series(1, e.epochs)) AS copy
+                  FROM d JOIN e USING (lang))
+            SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy,
+                   md5(concat('epoch|', doc_id, '|', copy)) AS skey
+            FROM x""")
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix)
 }
