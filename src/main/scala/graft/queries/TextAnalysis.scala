@@ -1209,8 +1209,65 @@ object TextAnalysis {
             FROM s JOIN m USING (source) WHERE s.quality >= m.med""")
   )
 
+  /** q122 — VOCABULARY COVERAGE / OOV-RATE AUDIT: score every document
+    * by the fraction of its tokens outside the top-20 corpus vocabulary.
+    * The tokenizer-QA step a pipeline runs before committing to a vocab:
+    * a high OOV tail means the tokenizer will shatter those documents
+    * into bytes/unknowns (training-cost and quality hazard), and the
+    * per-doc rate is the filter/reweight signal. Complements q85 (which
+    * BUILDS the vocabulary) and q112 (which applies BPE merges) by
+    * measuring how well a fixed vocabulary fits the corpus.
+    *
+    * Scale shape: the vocabulary is orderBy+limit (TakeOrderedAndProject
+    * — q85's discipline) and is K-bounded, so it broadcasts by
+    * construction (the hint is safe: 20 rows no matter the corpus); the
+    * token stream left-joins against it map-side with zero shuffle of
+    * the stream, then one aggregation back to doc grain. Empty docs are
+    * kept with rate 0.0 via the outer join-back (q116's total-function
+    * discipline: every doc gets a row). All-integer counts; the single
+    * double division uses the identical IEEE op on both engines.
+    */
+  val oovRate = Q(
+    "q122_oov_rate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(20)
+        .select(col("w").as("vw"))
+      val per = toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_tokens").isNull, lit(0.0))
+            .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM t GROUP BY w)
+                  ORDER BY cnt DESC, w ASC LIMIT 20),
+            p AS (SELECT t.doc_id, count(*) AS n_tokens,
+                         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_oov
+                  FROM t LEFT JOIN v ON v.w = t.w
+                  GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN p.n_tokens IS NULL THEN 0.0
+                        ELSE CAST(p.n_oov AS DOUBLE) / p.n_tokens END AS oov_rate
+            FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate)
+      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate)
 }
