@@ -108,5 +108,90 @@ object CleanCorpus {
               AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)""")
   )
 
-  val all: Seq[Q] = Seq(cleanCorpus, trainingManifest)
+  /** q123 — URL CANONICALIZATION + crawl-level URL dedup: normalize each
+    * document's source URL (lowercase scheme/host, strip `www.`, strip
+    * default ports `:80`/`:443`, drop the fragment, remove `utm_*`
+    * tracking parameters, strip the trailing slash) and group documents
+    * by canonical URL — the FIRST dedup a crawl pipeline runs, before
+    * any content hashing: the same page arrives under dozens of raw URL
+    * spellings, and canonical-URL grouping removes that class for the
+    * cost of a string transform (content dedup, q22, then only sees one
+    * copy per page). Raw URLs are synthesized in closed form from
+    * doc_id (three spelling variants exercising every normalization
+    * rule; the corpus carries no URL column), so the oracle sees
+    * byte-identical inputs — the q93 dirty-text reconstruction move.
+    *
+    * Scale shape: canonicalization is a pure narrow projection (regex
+    * chain inside whole-stage codegen, zero shuffle); the dedup group
+    * is ONE map-side-combined aggregation on the canonical string and a
+    * join back (AQE-decided, no hint — the group table is
+    * corpus-growing). Keeper rule is min-doc_id (q22/q89 discipline).
+    * Regexes avoid escape-sequence divergence by spelling the literal
+    * dot as `[.]` (Spark SQL string literals process backslashes,
+    * DuckDB's do not — the char class sidesteps the whole hazard).
+    */
+  val urlCanon = Q(
+    "q123_url_canon",
+    (s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 3 = 0 THEN
+               concat('HTTP://WWW.Site', CAST(doc_id % 4 AS STRING),
+                      '.Example.COM:80/p/', CAST(doc_id % 5 AS STRING),
+                      '/?utm_source=rss&utm_id=', CAST(doc_id AS STRING), '#top')
+             WHEN doc_id % 3 = 1 THEN
+               concat('https://www.site', CAST(doc_id % 4 AS STRING),
+                      '.example.com:443/p/', CAST(doc_id % 5 AS STRING),
+                      '?utm_campaign=c', CAST(doc_id AS STRING))
+             ELSE
+               concat('https://site', CAST(doc_id % 4 AS STRING),
+                      '.example.com/p/', CAST(doc_id % 5 AS STRING)) END""").as("url"))
+      val canon = raw.withColumn("canon", expr(
+        """concat(
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               '^www[.]', ''), ':(80|443)$', ''),
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+               'utm_[a-z]+=[^&#]*&', ''), '[?&]utm_[a-z]+=[^&#]*', ''),
+               '/$', ''))"""))
+      val groups = canon.groupBy("canon")
+        .agg(min("doc_id").as("canon_keeper"), count(lit(1)).as("n_same"))
+      canon.join(groups, Seq("canon"))
+        .select(col("doc_id"), col("url"), col("canon"),
+          col("canon_keeper"), col("n_same"))
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                            'HTTP://WWW.Site' || (doc_id % 4) ||
+                            '.Example.COM:80/p/' || (doc_id % 5) ||
+                            '/?utm_source=rss&utm_id=' || doc_id || '#top'
+                          WHEN doc_id % 3 = 1 THEN
+                            'https://www.site' || (doc_id % 4) ||
+                            '.example.com:443/p/' || (doc_id % 5) ||
+                            '?utm_campaign=c' || doc_id
+                          ELSE
+                            'https://site' || (doc_id % 4) ||
+                            '.example.com/p/' || (doc_id % 5) END AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+                     regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                       '^www[.]', '', 'g'), ':(80|443)$', '', 'g') ||
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                       'utm_[a-z]+=[^&#]*&', '', 'g'), '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                       '/$', '', 'g') AS canon
+              FROM raw),
+            g AS (SELECT canon, min(doc_id) AS canon_keeper,
+                         CAST(count(*) AS BIGINT) AS n_same
+                  FROM c GROUP BY canon)
+            SELECT c.doc_id, c.url, c.canon, g.canon_keeper, g.n_same
+            FROM c JOIN g USING (canon)""")
+  )
+
+  val all: Seq[Q] = Seq(cleanCorpus, trainingManifest, urlCanon)
 }
