@@ -188,5 +188,64 @@ object Sampling {
             FROM x""")
   )
 
-  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix)
+  /** q125 — CROSS-SPLIT LEAKAGE AUDIT: near-duplicate fingerprint groups
+    * that span the train and held-out (val/test) splits of q79's
+    * assignment — the eval-integrity gate a pipeline runs before every
+    * training job. q82 audits against EXTERNAL benchmarks; q125 audits
+    * the corpus's own splits. The key is q32's SHINGLE fingerprint (min
+    * word-trigram md5 — a 1-hash MinHash, robust to local edits), not
+    * the exact text hash: this corpus (like any post-exact-dedup corpus)
+    * has zero byte-identical pairs, and the leakage that actually
+    * poisons evals is the near-duplicate that exact hashing misses.
+    * Both the fingerprint and the split are pure functions of the row
+    * (q79's "membership is a function" property is exactly what makes
+    * this audit possible after the fact).
+    *
+    * Scale shape: one narrow projection computes (sfp, split) per doc —
+    * bodies reduce to a 32-char fingerprint before any shuffle — then
+    * ONE map-side-combined aggregation on sfp with conditional counts;
+    * the HAVING-style filter ships only offending groups. Output per
+    * group: sizes on each side plus the first doc id on each side (the
+    * remediation handle: drop the eval member or the train member).
+    */
+  val splitLeakage = Q(
+    "q125_split_leakage",
+    (s, d) => {
+      val sfp = TextFns.wordGrams(Tables.documents(s, d), 3)
+        .groupBy("doc_id")
+        .agg(min(TextFns.md5Hex(col("g"))).as("sfp"))
+      val joined = trainSplit.fn(s, d).select("doc_id", "split")
+        .join(sfp, Seq("doc_id"))
+      joined.groupBy("sfp")
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"),
+          min(when(col("split") === "train", col("doc_id"))).as("first_train"),
+          min(when(col("split") =!= "train", col("doc_id"))).as("first_eval"))
+        .where(col("n_train") > 0 && col("n_eval") > 0)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                    FROM toks),
+            grams AS (SELECT DISTINCT doc_id,
+                             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                      FROM idx WHERE i + 2 <= len(ws)),
+            f AS (SELECT doc_id, min(md5(g)) AS sfp FROM grams GROUP BY doc_id),
+            s AS (SELECT f.doc_id, f.sfp,
+                         ${sqlSplitCase("f.doc_id")} AS split
+                  FROM f)
+            SELECT sfp,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_train,
+                   CAST(sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_eval,
+                   min(CASE WHEN split = 'train' THEN doc_id END) AS first_train,
+                   min(CASE WHEN split <> 'train' THEN doc_id END) AS first_eval
+            FROM s GROUP BY sfp
+            HAVING sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) > 0""")
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix, splitLeakage)
 }

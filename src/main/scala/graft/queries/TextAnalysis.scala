@@ -1266,8 +1266,60 @@ object TextAnalysis {
             FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""")
   )
 
+  /** q124 — FIRST-OCCURRENCE NOVELTY ATTRIBUTION: for every document,
+    * the fraction of its distinct word 5-grams whose corpus-wide FIRST
+    * owner (min doc_id — ingestion order, q22's keeper discipline) is
+    * the document itself. The "how much new text does this doc add"
+    * metric behind dedup-aware data valuation and diversity-pruning
+    * (D4-style): a boilerplate-heavy doc scores near 0 even when its
+    * exact hash is unique, because every gram arrived earlier — the
+    * between-exact-and-near-dup signal q22 (hashes) and q23 (thresholded
+    * pairs) both miss. Gram construction is SHARED with q82/q86
+    * ([[graft.functions.TextFns.wordGrams]] / [[sqlG5Ctes]]) so the
+    * three audits can never disagree on what a gram is.
+    *
+    * Scale shape: one aggregation on the gram key (min — map-side
+    * combined) and one join back on the same key, both per (doc, gram)
+    * row — a hot boilerplate gram has large df but contributes df ROWS,
+    * never df² pairs, so unlike the pair-join family (q24/q73/q82) this
+    * needs NO df cap; then one aggregation back to doc grain. Gramless
+    * docs (< 5 words) are kept at novelty 1.0 (no evidence of
+    * duplication — the total-function rule, q116/q122).
+    */
+  val novelty = Q(
+    "q124_novelty",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = TextFns.wordGrams(docs, 5)
+      val own = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val per = g.join(own, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_grams").isNull, lit(1.0))
+            .otherwise(col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    },
+    Some(s"""WITH $sqlG5Ctes,
+            own AS (SELECT g, min(doc_id) AS first_doc FROM g5 GROUP BY g),
+            per AS (SELECT g5.doc_id, count(*) AS n_grams,
+                           CAST(sum(CASE WHEN o.first_doc = g5.doc_id
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                    FROM g5 JOIN own o USING (g)
+                    GROUP BY g5.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN p.doc_id IS NULL THEN 1.0
+                        ELSE CAST(p.n_novel AS DOUBLE) / p.n_grams END AS novelty
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate)
+      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty)
 }
