@@ -127,5 +127,51 @@ object SequencePacking {
              SELECT doc_id, shard, n_tokens, rn, bin_id, fill_after FROM pack""")
   )
 
-  val all: Seq[Q] = Seq(packing, binPacking)
+  /** q127 — PADDING-WASTE HISTOGRAM: bucket every document by its padded
+    * length (next multiple of 64 tokens — the pad-to-aligned-batch rule)
+    * and report, per bucket, the doc count, real token mass, padded
+    * token mass, and the waste fraction. The batch-shape audit run
+    * BEFORE choosing between plain padding and packing (q71/q95 are the
+    * cures; q127 measures the disease): a corpus whose mass sits in
+    * short buckets wastes most of its FLOPs on pad tokens unless packed.
+    * Empty documents land in the smallest bucket at 64 (padded length is
+    * never zero — every example occupies at least one alignment unit).
+    *
+    * Scale shape: one narrow token-count projection, one
+    * map-side-combined aggregation on the bucket id (≤ a few hundred
+    * buckets regardless of corpus size). All-integer bucket arithmetic
+    * (`((n + 63) DIV 64) * 64`, floored at 64); the single waste
+    * division is the identical IEEE op on both engines ⇒ exact oracle.
+    */
+  val paddingWaste = Q(
+    "q127_padding_waste",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          greatest(lit(64L), expr("((n_tokens + 63) DIV 64) * 64")))
+      toks.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("real_tokens"))
+        .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+        .withColumn("waste",
+          (col("padded_tokens") - col("real_tokens")).cast("double")
+            / col("padded_tokens"))
+    },
+    Some("""WITH t AS (SELECT greatest(64, ((n + 63) // 64) * 64) AS bucket, n
+                       FROM (SELECT len(list_filter(string_split(text, ' '),
+                                                    w -> w <> '')) AS n
+                             FROM documents)),
+            b AS (SELECT bucket, count(*) AS n_docs,
+                         CAST(sum(n) AS BIGINT) AS real_tokens
+                  FROM t GROUP BY bucket)
+            SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs, real_tokens,
+                   bucket * n_docs AS padded_tokens,
+                   CAST(bucket * n_docs - real_tokens AS DOUBLE)
+                     / (bucket * n_docs) AS waste
+            FROM b""")
+  )
+
+  val all: Seq[Q] = Seq(packing, binPacking, paddingWaste)
 }

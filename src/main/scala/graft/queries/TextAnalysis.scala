@@ -1318,8 +1318,38 @@ object TextAnalysis {
             FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""")
   )
 
+  /** q126 — the SKETCHED per-source quality gate: q120's exact
+    * rank-median replaced by `approx_percentile` (the KLL/GK sketch
+    * family q49 established) — the production shape at 100 TB, where an
+    * exact per-source median costs a full per-group sort and the sketch
+    * costs one mergeable pass. Same join-back and same `>= threshold`
+    * cut; rows-only by design (sketch thresholds are
+    * implementation-defined, like q19/q49/q105), with the contract
+    * carried by `QualityGateSpec`'s differential band instead of a hash:
+    * the sketched kept-set must stay close to q120's exact kept-set,
+    * and every source must retain a sane fraction. The q120/q126 pair
+    * completes the exact-twin discipline (q101/q105, q83/q104): audit
+    * with the exact gate, produce with the sketch.
+    */
+  val qualityGateApprox = Q(
+    "q126_quality_gate_approx",
+    (s, d) => {
+      val q = qualityScore.fn(s, d).select(col("doc_id"), col("quality"))
+      val src = Tables.documents(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val scored = q.join(src, Seq("doc_id"))
+      val meds = scored.groupBy("source")
+        .agg(expr("approx_percentile(quality, 0.5, 10000)").as("med"))
+      scored.join(meds, Seq("source"))
+        .where(col("quality") >= col("med"))
+        .select(col("doc_id"), col("source"), col("quality"), col("med"))
+    },
+    None
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
-      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty)
+      bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
+      qualityGateApprox)
 }

@@ -42,4 +42,24 @@ class QualityGateSpec extends AnyFunSuite {
       assert(kept * 2 >= ids.size, s"source $src kept $kept of ${ids.size}")
     }
   }
+
+  test("q126: sketched gate tracks the exact gate (rows-only contract band)") {
+    // q126 is rows-only by design (sketch thresholds are implementation-
+    // defined); its contract lives here: the approx-percentile kept-set
+    // must stay within a tight band of q120's exact kept-set, and no
+    // source may be gutted or passed wholesale.
+    val exact = SparkEntry.queries("q120_quality_gate")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    val approxRows = SparkEntry.queries("q126_quality_gate_approx")(spark, d)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val approx = approxRows.map(_._1).toSet
+    val total = Tables.documents(spark, d).count()
+
+    val symDiff = ((exact -- approx) ++ (approx -- exact)).size
+    assert(symDiff.toDouble / total <= 0.10,
+      s"sketched gate drifted: $symDiff of $total docs differ from the exact gate")
+    approxRows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.nonEmpty, s"source $src fully gutted by the sketched gate")
+    }
+  }
 }
