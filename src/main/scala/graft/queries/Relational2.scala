@@ -511,8 +511,45 @@ object Relational2 {
              GROUP BY l_returnflag""")
   )
 
+  /** q128 — SALTED SKEW JOIN: the q48 move for JOINS. `events` joins its
+    * per-type dimension on `event_type` — FIVE distinct keys over the
+    * whole fact table, the textbook hot-key shuffle (every `click` row
+    * lands on one reducer). The salted rewrite appends `event_id % 8` to
+    * the fact key and EXPLODES the dim side ×8, so each hot key fans out
+    * over 8 reducers; salting is correctness-neutral (every fact row
+    * still meets exactly one dim copy), which is exactly what the oracle
+    * (a plain unsalted join) proves. Broadcast is force-disabled on an
+    * isolated session (q92's `newSession` conf discipline) because the
+    * 5-row dim would otherwise broadcast and hide the demonstration —
+    * the REAL 100 TB case is a dim too big to broadcast but small
+    * enough to replicate ×salt (say a 10 M-row per-domain table):
+    * static salting is the structural guarantee where AQE's runtime
+    * skew-split only handles sort-merge spills it can see.
+    * `SaltedJoinSpec` pins plan shape (shuffle join keyed by salt) and
+    * result-equality with the unsalted join.
+    */
+  val saltedJoin = Q(
+    "q128_salted_join",
+    (s, d) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.events(iso, d).select(col("event_id"), col("event_type"))
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+      val fact = ev.withColumn("salt", col("event_id") % 8)
+      val dimSalted = dim.select(col("event_type"), col("type_count"),
+        explode(sequence(lit(0L), lit(7L))).as("salt"))
+      fact.join(dimSalted, Seq("event_type", "salt"))
+        .select(col("event_id"), col("event_type"), col("type_count"))
+    },
+    Some("""WITH c AS (SELECT event_type, count(*) AS type_count
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(c.type_count AS BIGINT) AS type_count
+            FROM events e JOIN c USING (event_type)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin)
+    mergeUpsert, bloomJoin, saltedJoin)
 }
