@@ -91,5 +91,49 @@ object Profiling {
     None // HLL estimates are engine-specific; bounds in ProfilingHllSpec
   )
 
-  val all: Seq[Q] = Seq(profile, profileHll)
+  /** q129 — MATERIALIZED-AGGREGATE MAINTENANCE: refresh per-source
+    * corpus statistics from a stored base aggregate plus a delta batch,
+    * WITHOUT rescanning the base corpus — the daily-stats-refresh shape
+    * of a living 100 TB dataset (q101 profiles a drop from scratch; q129
+    * keeps the profile current as drops arrive). The base partition
+    * (doc_id % 10 ≠ 0, "yesterday's corpus") is aggregated ONCE and
+    * written to scratch parquet (the materialized view — q76/q99's
+    * train-once discipline); the refresh reads that artifact, aggregates
+    * only the DELTA (doc_id % 10 = 0), and MERGES by summing partials —
+    * sound because count/sum are algebraic (partials compose), which is
+    * the same property map-side combine rests on. The oracle recomputes
+    * from the full table: equality proves the merge is exact, not
+    * approximately right.
+    *
+    * Scale shape: the refresh touches |delta| rows + a source-cardinality
+    * artifact; nothing else. Token counts are integers (the q127
+    * counter); null sources coalesce (q94's rule) so the merge join
+    * never drops a group.
+    */
+  val statsMaintenance = Q(
+    "q129_stats_maintenance",
+    (s, d) => {
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .select(coalesce(col("source"), lit("unknown")).as("source"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      val docs = Tables.documents(s, d)
+      val out = _root_.graft.sources.Sources.scratchLeaf(d, "stats_base")
+      partials(docs.where(col("doc_id") % 10 =!= 0))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      val base = s.read.parquet(out)
+      base.unionAll(partials(docs.where(col("doc_id") % 10 === 0)))
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+    },
+    Some("""SELECT coalesce(source, 'unknown') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                        AS BIGINT) AS total_tokens
+            FROM documents GROUP BY coalesce(source, 'unknown')""")
+  )
+
+  val all: Seq[Q] = Seq(profile, profileHll, statsMaintenance)
 }

@@ -548,8 +548,62 @@ object Relational2 {
             FROM events e JOIN c USING (event_type)""")
   )
 
+  /** q130 — DATASET VERSION DIFF: row-level added/removed/changed/
+    * unchanged classification between two corpus snapshots — the audit
+    * half of data versioning (q88's MERGE applies a delta; q129
+    * maintains aggregates over one; q130 tells you what a new drop
+    * actually DID, which is what a release note, a cache invalidation,
+    * or an incremental-recompute planner consumes). The two versions
+    * are derived in closed form (v1 = doc_id % 7 ≠ 0 with original
+    * text; v2 = doc_id % 13 ≠ 0 with every 11th doc's text revised), so
+    * both engines see byte-identical snapshots — the q93/q123
+    * reconstruction move.
+    *
+    * Scale shape: each side reduces to (id, fingerprint) in a narrow
+    * projection BEFORE the full-outer shuffle — document bodies never
+    * travel; the diff is one join on the key at 32 chars per row.
+    * Status is a pure projection over null-ness and fp inequality;
+    * fingerprint columns coalesce to '-' (absent), never NULL (the
+    * NULL-canonicalization compare hazard).
+    */
+  val versionDiff = Q(
+    "q130_version_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), TextFns.md5Hex(col("text")).as("old_fp"))
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          TextFns.md5Hex(
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("new_fp"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_fp").isNull, "added")
+            .when(col("new_fp").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("old_fp"), lit("-")).as("old_fp"),
+          coalesce(col("new_fp"), lit("-")).as("new_fp"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS old_fp
+                        FROM documents WHERE doc_id % 7 <> 0),
+            v2 AS (SELECT doc_id,
+                          md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                                   ELSE text END) AS new_fp
+                   FROM documents WHERE doc_id % 13 <> 0)
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.old_fp <> v2.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   coalesce(old_fp, '-') AS old_fp,
+                   coalesce(new_fp, '-') AS new_fp
+            FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin, saltedJoin)
+    mergeUpsert, bloomJoin, saltedJoin, versionDiff)
 }

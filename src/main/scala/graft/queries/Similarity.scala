@@ -1144,7 +1144,59 @@ object Similarity {
             WHERE dr.vec_id IS NULL""")
   )
 
+  /** q131 — FILTERED VECTOR SEARCH: q63's IVF top-k under a metadata
+    * predicate (label % 3 = 0) — the hybrid query every production
+    * vector store serves ("nearest neighbors WHERE lang='en' AND
+    * license='permissive'"), and the one a naive post-filter breaks: a
+    * top-5-then-filter returns FEWER than 5 (or zero) rows when the
+    * neighborhood is dominated by non-matching vectors. The correct
+    * shape filters the CORPUS side before ranking — probes still probe
+    * their `IvfNProbe` cells, scoring joins only cell-matched AND
+    * predicate-matched vectors, and the rank window sees exactly the
+    * eligible population. The predicate applies to the corpus, never
+    * the probe (a query vector needn't satisfy the filter it searches
+    * under).
+    *
+    * Scale shape: identical to q63 plus one equi-join to the metadata
+    * column (vec_id-keyed, pruned to `label` by Catalyst) and the
+    * pushed predicate — at 100 TB the label filter lands in the
+    * inverted-file scan (q76's layout would put label alongside the
+    * codes, making this a `PushedFilters` entry, zero extra join).
+    * Oracle: the shared IVF CTE chain with the label join on
+    * `assigned` — cell assignment provably identical to q63's.
+    */
+  val filteredAnn = Q(
+    "q131_ann_filtered",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val labels = Tables.embeddings(s, d)
+        .where(col("label") % 3 === 0)
+        .select(col("vec_id").as("lid"))
+      val corpus = ev
+        .select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+        .join(labels, col("vec_id") === col("lid"))
+        .drop("lid")
+      ivfRank(ivfProbes(ev), corpus)
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            filt AS (SELECT a.vec_id, a.v, a.cell
+                     FROM assigned a
+                     JOIN embeddings em ON em.vec_id = a.vec_id
+                     WHERE em.label % 3 = 0),
+            scored AS (
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM probes q JOIN filt x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id)
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM scored) t
+            WHERE rnk <= 5""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
-      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup)
+      embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
+      filteredAnn)
 }
