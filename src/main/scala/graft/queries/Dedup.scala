@@ -85,11 +85,29 @@ object Dedup {
     * back to a sizes relation. Shared by q23 (full corpus) and q99
     * (materialized base index + in-flight delta).
     */
+  /** Universal-hash minhash family: ONE md5 per gram (folded to a 60-bit
+    * int, reduced mod the Mersenne prime 2³¹−1), then the K signature
+    * values are `(aᵢ·h + bᵢ) mod p` — integer mixes, not K more md5
+    * invocations. Measured on the isolated A/B (sf0.1, reps=3): the
+    * md5-per-seed build cost ~12 digests per gram; this costs 1 digest +
+    * 12 multiply-adds, cutting the signature stage across every consumer
+    * (q23/q69/q70/q99). Overflow-safe under ANSI: aᵢ < 2³¹ and h < 2³¹,
+    * so aᵢ·h + bᵢ < 2⁶² < Long.Max. The oracle computes the identical
+    * constants from the seed inline, so both engines walk the same
+    * permutations.
+    */
+  private val MinhashP = 2147483647L // Mersenne prime 2^31 - 1
+  private def mixA(i: Int): Long = (2654435761L * (2L * i + 1)) % MinhashP
+  private def mixB(i: Int): Long = (40503L * (i + 1)) % MinhashP
+
   private def bandRows(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withH = grams.withColumn("h",
+      expr("CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+        % MinhashP)
     val sigCols = (0 until MinhashK)
-      .map(i => min(TextFns.seededMd5(lit(i), col("g"))).as(s"mh$i")) :+
+      .map(i => min((lit(mixA(i)) * col("h") + lit(mixB(i))) % MinhashP).as(s"mh$i")) :+
       count(lit(1)).as("n")
-    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = withH.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKeys = (0 until MinhashK / 2).map { b =>
       TextFns.md5Hex(concat(lit(s"$b#"), col(s"mh${2 * b}"), lit(","), col(s"mh${2 * b + 1}")))
     }
@@ -135,9 +153,14 @@ object Dedup {
     */
   private lazy val sqlBandsCtes =
     s"""$sqlGrams,
+       hh AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % $MinhashP AS h
+              FROM grams),
        seeds AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS seed),
-       mh AS (SELECT doc_id, seed, min(md5(concat(seed, '|', g))) AS mh
-              FROM grams, seeds GROUP BY 1, 2),
+       mh AS (SELECT doc_id, seed,
+                     min((((2654435761 * (2 * seed + 1)) % $MinhashP) * h
+                          + ((40503 * (seed + 1)) % $MinhashP)) % $MinhashP) AS mh
+              FROM hh, seeds GROUP BY 1, 2),
        bnd AS (SELECT doc_id, seed // 2 AS band,
                       min(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
                       min(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
