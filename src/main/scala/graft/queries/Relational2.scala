@@ -602,8 +602,57 @@ object Relational2 {
             FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""")
   )
 
+  /** q133 — PER-GROUP WINSORIZATION: clip `events.value` to its event
+    * type's [p05, p95] — the outlier-clamping pass a feature pipeline
+    * runs before normalization (one rogue sensor/purchase value
+    * otherwise owns the group's mean and scale). Percentiles are
+    * RANK-DEFINED (the value at row ⌈q·n⌉ ordered by (value, event_id)
+    * — q120's portable-quantile discipline): the clip bounds are
+    * existing bit-exact doubles SELECTED from the data, never
+    * interpolated, so `least/greatest` against them is engine-portable
+    * with zero rounding. At 100 TB the bounds come from
+    * `approx_percentile` (q49/q126's sketch family) with this exact
+    * form as the audit twin; the bounds table is group-cardinality
+    * (tiny) and joins back map-side.
+    */
+  val winsorize = Q(
+    "q133_winsorize",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value"), col("event_id")))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val bounds = ranked
+        .withColumn("lo_rn", expr("(n * 5 + 99) DIV 100"))
+        .withColumn("hi_rn", expr("(n * 95 + 99) DIV 100"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === greatest(col("lo_rn"), lit(1L)), col("value"))).as("p05"),
+          min(when(col("rn") === greatest(col("hi_rn"), lit(1L)), col("value"))).as("p95"))
+      ev.join(bounds, Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("p05"), col("p95"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("clipped"))
+    },
+    Some("""WITH r AS (SELECT event_id, event_type, value,
+                              CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM events),
+            b AS (SELECT event_type,
+                         min(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1)
+                                  THEN value END) AS p05,
+                         min(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                                  THEN value END) AS p95
+                  FROM r GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value, b.p05, b.p95,
+                   least(greatest(e.value, b.p05), b.p95) AS clipped
+            FROM events e JOIN b USING (event_type)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin, saltedJoin, versionDiff)
+    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize)
 }

@@ -1347,9 +1347,63 @@ object TextAnalysis {
     None
   )
 
+  /** q132 — RAG CHUNKING with overlap: split every document into
+    * 64-token windows advancing by 48 (16-token overlap), the
+    * retrieval-chunking shape an embedding/RAG pipeline feeds its
+    * encoder — the third member of the segmentation family, by
+    * PURPOSE: q89 cuts fixed disjoint segments (dedup grain), q115
+    * cuts content-defined spans (shift-robust dedup), q132 cuts
+    * OVERLAPPING windows so no retrieval answer straddles a boundary
+    * without some chunk containing it whole. The last window aligns to
+    * the document end (the standard "final chunk anchored at n−C"
+    * rule), so every token is covered and all chunks are full-width
+    * whenever the doc allows it; docs shorter than one window yield
+    * exactly one chunk.
+    *
+    * Pure integer window arithmetic (count = 1 + ⌈(n−C)/s⌉ via DIV,
+    * start = min(k·s, n−C)) and one narrow explode — no shuffle at all;
+    * the chunk fingerprint stands in for the chunk text (rows stay
+    * 32-char). Exact oracle; `RagChunkSpec` differential + coverage/
+    * overlap invariants.
+    */
+  val ragChunks = Q(
+    "q132_rag_chunks",
+    (s, d) => {
+      val C = 64; val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("k", explode(expr(
+          s"sequence(0, CASE WHEN n <= $C THEN 0 ELSE (n - $C + $S - 1) DIV $S END)")))
+        .withColumn("st", expr(s"least(k * $S, greatest(n - $C, 0))"))
+        .withColumn("ln", expr(s"least($C, n)"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+          (col("st") + 1).cast("long").as("start_tok"),
+          col("ln").cast("long").as("n_tok"),
+          TextFns.md5Hex(expr("array_join(slice(ws, st + 1, ln), ' ')")).as("fp"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                                 len(string_split(text, ' ')) AS n
+                          FROM documents),
+            ks AS (SELECT doc_id, ws, n,
+                          unnest(generate_series(0,
+                            CASE WHEN n <= 64 THEN 0
+                                 ELSE (n - 64 + 47) // 48 END)) AS k
+                   FROM toks),
+            ch AS (SELECT doc_id, k, ws,
+                          least(k * 48, greatest(n - 64, 0)) AS st,
+                          least(64, n) AS ln
+                   FROM ks)
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   CAST(st + 1 AS BIGINT) AS start_tok,
+                   CAST(ln AS BIGINT) AS n_tok,
+                   md5(array_to_string(list_slice(ws, st + 1, st + ln), ' ')) AS fp
+            FROM ch""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox)
+      qualityGateApprox, ragChunks)
 }
