@@ -651,8 +651,52 @@ object Relational2 {
             FROM events e JOIN b USING (event_type)""")
   )
 
+  /** q134 — PER-GROUP Z-SCORE NORMALIZATION: standardize `events.value`
+    * within its event type — the feature-scaling pass that follows
+    * q133's clamp in a real pipeline (clip the tails, then center and
+    * scale what remains). The cross-engine hazard is the MOMENTS, not
+    * the formula: Σv and Σv² in raw doubles drift with partial-agg
+    * order, so both are summed EXACTLY in decimal (the `dsum`
+    * discipline — value carries 2 decimals, value² exactly 4) and only
+    * then cast to double; mean/variance/σ/z then follow the identical
+    * IEEE op sequence on both engines (computational formula spelled
+    * the same: Σv²/n − μ·μ, floored at 0 for the constant-group edge,
+    * sqrt is IEEE-exact), so z-scores hash bit-for-bit with ZERO
+    * rounding. Constant groups (σ = 0) emit z = 0 — the total-function
+    * rule. One map-side-combined moment pass; the group-cardinality
+    * moment table joins back map-side.
+    */
+  val zscore = Q(
+    "q134_zscore",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val moments = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sv"),
+          Q.dsum4(col("value") * col("value")).as("svv"))
+        .withColumn("mean", col("sv") / col("n"))
+        .withColumn("sd", sqrt(greatest(col("svv") / col("n") - col("mean") * col("mean"),
+          lit(0.0))))
+      ev.join(moments.select("event_type", "mean", "sd"), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("mean"), col("sd"),
+          when(col("sd") === 0.0, lit(0.0))
+            .otherwise((col("value") - col("mean")) / col("sd")).as("z"))
+    },
+    Some(s"""WITH m AS (SELECT event_type, count(*) AS n,
+                              ${sqlSum2("value")} AS sv,
+                              ${Q.sqlSum4("value * value")} AS svv
+                       FROM events GROUP BY event_type),
+            b AS (SELECT event_type, sv / n AS mean,
+                         sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)) AS sd
+                  FROM m)
+            SELECT e.event_id, e.event_type, e.value, b.mean, b.sd,
+                   CASE WHEN b.sd = 0.0 THEN 0.0
+                        ELSE (e.value - b.mean) / b.sd END AS z
+            FROM events e JOIN b USING (event_type)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize)
+    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore)
 }
