@@ -1401,9 +1401,68 @@ object TextAnalysis {
             FROM ch""")
   )
 
+  /** Misra–Gries summary of a token stream: at most `k` (word, count)
+    * survivors; the classic guarantee is that any word with local
+    * frequency > N_p/(k+1) survives its partition's summary. Exposed for
+    * `HeavyHitterSpec`'s eviction-under-pressure test.
+    */
+  private[graft] def mgSummary(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      if (m.contains(w)) m(w) += 1L
+      else if (m.size < k) m(w) = 1L
+      else for (key <- m.keys.toArray) {
+        val c = m(key) - 1L
+        if (c == 0L) m.remove(key) else m(key) = c
+      }
+    }
+    m.iterator
+  }
+
+  /** q135 — DISTRIBUTED HEAVY HITTERS, the two-pass sketch-then-verify
+    * shape: pass 1 runs a Misra–Gries summary (k = 128) inside each
+    * partition (`mapPartitions` — O(k) memory per task, no shuffle of
+    * the stream), pass 2 exactly counts ONLY the surviving candidates
+    * and emits the top 16. The pigeonhole argument makes the candidate
+    * union lossless for any word with global frequency > N/(k+1): such
+    * a word exceeds N_p/(k+1) in at least one partition, where
+    * Misra–Gries guarantees survival — so the exact pass sees every
+    * true heavy hitter and the output equals the full-aggregation
+    * top-16 (which is exactly what the oracle computes). At this
+    * corpus's vocabulary the summaries never evict (vocab < k — the
+    * audit regime); `HeavyHitterSpec` forces eviction with k = 4 to
+    * exercise the guarantee under pressure.
+    *
+    * Scale shape: the candidate set is ≤ partitions × k rows (cluster-
+    * bounded, not corpus-bounded); the exact pass semi-joins the token
+    * stream against it (AQE-decided, no hint) and aggregates
+    * map-side-combined; the answer ships as TakeOrderedAndProject
+    * (q85's discipline). This is how a 100 TB vocabulary question
+    * ("what dominates this crawl?") is answered without ever shuffling
+    * the full word space.
+    */
+  val heavyHitters = Q(
+    "q135_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "").as[String]
+      val cands = toks.mapPartitions(it => mgSummary(it, 128))
+        .toDF("w", "lc").select("w").distinct()
+      toks.toDF("w").join(cands, Seq("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(16)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            SELECT w, count(*) AS cnt FROM tok WHERE w <> ''
+            GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks)
+      qualityGateApprox, ragChunks, heavyHitters)
 }
