@@ -1460,9 +1460,44 @@ object TextAnalysis {
             GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
   )
 
+  /** q136 — BLOOM-ACCELERATED DECONTAMINATION: q82's exact train×bench
+    * gram join, preceded by a Bloom-filter prefilter over the bench
+    * gram set — the data-reduction move that makes exact
+    * decontamination affordable at 100 TB, where the train gram stream
+    * is petabyte-scale but the benchmark side is a few thousand
+    * documents: build one Bloom filter over the bench grams (a bounded
+    * KB–MB artifact, the ivfCents/q99-index class — it rides the task
+    * closure like a broadcast), drop every train gram the filter
+    * rejects BEFORE the shuffle (definite non-members; a Bloom filter
+    * has NO false negatives), and run q82's exact join on the
+    * survivors. False POSITIVES pass the prefilter and are then
+    * eliminated by the exact join, so the output — and the oracle — is
+    * IDENTICAL to q82's: the sketch buys shuffle reduction, never
+    * answer drift (the q135 sketch-then-verify shape, applied to
+    * joins). `BloomDecontamSpec` plants a real leak to prove flagging
+    * end-to-end and pins the no-false-negative property.
+    */
+  val decontaminateBloom = Q(
+    "q136_decontaminate_bloom",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), 5)
+      val bench = grams.where(col("doc_id") % 101 === 0)
+      val train = grams.where(col("doc_id") % 101 =!= 0)
+      // bounded benchmark-side artifact: ~grams(bench) entries at 1% fpp
+      val nBench = bench.count().max(1L)
+      val bloom = bench.stat.bloomFilter("g", nBench, 0.01)
+      val mightContain = udf((g: String) => bloom.mightContain(g))
+      train.where(mightContain(col("g"))).as("t")
+        .join(bench.as("b"), col("t.g") === col("b.g"))
+        .groupBy(col("t.doc_id").as("train_doc"), col("b.doc_id").as("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    decontaminate.oracle
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks, heavyHitters)
+      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom)
 }
