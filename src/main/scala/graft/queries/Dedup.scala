@@ -950,8 +950,59 @@ object Dedup {
              FROM pairs2""")
   )
 
+  /** q137 — QUALITY-AWARE COMPONENT KEEPER: for every near-duplicate
+    * component (q70's connected components over the LSH-verified pair
+    * graph), retain the HIGHEST-QUALITY member (q31's score; doc_id
+    * tiebreak) — the production retention rule, where min-id keepers
+    * (q22/q117's audit-friendly default) throw away the best copy of a
+    * page whenever a cleaner mirror arrived later. The keeper is an
+    * ARG-MAX as a struct max — `max(struct(quality, -doc_id))` under
+    * groupBy, the q89 skew-immune idiom (map-side partial max; a window
+    * over a viral component would pile its members onto one partition)
+    * — portable because quality is bit-exact cross-engine (q31) and
+    * struct ordering is lexicographic in both.
+    *
+    * Oracle: q70's recursive-CTE components joined to q31's nested SQL
+    * (the q120 composition move — neither the component set nor the
+    * score can drift from their defining queries).
+    */
+  val componentKeeper = Q(
+    "q137_component_keeper",
+    (s, d) => {
+      val comps = dedupComponents.fn(s, d)
+      val quality = TextAnalysis.qualityScore.fn(s, d).select(col("doc_id"), col("quality"))
+      comps.join(quality, Seq("doc_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("component"), col("n_members"),
+          (-col("best.nid")).as("keeper_doc"), col("best.q").as("keeper_quality"))
+    },
+    Some(s"""WITH RECURSIVE $sqlMinhashCtes,
+             lshpairs AS ($sqlMinhashPairsSelect),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
+                       UNION SELECT doc_b, doc_a FROM lshpairs),
+             reach(a, b) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+             comp AS (SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+                      FROM reach GROUP BY a),
+             qual AS (${TextAnalysis.qualityScore.oracle.get}),
+             j AS (SELECT c.component, c.doc_id, q.quality
+                   FROM comp c JOIN qual q ON q.doc_id = c.doc_id),
+             agg AS (SELECT component, count(*) AS n_members,
+                            max(struct_pack(q := quality, nid := -doc_id)) AS best
+                     FROM j GROUP BY component)
+             SELECT component, CAST(n_members AS BIGINT) AS n_members,
+                    CAST(-best.nid AS BIGINT) AS keeper_doc,
+                    best.q AS keeper_quality
+             FROM agg""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
-      simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup)
+      simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
+      componentKeeper)
 }
