@@ -385,7 +385,49 @@ object EventWindows {
     session.oracle // identical semantics to q36
   )
 
+  /** q138 — STREAM-STATIC ENRICHMENT JOIN: the streaming event flow
+    * joined against a BATCH dimension (the per-type count table) — the
+    * one streaming join shape the suite lacked (q74 covers
+    * stream-stream interval; this is the "enrich the clickstream with
+    * the account table" pattern every deployment runs). The static side
+    * is planned fresh per micro-batch, so a slowly-changing dimension
+    * is always current without restarting the query, and needs no
+    * watermark or join state at all — the stream row either matches
+    * now or never (inner join), which is why append mode emits
+    * immediately where q74 must hold rows in state. Oracle ≡ q128's
+    * batch join: the streaming execution path must agree with the
+    * batch path row-for-row.
+    */
+  val streamStaticJoin = Q(
+    "q138_stream_static_join",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val dim = Tables.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("type_count"))
+        val src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+        val q = src.join(dim, Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("type_count"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    },
+    Some("""WITH c AS (SELECT event_type, count(*) AS type_count
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(c.type_count AS BIGINT) AS type_count
+            FROM events e JOIN c USING (event_type)""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
-      streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink)
+      streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
+      streamStaticJoin)
 }
