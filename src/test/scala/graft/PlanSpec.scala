@@ -296,6 +296,29 @@ class PlanSpec extends AnyFunSuite {
       "query table should broadcast against the postings relation")
   }
 
+  test("q132: RAG chunking is a pure narrow transform (no shuffle at all)") {
+    // window arithmetic + explode + fingerprint — an Exchange here means
+    // chunking is shuffling the corpus it only needs to map over
+    assert(!plan("q132_rag_chunks").contains("Exchange"), "q132 shuffles")
+  }
+
+  test("q123: URL canonicalization shuffles only the canonical-key aggregation") {
+    // the regex chain is narrow; the ONLY exchanges allowed are the
+    // group-by-canon aggregation and its join-back
+    val p = plan("q123_url_canon")
+    assert(!p.contains("Window"), "q123 grew a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q124: the gram-owner relation carries no forced broadcast hint") {
+    // gram owners are corpus-growing — a forced broadcast is the 100 TB
+    // OOM class (q46/q112 discipline). q121 is NOT gated here: its only
+    // hint is the bounded 1-row max mount (the centroid-mount class).
+    val analyzed = SparkEntry.queries("q124_novelty")(spark, d)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "q124 carries a broadcast hint")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
