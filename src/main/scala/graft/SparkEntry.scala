@@ -21,6 +21,7 @@ object SparkEntry {
       _root_.graft.queries.Sampling.all ++
       _root_.graft.queries.Multimodal.all ++
       _root_.graft.queries.EventWindows.all ++
+      _root_.graft.queries.Behavior.all ++
       _root_.graft.queries.Relational2.all ++
       _root_.graft.queries.Profiling.all ++
       _root_.graft.sources.Sources.all ++
