@@ -1000,9 +1000,62 @@ object Dedup {
              FROM agg""")
   )
 
+  /** q142 — TRIANGLE CENSUS of the near-dup graph: per-document triangle
+    * participation over the q23 edge set ([[graft.operators.Triangles]],
+    * degree-ordered wedge enumeration). Triangles separate CLIQUE-like
+    * dedup clusters (every copy resembles every other — a template stamped
+    * out verbatim) from CHAIN-like ones (drifting revisions where only
+    * adjacent versions match): q70 assigns both the same component label,
+    * but retention policy should differ — a clique keeps one member, a
+    * chain may keep its endpoints. Zero-triangle nodes stay in the output
+    * (the chain case is a real signal, not missing data).
+    *
+    * Scale: the orientation bounds wedge fan-out at O(√m) per node (hub
+    * immunity — see the operator's scaladoc); on this corpus the graph is
+    * tiny, so the differential `TrianglesSpec` drives the operator with
+    * clique/chain/star fixtures the synthetic near-dup graph never forms.
+    * Oracle: q23's CTE chain, then the same orient-wedge-close join in SQL
+    * (row-value comparisons mirror the struct ordering).
+    */
+  val triangleCensus = Q(
+    "q142_triangle_census",
+    (s, d) => {
+      val pairs = minhashLsh.fn(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Triangles.counts(pairs)
+        .select(col("id").as("doc_id"), col("triangles"))
+    },
+    Some(s"""WITH $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             deg AS (SELECT id, count(*) AS deg FROM (
+                       SELECT doc_a AS id FROM pairs
+                       UNION ALL SELECT doc_b FROM pairs) t GROUP BY 1),
+             oe AS (SELECT CASE WHEN (x.deg, p.doc_a) < (y.deg, p.doc_b)
+                                THEN p.doc_a ELSE p.doc_b END AS src,
+                           CASE WHEN (x.deg, p.doc_a) < (y.deg, p.doc_b)
+                                THEN p.doc_b ELSE p.doc_a END AS dst,
+                           CASE WHEN (x.deg, p.doc_a) < (y.deg, p.doc_b)
+                                THEN y.deg ELSE x.deg END AS ddeg
+                    FROM pairs p
+                    JOIN deg x ON x.id = p.doc_a
+                    JOIN deg y ON y.id = p.doc_b),
+             tri AS (SELECT e1.src AS apex, e1.dst AS v, e2.dst AS w
+                     FROM oe e1
+                     JOIN oe e2 ON e2.src = e1.src
+                       AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+                     JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+             corners AS (SELECT apex AS id FROM tri
+                         UNION ALL SELECT v FROM tri
+                         UNION ALL SELECT w FROM tri),
+             cc AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
+             SELECT d.id AS doc_id,
+                    CAST(coalesce(cc.triangles, 0) AS BIGINT) AS triangles
+             FROM deg d LEFT JOIN cc ON cc.id = d.id""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
-      componentKeeper)
+      componentKeeper, triangleCensus)
 }

@@ -1195,8 +1195,71 @@ object Similarity {
             WHERE rnk <= 5""")
   )
 
+  /** q141 — CONTRASTIVE HARD-NEGATIVE MINING: for each probe, its best
+    * SAME-label neighbor (the anchor-positive) paired with the top-5
+    * highest-cosine DIFFERENT-label neighbors (the hard negatives) and
+    * the anchor margin pos_sim − neg_sim — the pair-mining pass that
+    * turns an embedding corpus into contrastive training data (easy
+    * negatives teach nothing; the hardest ones define the decision
+    * boundary, and a small or negative margin flags the probes whose
+    * class boundary the encoder currently gets wrong).
+    *
+    * Scale design: ONE broadcast-probe scoring pass (q27's bounded BNLJ
+    * — the corpus never shuffles) feeds both rank windows; the windows
+    * partition by probe_id (bounded by the probe set, never by corpus
+    * key), and the positive/negative split is a filter on the already-
+    * scored rows, not a second scan. At 100 TB the scoring pass is the
+    * q109/q117 move — block by IVF cell first, then mine within cells;
+    * the margin/rank logic is unchanged. Margin is a single IEEE
+    * subtraction of two 6-digit-rounded doubles — portable bit-exact.
+    */
+  val hardNegatives = Q(
+    "q141_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.where(col("vec_id") < 8)
+      val scored = broadcast(probes).as("q")
+        .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("q.label").as("plabel"),
+          col("x.vec_id").as("nid"), col("x.label").as("nlabel"),
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("nid").asc)
+      val pos = scored.where(col("nlabel") === col("plabel"))
+        .withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("probe_id"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = scored.where(col("nlabel") =!= col("plabel"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 5)
+        .select(col("probe_id"), col("nid").as("neg_id"), col("sim").as("neg_sim"),
+          col("r").cast("long").as("rnk"))
+      neg.join(pos, "probe_id")
+        .select(col("probe_id"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT * FROM e WHERE vec_id < 8),
+            scored AS (SELECT p.vec_id AS probe_id, p.label AS plabel,
+                              x.vec_id AS nid, x.label AS nlabel,
+                              round(list_cosine_similarity(p.v, x.v), 6) AS sim
+                       FROM p JOIN e x ON x.vec_id <> p.vec_id),
+            pos AS (SELECT probe_id, nid AS pos_id, sim AS pos_sim FROM (
+                      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, nid) AS r
+                      FROM scored WHERE nlabel = plabel) t WHERE r = 1),
+            neg AS (SELECT probe_id, nid AS neg_id, sim AS neg_sim,
+                           CAST(r AS BIGINT) AS rnk FROM (
+                      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, nid) AS r
+                      FROM scored WHERE nlabel <> plabel) t WHERE r <= 5)
+            SELECT n.probe_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+                   p.pos_sim - n.neg_sim AS margin, n.rnk
+            FROM neg n JOIN pos p ON p.probe_id = n.probe_id""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
-      filteredAnn)
+      filteredAnn, hardNegatives)
 }
