@@ -1495,9 +1495,102 @@ object TextAnalysis {
     decontaminate.oracle
   )
 
+  /** q144 — FUZZY VOCABULARY MATCH via the SymSpell deletion
+    * neighborhood: each query term (a closed-form misspelling — the
+    * middle character deleted from every vocabulary word of length ≥ 5;
+    * this synthetic vocabulary is small, so all of them serve as the
+    * query fixture) finds its best vocabulary term within edit distance 1
+    * WITHOUT an all-pairs distance scan: both sides expand to their
+    * ≤1-deletion variant sets, candidates come from an EQUI-join on the
+    * variant string, and only candidates pay the exact levenshtein
+    * verify. Completeness is structural, not probabilistic: lev(q, t) ≤ 1
+    * ⟹ q = t (shared self-variant), or t inserts one char into q (t's
+    * deletion = q), or deletes one (symmetric), or substitutes one (both
+    * delete at that position) — so the variant join misses nothing.
+    * This is query-side spelling normalization for retrieval (q113/q119
+    * consume exact terms; a misspelled query term scores zero without
+    * this pass).
+    *
+    * Scale: the expansion runs at VOCABULARY scale × (len+1) variants
+    * (q100/q112's discipline — never corpus scale); the variant join is
+    * an equi-join with no broadcast hint (vocabulary grows with the
+    * corpus); the best-match per query is the skew-immune
+    * `min(struct(dist, −cnt, term))` aggregation (q89/q137), not a
+    * window. The exact-verify cost is per CANDIDATE (shared-variant
+    * pairs only) — the SymSpell trade that makes distance search
+    * feasible over a billion-term vocabulary.
+    */
+  /** The SymSpell core over any (w, cnt) vocabulary and (query) relation
+    * — factored out so `FuzzyMatchSpec` can drive it with a handcrafted
+    * vocabulary exercising each edit class (insert/delete/substitute/
+    * exact/too-far) and prove completeness against a brute-force scan.
+    */
+  def symspellMatch(vocab: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def variants(in: org.apache.spark.sql.DataFrame, c: String) =
+      in.withColumn("var", explode(expr(
+        s"""transform(sequence(0, length($c)),
+            i -> CASE WHEN i = 0 THEN $c
+                 ELSE concat(substring($c, 1, i - 1), substring($c, i + 1, 8192)) END)""")))
+    val cand = variants(queries, "query")
+      .join(variants(vocab, "w"), "var")
+      .select("query", "w", "cnt").distinct()
+    cand
+      .withColumn("dist", levenshtein(col("query"), col("w")).cast("long"))
+      .where(col("dist") <= 1)
+      .groupBy("query")
+      .agg(min(struct(col("dist"), (-col("cnt")).as("ncnt"), col("w"))).as("best"))
+      .select(col("query"), col("best.w").as("term"), col("best.dist").as("distance"),
+        (-col("best.ncnt")).as("term_cnt"))
+  }
+
+  val fuzzyMatch = Q(
+    "q144_fuzzy_match",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val queries = vocab
+        .where(length(col("w")) >= 5)
+        .select(expr(
+          "concat(substring(w, 1, (length(w) div 2) - 1), substring(w, (length(w) div 2) + 1, 8192))")
+          .as("query"))
+        .distinct()
+      symspellMatch(vocab, queries)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            vocab AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY 1),
+            queries AS (
+              SELECT DISTINCT
+                     concat(substr(w, 1, (length(w) // 2) - 1),
+                            substr(w, (length(w) // 2) + 1, 8192)) AS query
+              FROM vocab
+              WHERE length(w) >= 5),
+            vvar AS (SELECT w, cnt,
+                            CASE WHEN i = 0 THEN w
+                                 ELSE concat(substr(w, 1, i - 1), substr(w, i + 1, 8192)) END AS var
+                     FROM (SELECT w, cnt, unnest(generate_series(0, length(w))) AS i
+                           FROM vocab) t),
+            qvar AS (SELECT query,
+                            CASE WHEN i = 0 THEN query
+                                 ELSE concat(substr(query, 1, i - 1), substr(query, i + 1, 8192)) END AS var
+                     FROM (SELECT query, unnest(generate_series(0, length(query))) AS i
+                           FROM queries) t),
+            cand AS (SELECT DISTINCT q.query, v.w, v.cnt
+                     FROM qvar q JOIN vvar v ON v.var = q.var),
+            ver AS (SELECT query, w, cnt,
+                           CAST(levenshtein(query, w) AS BIGINT) AS dist
+                    FROM cand WHERE levenshtein(query, w) <= 1)
+            SELECT query, w AS term, dist AS distance, CAST(cnt AS BIGINT) AS term_cnt
+            FROM (SELECT *, row_number() OVER (PARTITION BY query
+                            ORDER BY dist, cnt DESC, w) AS r FROM ver) t
+            WHERE r = 1""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom)
+      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch)
 }

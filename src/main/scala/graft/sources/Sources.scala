@@ -229,7 +229,101 @@ object Sources {
             FROM documents""")
   )
 
+  /** q143 — TIME-TRAVEL READS over a copy-on-write versioned table (the
+    * Iceberg/Delta storage model, built from primitives): the corpus is
+    * laid out as immutable bucket files, a MANIFEST table records which
+    * files each snapshot version comprises, and a commit is "write the
+    * changed files + a new manifest row-set" — data files are NEVER
+    * edited in place. Version 1 is the base corpus in 4 bucket files;
+    * version 2 commits q88's closed-form delta copy-on-write: buckets
+    * containing updated docs are rewritten, untouched buckets' files are
+    * SHARED by both manifests (the whole point — a 100 TB table's daily
+    * delta rewrites only the touched files), and inserts land in a new
+    * file. Reading AS OF v = read exactly the manifest-v file list; the
+    * output is both snapshots' rows tagged by version, so the oracle
+    * proves v1 is still byte-intact AFTER v2 committed (snapshot
+    * isolation) and v2 equals the merge result.
+    *
+    * The manifest is collected driver-side before the data read — file
+    * METADATA, bounded by file count not rows; exactly what every table
+    * format's planning phase does. `TimeTravelSpec` pins file sharing
+    * (the untouched buckets appear in both manifests) and post-commit v1
+    * integrity.
+    */
+  /** q143's manifest location, exposed so `TimeTravelSpec` can verify the
+    * copy-on-write file-sharing property directly against the committed
+    * manifest (same JVM ⇒ same scratch leaf).
+    */
+  def timeTravelManifestDir(d: String): String = leaf(d, "tt_manifest")
+
+  val timeTravel = Q(
+    "q143_time_travel",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          (col("doc_id") % 4).as("bucket"))
+      val updates = base.where(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+      val inserts = base.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("bucket", col("doc_id") % 4)
+      val touched: Seq[Long] = Seq(0L, 2L) // multiples of 10 mod 4 ∈ {0, 2}
+
+      val dataFiles = (0L until 4L).map { k =>
+        val f = leaf(d, s"tt_base_$k")
+        base.where(col("bucket") === k).drop("bucket")
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+      val rewritten = touched.map { k =>
+        val f = leaf(d, s"tt_rw_$k")
+        base.where(col("bucket") === k && col("doc_id") % 10 =!= 0).drop("bucket")
+          .unionAll(updates.where(col("bucket") === k).drop("bucket"))
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+      val insertFile = leaf(d, "tt_ins")
+      inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insertFile)
+
+      import s.implicits._
+      val manifest =
+        (0L until 4L).map(k => (1L, dataFiles(k))) ++
+          (0L until 4L).map(k => (2L, rewritten.getOrElse(k, dataFiles(k)))) :+
+          ((2L, insertFile))
+      val manifestDir = leaf(d, "tt_manifest")
+      manifest.toDF("version", "path")
+        .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+
+      def asOf(v: Long): DataFrame = {
+        val paths = s.read.parquet(manifestDir)
+          .where(col("version") === v).select("path")
+          .collect().map(_.getString(0)).sorted
+        s.read.parquet(paths: _*)
+      }
+      Seq(1L, 2L).map { v =>
+        asOf(v).select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"), length(col("text")).cast("long").as("text_len"),
+          graft.functions.TextFns.md5Hex(col("text")).as("text_fp"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH base AS (SELECT doc_id, lang, n_chars, text FROM documents),
+            v2 AS (
+              SELECT b.doc_id, b.lang, b.n_chars,
+                     CASE WHEN b.doc_id % 10 = 0 THEN upper(b.text) ELSE b.text END AS text
+              FROM base b
+              UNION ALL
+              SELECT doc_id + 10000000, lang, n_chars, text
+              FROM base WHERE doc_id % 7 = 0)
+            SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars,
+                   CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_fp
+            FROM base
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars,
+                   CAST(length(text) AS BIGINT), md5(text)
+            FROM v2""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
-      schemaEvolution)
+      schemaEvolution, timeTravel)
 }
