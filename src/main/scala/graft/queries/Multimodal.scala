@@ -773,6 +773,100 @@ object Multimodal {
     pngDecode.oracle // identical semantics: the file round-trip must not change a byte
   )
 
+  /** q145 — AUDIO RESAMPLING (2:1 decimation), the full DSP chain over
+    * q108's corpus: decode each WAV payload through `AudioSystem` (real
+    * codec, not the closed form — a decode bug surfaces here), average
+    * adjacent sample pairs into a 4 kHz waveform, RE-ENCODE as WAV at
+    * the new rate, decode again, and emit the half-rate features +
+    * fingerprint. The pair average is pure integer arithmetic biased
+    * into non-negative range before the divide —
+    * `((s0 + s1 + 2000) / 2) − 1000` — because `/` truncates toward
+    * zero in Scala but floors in some engines; on non-negative operands
+    * every convention agrees, so the DuckDB oracle reproduces each
+    * output sample bit-exactly from the closed form (q108's inputs are
+    * always even-length, so no tail sample is dropped).
+    *
+    * Scale shape: same as q108 — both codec stages inside
+    * `mapPartitions` (format objects once per partition), payloads never
+    * shuffle, the downsampled payload is HALF the input (resampling is
+    * the step that makes a 100 TB audio corpus cheaper downstream, so
+    * the pipeline must not inflate it back).
+    */
+  val wavResample = Q(
+    "q145_wav_resample",
+    (s, d) => {
+      import s.implicits._
+      val fmt8k = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val fmt4k = () => new javax.sound.sampled.AudioFormat(4000f, 16, 1, true, false)
+      def toPcm(samples: Array[Short]): Array[Byte] = {
+        val pcm = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        pcm
+      }
+      def fromPcm(raw: Array[Byte]): Array[Short] =
+        Array.tabulate(raw.length / 2) { i =>
+          (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        }
+      def wavEncode(samples: Array[Short],
+          format: javax.sound.sampled.AudioFormat): Array[Byte] = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(toPcm(samples)), format, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val format = fmt8k()
+          it.map(id => (id, wavEncode(wavSamples(id), format)))
+        }
+      encoded.mapPartitions { it =>
+        val format = fmt4k()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val in = fromPcm(javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes)).readAllBytes())
+          val half = Array.tabulate(in.length / 2) { i =>
+            ((in(2 * i) + in(2 * i + 1) + 2000) / 2 - 1000).toShort
+          }
+          val out = fromPcm(javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavEncode(half, format))).readAllBytes())
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          out.foreach { v =>
+            sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
+          }
+          md.reset()
+          val fp = md.digest(out.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, out.length.toLong, sum, mn, mx, fp)
+        }
+      }.toDF("doc_id", "n_samples", "sum_s", "min_s", "max_s", "sample_fp")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+            half AS (
+              SELECT doc_id, i,
+                     ((((doc_id * 7 + (2 * i) * 13) % 2001) - 1000)
+                      + (((doc_id * 7 + (2 * i + 1) * 13) % 2001) - 1000)
+                      + 2000) // 2 - 1000 AS s
+              FROM (SELECT doc_id, n, unnest(generate_series(0, CAST(n AS INT) // 2 - 1)) AS i
+                    FROM dims) t)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(s) AS BIGINT) AS sum_s,
+                   CAST(min(s) AS BIGINT) AS min_s,
+                   CAST(max(s) AS BIGINT) AS max_s,
+                   md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS sample_fp
+            FROM half GROUP BY doc_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles)
+    Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles,
+      wavResample)
 }
