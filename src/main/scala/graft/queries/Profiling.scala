@@ -135,5 +135,118 @@ object Profiling {
             FROM documents GROUP BY coalesce(source, 'unknown')""")
   )
 
-  val all: Seq[Q] = Seq(profile, profileHll, statsMaintenance)
+  /** q146 — CONSTRAINT-SUITE data-quality audit (the dbt-test /
+    * Great-Expectations shape): a staged load of the star schema is
+    * checked against five constraint classes — FK orphans (two edges of
+    * the star), primary-key duplicates, a range rule, and a not-null
+    * rule — emitting one (constraint, violated, checked) row each. The
+    * staged load is deterministically dirtied in closed form (the q93
+    * reconstruction move: every 97th order's custkey breaks, every
+    * 131st order vanishes so its lineitems orphan, a slice of customers
+    * double-loads, every 101st quantity negates, every 89th order
+    * priority nulls out) so both engines audit byte-identical inputs
+    * and every class actually fires — an all-zeros audit over clean
+    * synthetic tables would prove nothing.
+    *
+    * Scale shape: each FK check is a LEFT ANTI join on the key (the
+    * planner broadcasts the distinct-key side only if it is small —
+    * no forced hint; at 100 TB both sides shuffle-partition by the
+    * key); PK duplicates and the range/null rules are map-side-combined
+    * aggregates — the scan-heavy rules on one table COULD fuse into a
+    * single pass, but each constraint is an independent tiny result, so
+    * the audit parallelizes per constraint instead (a failed rule's
+    * lineage stays isolated). The result is a handful of rows at any
+    * corpus size.
+    */
+  val constraintAudit = Q(
+    "q146_constraint_audit",
+    (s, d) => {
+      val customerRaw = Tables.customer(s, d)
+      val ordersRaw = Tables.orders(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      // staged load, dirtied in closed form
+      val customer = customerRaw.unionAll(
+        customerRaw.where(col("c_custkey") % 500 === 0)) // double-load slice
+      val orders = ordersRaw
+        .where(col("o_orderkey") % 131 =!= 0)            // dropped parents
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 97 === 0, col("o_custkey") + lit(1000000000L))
+            .otherwise(col("o_custkey")))                // broken FK
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))          // nulled field
+      val li = lineitem.withColumn("l_quantity",
+        when((col("l_orderkey") + col("l_linenumber")) % 101 === 0,
+          -col("l_quantity")).otherwise(col("l_quantity"))) // range breaker
+
+      def row(name: String, violated: org.apache.spark.sql.DataFrame,
+          checked: org.apache.spark.sql.DataFrame) =
+        violated.agg(count(lit(1)).as("violated"))
+          .crossJoin(checked.agg(count(lit(1)).as("checked")))
+          .select(lit(name).as("rule"), col("violated"), col("checked"))
+
+      val fkOrders = row("orders.o_custkey->customer",
+        orders.join(customer.select(col("c_custkey").as("o_custkey")).distinct(),
+          Seq("o_custkey"), "left_anti"), orders)
+      val fkLineitem = row("lineitem.l_orderkey->orders",
+        li.join(orders.select(col("o_orderkey").as("l_orderkey")).distinct(),
+          Seq("l_orderkey"), "left_anti"), li)
+      val pkDup = customer.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("long").as("violated"))
+        .crossJoin(customer.agg(count(lit(1)).as("checked")))
+        .select(lit("customer.c_custkey_unique").as("rule"),
+          col("violated"), col("checked"))
+      val range = row("lineitem.l_quantity_range",
+        li.where(col("l_quantity") < 1 || col("l_quantity") > 50), li)
+      val nn = row("orders.o_orderpriority_not_null",
+        orders.where(col("o_orderpriority").isNull), orders)
+      Seq(fkOrders, fkLineitem, pkDup, range, nn).reduce(_ unionAll _)
+    },
+    Some("""WITH customer_s AS (
+              SELECT * FROM customer
+              UNION ALL SELECT * FROM customer WHERE c_custkey % 500 = 0),
+            orders_s AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 97 = 0
+                          THEN o_custkey + 1000000000 ELSE o_custkey END AS o_custkey,
+                     CASE WHEN o_orderkey % 89 = 0
+                          THEN NULL ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 131 <> 0),
+            li_s AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN (l_orderkey + l_linenumber) % 101 = 0
+                          THEN -l_quantity ELSE l_quantity END AS l_quantity
+              FROM lineitem)
+            SELECT 'orders.o_custkey->customer' AS rule,
+                   CAST((SELECT count(*) FROM orders_s o
+                         WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer_s))
+                        AS BIGINT) AS violated,
+                   CAST((SELECT count(*) FROM orders_s) AS BIGINT) AS checked
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   CAST((SELECT count(*) FROM li_s l
+                         WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders_s))
+                        AS BIGINT),
+                   CAST((SELECT count(*) FROM li_s) AS BIGINT)
+            UNION ALL
+            SELECT 'customer.c_custkey_unique',
+                   CAST((SELECT coalesce(sum(n - 1), 0) FROM (
+                           SELECT count(*) AS n FROM customer_s
+                           GROUP BY c_custkey HAVING count(*) > 1) t)
+                        AS BIGINT),
+                   CAST((SELECT count(*) FROM customer_s) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_quantity_range',
+                   CAST((SELECT count(*) FROM li_s
+                         WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+                   CAST((SELECT count(*) FROM li_s) AS BIGINT)
+            UNION ALL
+            SELECT 'orders.o_orderpriority_not_null',
+                   CAST((SELECT count(*) FROM orders_s
+                         WHERE o_orderpriority IS NULL) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders_s) AS BIGINT)""")
+  )
+
+  val all: Seq[Q] = Seq(profile, profileHll, statsMaintenance, constraintAudit)
 }
