@@ -695,8 +695,45 @@ object Relational2 {
             FROM events e JOIN b USING (event_type)""")
   )
 
+  /** q147 — the NATIVE two-table as-of join
+    * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
+    * click at-or-before them per user, planned as a first-class Catalyst
+    * physical operator (custom LogicalPlan → Strategy → SparkPlan, the
+    * last rung of the extension ladder — see the operator's scaladoc for
+    * why the window composition under-expresses this). Semantically
+    * IDENTICAL to q42's running-max window form — `AsOfJoinSpec` pins
+    * q147 ≡ q42 row-for-row — but the plan is two hash exchanges + two
+    * sorts + one O(1)-state merge, no Window node, which is the shape
+    * that survives a per-user history too long to window. Oracle: DuckDB
+    * plans the same semantics with its own native ASOF LEFT JOIN — two
+    * ENGINES' native as-of implementations agreeing row-for-row.
+    */
+  val asofNative = Q(
+    "q147_asof_native",
+    (s, d) => {
+      val ses = graft.plans.AsOfJoin.session(s)
+      val ev = Tables.events(ses, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoin(errors, clicks, "user_id", "ts", "c_user_id", "c_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("prev_click_ts"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+            c AS (SELECT user_id AS c_user_id, ts AS c_ts FROM events
+                  WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id, e.ts,
+                   coalesce(c.c_ts, TIMESTAMP '1970-01-01 00:00:00') AS prev_click_ts
+            FROM e ASOF LEFT JOIN c
+              ON e.user_id = c.c_user_id AND e.ts >= c.c_ts""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore)
+    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative)
 }

@@ -32,6 +32,16 @@ object Bridge {
     new HadoopConfBroadcast(org.apache.spark.util.SerializableConfiguration
       .broadcast(spark.sparkContext, spark.sessionState.newHadoopConf()))
 
+  /** Build a DataFrame from a raw Catalyst logical plan (for custom
+    * LogicalPlan nodes — `Dataset.ofRows` is `private[sql]`).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a temp SQL function on a live session (the function
     * registry is likewise `private[sql]`).
     */

@@ -319,6 +319,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed.contains("ResolvedHint"), "q124 carries a broadcast hint")
   }
 
+  test("q139/q140: behavior analytics never grow a window over event history") {
+    // the funnel is min-after-join per stage and the retention matrix is
+    // two aggregations — a Window here means some stage sorts each
+    // user's full event stream
+    assert(!plan("q139_funnel").contains("Window"), "q139 grew a window")
+    assert(!plan("q140_cohort_retention").contains("Window"), "q140 grew a window")
+  }
+
+  test("q142/q144/q146: corpus-growing relations carry no forced broadcast hint") {
+    // triangle wedges, deletion variants, and staged fact tables all grow
+    // with the corpus — a forced broadcast is the 100 TB OOM class; the
+    // best-match/keeper logic must stay aggregation-shaped (no Window)
+    for (q <- Seq("q142_triangle_census", "q144_fuzzy_match", "q146_constraint_audit")) {
+      val analyzed = SparkEntry.queries(q)(spark, d).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), s"$q carries a broadcast hint")
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    }
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
