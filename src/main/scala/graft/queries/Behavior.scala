@@ -118,5 +118,86 @@ object Behavior {
             GROUP BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(funnel, cohortRetention)
+  /** q148 — MARKOV TRANSITION MATRIX: P(next event type | current) from
+    * each user's time-ordered event sequence — the sequence model behind
+    * next-action prediction and anomaly scoring (a transition that never
+    * occurs in the matrix is an anomaly when it appears live). `lead`
+    * over a per-USER window is the right shape here (q42's precedent —
+    * the partition key is the user, so frame size is one user's history,
+    * never the corpus); the (from, to) count and the per-from totals are
+    * then map-side-combined aggregations on a key space bounded by
+    * |event types|² — NOT a window over from_type, which would pile the
+    * whole matrix onto |types| tasks. The probability is one IEEE
+    * division of two exact longs — engine-portable without rounding.
+    */
+  val transitions = Q(
+    "q148_event_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+                       FROM events),
+            t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+                  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+            SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+                   CAST(t.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+            FROM t JOIN tot ON tot.from_type = t.from_type""")
+  )
+
+  /** q149 — LAST-TOUCH ATTRIBUTION: every purchase attributes its value
+    * to the most recent marketing touch (view or click) at-or-before it
+    * by the same user — the revenue-attribution query behind every
+    * channel dashboard, and the natural CONSUMER of the native as-of
+    * operator q147 introduces ([[graft.plans.AsOfJoinExec]]): purchases
+    * as-of-join touches, then one bounded aggregation by touch type
+    * (plus 'none' for purchases before any touch). Demonstrates the
+    * custom operator composing inside a pipeline — as-of feeds a
+    * groupBy exactly like any built-in join — not just standing alone.
+    * Value sums use the decimal discipline (dsum2) for hash parity.
+    */
+  val attribution = Q(
+    "q149_attribution",
+    (s, d) => {
+      val ses = graft.plans.AsOfJoin.session(s)
+      val ev = Tables.events(ses, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user_id"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"))
+      graft.plans.AsOfJoin(purchases, touches,
+          "user_id", "ts", "t_user_id", "t_ts")
+        .select(coalesce(col("touch_type"), lit("none")).as("touch_type"),
+          col("value"))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_purchases"), Q.dsum2(col("value")).as("attributed_value"))
+    },
+    Some(s"""WITH p AS (SELECT event_id, user_id, ts, "value" FROM events
+                        WHERE event_type = 'purchase'),
+             t AS (SELECT user_id AS t_user_id, ts AS t_ts,
+                          event_type AS touch_type
+                   FROM events WHERE event_type IN ('view', 'click')),
+             j AS (SELECT coalesce(t.touch_type, 'none') AS touch_type, p."value"
+                   FROM p ASOF LEFT JOIN t
+                     ON p.user_id = t.t_user_id AND p.ts >= t.t_ts)
+             SELECT touch_type, count(*) AS n_purchases,
+                    ${Q.sqlSum2("\"value\"")} AS attributed_value
+             FROM j GROUP BY touch_type""")
+  )
+
+  val all: Seq[Q] = Seq(funnel, cohortRetention, transitions, attribution)
 }

@@ -82,6 +82,61 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 6L -> 2L))
   }
 
+  test("q148: transition matrix matches a sequential replay; rows are stochastic") {
+    val byUser = Tables.events(spark, d)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")))
+      .groupBy(_._1)
+    implicit val tsOrd: Ordering[java.sql.Timestamp] = Ordering.comparatorToOrdering(
+      java.util.Comparator.naturalOrder[java.sql.Timestamp]())
+    val counts = byUser.values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val out = SparkEntry.queries("q148_event_transitions")(spark, d).collect().map { r =>
+      (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))
+    }.toMap
+    assert(out.view.mapValues(_._1).toMap == counts)
+    // probability definition and row-stochastic identity
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    out.foreach { case ((f, _), (n, p)) => assert(p == n.toDouble / totals(f)) }
+    totals.keys.foreach { f =>
+      val rowSum = out.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(math.abs(rowSum - 1.0) < 1e-9, s"row $f not stochastic: $rowSum")
+    }
+    // mass: one transition per consecutive pair
+    assert(out.values.map(_._1).sum ==
+      byUser.values.map(_.size.toLong - 1).sum)
+  }
+
+  test("q149: last-touch attribution matches a replay and conserves purchases") {
+    val evs = Tables.events(spark, d)
+      .select("user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+    val expected = evs.filter(_._2 == "purchase").map { case (u, _, ts, v) =>
+      val touch = evs.filter(e => e._1 == u && (e._2 == "view" || e._2 == "click")
+        && !e._3.after(ts)).sortBy(_._3).lastOption
+      (touch.map(_._2).getOrElse("none"), v)
+    }
+    val expByType = expected.groupBy(_._1).view.mapValues { vs =>
+      (vs.length.toLong,
+        vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.toMap
+
+    val out = SparkEntry.queries("q149_attribution")(spark, d).collect().map { r =>
+      r.getAs[String]("touch_type") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value")))
+    }.toMap
+    assert(out == expByType)
+    assert(out.values.map(_._1).sum == evs.count(_._2 == "purchase"),
+      "attribution must conserve the purchase count")
+  }
+
   test("q140: retention matrix matches a plain-Scala recomputation") {
     def day(t: java.sql.Timestamp): Long =
       t.toLocalDateTime.toLocalDate.toEpochDay
