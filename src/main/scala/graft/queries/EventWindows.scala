@@ -426,8 +426,80 @@ object EventWindows {
             FROM events e JOIN c USING (event_type)""")
   )
 
+  /** q150 — STREAMING UPSERT LOOP (`foreachBatch` → versioned store):
+    * the CDC-apply pattern every streaming deployment ends in — each
+    * micro-batch MERGES into a keyed store (here: latest event per user,
+    * by (ts, event_id) argmax) instead of appending to a sink. The store
+    * is copy-on-write versioned (q143's discipline): batch k reads
+    * store-v(k) and writes store-v(k+1), so a crashed batch never
+    * corrupts the current version and the merge is idempotent per
+    * version. The input is staged as 8 files and streamed with
+    * `maxFilesPerTrigger=2`, forcing MULTIPLE micro-batches — the final
+    * store must be INDEPENDENT of how the stream was batched, which
+    * holds because per-key argmax is associative (the same property that
+    * makes map-side combine sound); the oracle computes the argmax over
+    * the whole table directly, so equality proves exactly that batching
+    * independence. `foreachBatch` runs on the driver with a tiny
+    * per-batch plan; the heavy work (the merge) is a distributed
+    * aggregation each batch.
+    */
+  val streamUpsert = Q(
+    "q150_stream_upsert",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val src = graft.sources.Sources.scratchLeaf(d, "upsert_src")
+      // store + checkpoint are per-EXECUTION: a reused checkpoint would
+      // make every later run (bench reps!) an empty no-op stream
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val storeRoot = graft.sources.Sources.scratchLeaf(d, s"upsert_store_$runId")
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      ev.repartition(8).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("r"))
+        .select(col("user_id"), col("r.ts").as("ts"), col("r.event_id").as("event_id"),
+          col("r.event_type").as("event_type"), col("r.value").as("value"))
+
+      var version = 0
+      val mergeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, _) => {
+          val ses = batch.sparkSession
+          val delta = latest(batch.toDF())
+          val merged =
+            if (version == 0) delta
+            else latest(ses.read.parquet(s"$storeRoot/v$version").unionAll(delta))
+          merged.write.mode("overwrite").parquet(s"$storeRoot/v${version + 1}")
+          version += 1
+        }
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(src)
+          .writeStream.foreachBatch(mergeBatch)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.sources.Sources.scratchLeaf(d, s"upsert_chk_$runId"))
+          .start()
+        q.awaitTermination()
+      }
+      require(version >= 2, s"expected multiple micro-batches, got $version")
+      s.read.parquet(s"$storeRoot/v$version")
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+    },
+    Some("""SELECT user_id, ts AS last_ts, event_type AS last_type,
+                   "value" AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
-      streamStaticJoin)
+      streamStaticJoin, streamUpsert)
 }
