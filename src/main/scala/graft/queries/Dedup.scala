@@ -1053,9 +1053,89 @@ object Dedup {
              FROM deg d LEFT JOIN cc ON cc.id = d.id""")
   )
 
+  /** The prefix-filtered set-similarity-join core (AllPairs/PPJoin
+    * family) over any (doc_id, w) set relation, threshold t = tNum/tDen:
+    * order every element by global rarity (df asc, element asc — rare
+    * first), sort each set in that order, index only the PREFIX of
+    * length m − ⌈t·m⌉ + 1, take candidates from a prefix equi-join, and
+    * verify exactly. Completeness is a pigeonhole argument, not
+    * probability: J ≥ t forces overlap ≥ t·m, and missing both prefixes
+    * caps overlap at ⌈t·m⌉ − 1 < t·m. Because prefixes hold each set's
+    * RAREST elements, viral boilerplate elements (the quadratic class)
+    * never enter the candidate join. All threshold arithmetic is integer
+    * (⌈tNum·m/tDen⌉ = (tNum·m + tDen − 1) div tDen; verify
+    * tDen·o ≥ tNum·(mₐ+m_b−o)) so no float boundary can disagree
+    * between engines; the reported jaccard is one IEEE division.
+    *
+    * Factored out so `PrefixSimJoinSpec` can prove the pruning half on a
+    * heavy-tailed fixture (the registered corpus run proves exactness
+    * against q24's brute force).
+    */
+  def prefixSimJoin(tok: org.apache.spark.sql.DataFrame,
+      tNum: Int, tDen: Int): org.apache.spark.sql.DataFrame = {
+    val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // global rarity order as a sortable key: zero-padded (df, element)
+    val ranked = tok.join(df, "w")
+      .select(col("doc_id"), concat(lpad(col("df"), 10, "0"), lit("#"), col("w")).as("kw"))
+    val arr = ranked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("kw"))).as("ws"), count(lit(1)).as("m"))
+    val pref = arr.select(col("doc_id"),
+      explode(expr(
+        s"slice(ws, 1, CAST(m - (($tNum * m + ${tDen - 1}) div $tDen) + 1 AS INT))")).as("kw"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.kw") === col("b.kw") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("ws").as("wa"), col("m").as("ma")), "da")
+      .join(arr.select(col("doc_id").as("db"), col("ws").as("wb"), col("m").as("mb")), "db")
+      .withColumn("o", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .where(lit(tDen) * col("o") >= lit(tNum) * (col("ma") + col("mb") - col("o")))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("o").cast("double") / (col("ma") + col("mb") - col("o")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** q151 — q24's EXACT result without q24's quadratic: the same distinct
+    * word-trigram sets and the same threshold (4/5 ≡ 0.8 — integer form,
+    * boundary-safe at these set sizes), but candidates come from the
+    * prefix filter instead of the full per-gram self-join, so the
+    * boilerplate gram that makes q24 scale-unsafe never generates
+    * candidate pairs. Completes the Jaccard family: q23 LSH (approx,
+    * banded), q24 brute force (exact, quadratic — the oracle twin), q73
+    * df-capped (approx, bounded), q151 prefix-filtered (EXACT and
+    * bounded — the one to run at 100 TB when exactness is required).
+    */
+  val prefixSimilarityJoin = Q(
+    "q151_prefix_sim_join",
+    (s, d) => prefixSimJoin(
+      TextFns.wordGrams(Tables.documents(s, d), GramsN)
+        .select(col("doc_id"), col("g").as("w")), 4, 5),
+    Some(s"""WITH $sqlGrams,
+            df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+            ranked AS (SELECT t.doc_id,
+                              lpad(CAST(df.df AS VARCHAR), 10, '0') || '#' || t.g AS kw
+                       FROM grams t JOIN df ON df.g = t.g),
+            arr AS (SELECT doc_id, list(kw ORDER BY kw) AS ws, count(*) AS m
+                    FROM ranked GROUP BY doc_id),
+            pref AS (SELECT doc_id,
+                            unnest(ws[1 : CAST(m - ((4 * m + 4) // 5) + 1 AS INT)]) AS kw
+                     FROM arr),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM pref a JOIN pref b
+                       ON a.kw = b.kw AND a.doc_id < b.doc_id),
+            ver AS (SELECT c.da, c.db, x.m AS ma, y.m AS mb,
+                           CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS o
+                    FROM cand c
+                    JOIN arr x ON x.doc_id = c.da
+                    JOIN arr y ON y.doc_id = c.db)
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(o AS DOUBLE) / CAST(ma + mb - o AS DOUBLE) AS jaccard
+            FROM ver WHERE 5 * o >= 4 * (ma + mb - o)""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
-      componentKeeper, triangleCensus)
+      componentKeeper, triangleCensus, prefixSimilarityJoin)
 }
