@@ -29,6 +29,20 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** (busy, steal) jiffies from /proc/stat — hypervisor CPU steal is the
+    * one ambient-contention source the in-JVM telemetry (gc, heap) can't
+    * see, and this box has shown >90% steal episodes that inflate
+    * CPU-bound queries 10–25×. A pass whose steal fraction is high must
+    * not be graded (BASELINE.md round-8 protocol). (0, 0) off Linux.
+    */
+  private def cpuJiffies: (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal
+      ((f(1).toLong + f(2).toLong + f(3).toLong), f(8).toLong)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,6 +109,7 @@ object Bench {
     }
 
     val samples = Array.tabulate(reps) { pass =>
+      val (busy0, steal0) = cpuJiffies
       val times = names.map { name =>
         val before = tempViews() // outside the timed region
         val t0 = System.nanoTime()
@@ -107,6 +122,11 @@ object Bench {
       if (debug) {
         val rt = Runtime.getRuntime
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        val (busy1, steal1) = cpuJiffies
+        val (db, ds) = (busy1 - busy0, steal1 - steal0)
+        val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
+        System.err.println(
+          f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
         names.zip(times).foreach { case (n, t) =>
           System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f")

@@ -199,5 +199,77 @@ object Behavior {
              FROM j GROUP BY touch_type""")
   )
 
-  val all: Seq[Q] = Seq(funnel, cohortRetention, transitions, attribution)
+  /** q152 — DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVALS for the
+    * per-type mean event value: B = 32 Poisson-bootstrap resamples, each
+    * row's per-replicate weight drawn from a DETERMINISTIC hash (md5 of
+    * (replicate, event_id) → integer thresholds approximating the
+    * Poisson(1) pmf: P(0) = .368, P(1) = .368, P(2) = .184, P(3) = .061,
+    * P(4+) = .019) — the uncertainty quantification a metrics pipeline
+    * attaches to every aggregate, reproducible across runs and engines
+    * because nothing is actually random. Poisson bootstrap is THE
+    * distributed form (each row draws independently — one narrow map,
+    * no global resample index, no shuffle of the corpus per replicate);
+    * replicate means use the decimal-sum discipline and ONE division;
+    * the CI bounds are rank-SELECTED replicate means (q120's portable-
+    * quantile rule: bounds are members of the actual 32 values, picked
+    * by sorted index — never interpolated), so every output double is
+    * bit-identical across engines.
+    *
+    * Scale: the resample explode is ×B on the aggregation INPUT (map
+    * side, combines immediately) — the corpus is scanned once; the
+    * replicate-mean relation is |types|×B rows; the sort behind the
+    * rank-select runs per type over 32 values inside an array, not a
+    * window over data.
+    */
+  val bootstrapCi = Q(
+    "q152_bootstrap_ci",
+    (s, d) => {
+      val b = 32
+      val weighted = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
+        .withColumn("h",
+          expr("""CAST(conv(substring(md5(CAST(concat(CAST(b AS STRING), '|',
+                  CAST(event_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 1000"""))
+        .withColumn("w",
+          when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+            .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+      val reps = weighted
+        .groupBy("event_type", "b")
+        .agg((Q.dsum2(col("value") * col("w")) / sum(col("w")).cast("double")).as("m"))
+      val ci = reps.groupBy("event_type")
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("event_type"),
+          element_at(col("ms"), 2).as("ci_lo"),      // 2nd of 32 ≈ 2.5 %
+          element_at(col("ms"), b - 1).as("ci_hi"))  // 31st of 32 ≈ 97.5 %
+      val full = Tables.events(s, d).groupBy("event_type")
+        .agg((Q.dsum2(col("value")) / count(lit(1)).cast("double")).as("mean_value"))
+      full.join(ci, "event_type")
+        .select(col("event_type"), col("mean_value"), col("ci_lo"), col("ci_hi"))
+    },
+    Some(s"""WITH reps AS (
+              SELECT event_type, b,
+                     ${Q.sqlSum2("\"value\" * w")} / CAST(sum(w) AS DOUBLE) AS m
+              FROM (
+                SELECT event_type, "value",
+                       CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                            WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                            ELSE 4 END AS w, b
+                FROM (
+                  SELECT event_type, "value",
+                         ('0x' || substr(md5(b || '|' || event_id), 1, 15))::BIGINT % 1000 AS h,
+                         b
+                  FROM events, (SELECT unnest(generate_series(0, 31)) AS b) bs) t1) t2
+              GROUP BY 1, 2),
+            ci AS (SELECT event_type, list(m ORDER BY m)[2] AS ci_lo,
+                          list(m ORDER BY m)[31] AS ci_hi
+                   FROM reps GROUP BY 1),
+            fm AS (SELECT event_type,
+                            ${Q.sqlSum2("\"value\"")} / CAST(count(*) AS DOUBLE) AS mean_value
+                     FROM events GROUP BY 1)
+            SELECT f.event_type, f.mean_value, c.ci_lo, c.ci_hi
+            FROM fm f JOIN ci c ON c.event_type = f.event_type""")
+  )
+
+  val all: Seq[Q] = Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi)
 }
