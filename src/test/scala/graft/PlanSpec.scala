@@ -338,6 +338,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q151: prefix join carries no broadcast hint; keeper logic stays windowless") {
+    // the prefix relation and the array table both grow with the corpus
+    val analyzed = SparkEntry.queries("q151_prefix_sim_join")(spark, d)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "q151 carries a broadcast hint")
+    assert(!plan("q151_prefix_sim_join").contains("Window"), "q151 grew a window")
+  }
+
+  test("q148/q152: matrix and CI aggregations stay aggregation-shaped") {
+    // q148's only window is the per-user lead; the from_type totals must
+    // come from aggregation + join, never a window over the type key.
+    // (The lead window PRINTS twice — `trans` feeds both the counts and
+    // the totals subtree — so gate the partition key, not the count.)
+    // q152's CI bounds sort 32 values inside an array, not a window.
+    val win148 = plan("q148_event_transitions").linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(win148.nonEmpty, "q148 lost its per-user lead window")
+    win148.foreach { l =>
+      assert(l.contains("user_id"), s"q148 window not keyed by user: $l")
+    }
+    assert(!plan("q152_bootstrap_ci").contains("Window"), "q152 grew a window")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
