@@ -361,6 +361,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q152_bootstrap_ci").contains("Window"), "q152 grew a window")
   }
 
+  test("q153: global prefix-sum never plans a partitionless window") {
+    // the scan is the two-phase range-repartition + offset form (q98's
+    // discipline); a `sum OVER (ORDER BY …)` rewrite would put the whole
+    // corpus in one window partition
+    assert(!plan("q153_token_budget").contains("Window"), "q153 grew a window")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
