@@ -323,7 +323,41 @@ object Sources {
             FROM v2""")
   )
 
+  /** q154 — CUSTOM DataSourceV2 CONNECTOR: aggregate a filtered read of
+    * the [[graft.sources.docgen.DefaultSource]] synthetic table. The query
+    * itself is deliberately plain — the operator under test is the SOURCE:
+    * the `id` range predicate is pushed into the connector (the generated
+    * range narrows to [25000, 50000) BEFORE partition planning — visible
+    * in the scan description), the unused `score` column is pruned out of
+    * the generator entirely, and the 8 planned input partitions carry the
+    * parallelism. Every column is a closed-form integer function of `id`,
+    * so the oracle replays the source as a DuckDB `range()` scan — two
+    * engines generating the same table from the same arithmetic.
+    */
+  val docgenScan = Q(
+    "q154_docgen_source",
+    (s, _) =>
+      s.read.format("graft.sources.docgen")
+        .option("rows", "100000").option("slices", "8").load()
+        .where(col("id") >= 25000 && col("id") < 50000)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id")),
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM (SELECT id,
+                         ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                         (id * 2654435761) % 997 AS tokens
+                  FROM range(0, 100000) t(id))
+            WHERE id >= 25000 AND id < 50000
+            GROUP BY lang""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
-      schemaEvolution, timeTravel)
+      schemaEvolution, timeTravel, docgenScan)
 }

@@ -368,6 +368,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q153_token_budget").contains("Window"), "q153 grew a window")
   }
 
+  test("q154: DSv2 pushdown narrows the source range; score is pruned") {
+    val p = plan("q154_docgen_source")
+    assert(p.contains("DocGenScan range=[25000,50000)"), p)
+    assert(p.contains("cols=[id,lang,tokens]"), p)
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
