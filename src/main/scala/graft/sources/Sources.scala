@@ -323,6 +323,89 @@ object Sources {
             FROM v2""")
   )
 
+  /** q155 — GDPR DELETION PROPAGATION (copy-on-write DELETE): the
+    * right-to-be-forgotten request against q143's storage model. The
+    * events table is laid out as 8 immutable bucket files keyed by
+    * `user_id % 8`; the deletion set (`user_id % 16 IN (5, 14)`) maps to
+    * buckets {5, 6}, so the commit rewrites exactly those two files with
+    * the users anti-filtered out and SHARES the other six with v1 —
+    * on a 100 TB table, a deletion request touches only the files whose
+    * key range contains the user, never the corpus (and bucket layout
+    * makes "which files" a hash, not a scan; `GdprDeleteSpec` pins the
+    * 6-of-8 sharing against the committed manifest). The output reads
+    * BOTH snapshots through their manifests and aggregates per (version,
+    * bucket): v1 must still contain the deleted users (snapshot isolation
+    * — compliance requires the pre-deletion state be provably what was
+    * deleted FROM, until retention expires it), v2 must contain zero,
+    * and untouched buckets must agree row-for-row across versions. The
+    * `n_deleted_users` column is the tombstone audit a DPO files.
+    */
+  def gdprManifestDir(d: String): String = leaf(d, "gdpr_manifest")
+
+  private val deletedPred = "user_id % 16 IN (5, 14)"
+
+  val gdprDelete = Q(
+    "q155_gdpr_delete",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("user_id") % 8).as("bucket"))
+      val isDeleted = expr(deletedPred)
+      val touched: Seq[Long] = Seq(5L, 6L) // {5 % 8, 14 % 8}
+
+      val baseFiles = (0L until 8L).map { k =>
+        val f = leaf(d, s"gdpr_base_$k")
+        ev.where(col("bucket") === k).drop("bucket")
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+      val rewritten = touched.map { k =>
+        val f = leaf(d, s"gdpr_rw_$k")
+        ev.where(col("bucket") === k && !isDeleted).drop("bucket")
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+
+      import s.implicits._
+      val manifest =
+        (0L until 8L).map(k => (1L, k, baseFiles(k))) ++
+          (0L until 8L).map(k => (2L, k, rewritten.getOrElse(k, baseFiles(k))))
+      manifest.toDF("version", "bucket", "path")
+        .write.mode(SaveMode.Overwrite).parquet(gdprManifestDir(d))
+
+      def asOf(v: Long): DataFrame = {
+        val buckets = s.read.parquet(gdprManifestDir(d))
+          .where(col("version") === v).select("bucket", "path")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        buckets.map { case (k, f) =>
+          s.read.parquet(f).withColumn("bucket", lit(k))
+        }.reduce(_ unionAll _)
+      }
+      Seq(1L, 2L).map { v =>
+        asOf(v)
+          .groupBy(lit(v).as("version"), col("bucket"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            graft.Q.dsum2(col("value")).as("sum_value"),
+            countDistinct(when(expr(deletedPred), col("user_id")))
+              .as("n_deleted_users"))
+      }.reduce(_ unionAll _)
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, "value",
+                               user_id % 8 AS bucket FROM events),
+             u AS (SELECT 1 AS version, * FROM e
+                   UNION ALL
+                   SELECT 2 AS version, * FROM e WHERE NOT ($deletedPred))
+             SELECT CAST(version AS BIGINT) AS version, bucket,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                    ${Q.sqlSum2("\"value\"")} AS sum_value,
+                    CAST(count(DISTINCT CASE WHEN $deletedPred THEN user_id END)
+                         AS BIGINT) AS n_deleted_users
+             FROM u GROUP BY version, bucket""")
+  )
+
   /** q154 — CUSTOM DataSourceV2 CONNECTOR: aggregate a filtered read of
     * the [[graft.sources.docgen.DefaultSource]] synthetic table. The query
     * itself is deliberately plain — the operator under test is the SOURCE:
@@ -359,5 +442,5 @@ object Sources {
 
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
-      schemaEvolution, timeTravel, docgenScan)
+      schemaEvolution, timeTravel, docgenScan, gdprDelete)
 }
