@@ -248,5 +248,82 @@ object Profiling {
                    CAST((SELECT count(*) FROM orders_s) AS BIGINT)""")
   )
 
-  val all: Seq[Q] = Seq(profile, profileHll, statsMaintenance, constraintAudit)
+  private val DriftDim = 64
+
+  /** q156 — EMBEDDING CENTROID DRIFT MONITOR: per-label centroids of a
+    * reference window (`vec_id % 2 = 0` — "yesterday's snapshot") vs a
+    * fresh batch (`% 2 = 1`), compared by centroid cosine and L2 shift —
+    * the embedding-space health check an MLOps pipeline runs on every
+    * ingest (a re-trained or silently-updated encoder moves whole label
+    * clusters; cosine near 1 and small shift = healthy, anything else =
+    * investigate before the batch pollutes the index). Non-finite
+    * vectors are excluded exactly as q63's sample (one NaN poisons a
+    * mean); centroids use q63's bit-exact discipline — vec_id-ordered
+    * fold per (label, window), dims folded in index order via the native
+    * [[graft.functions.SeqDot]] — so cosine and shift hash exactly.
+    * Outputs are 6-digit-rounded (cross-engine cosine class).
+    *
+    * Scale: groups are (|labels| × 2) with bounded 64-float state per
+    * group AFTER the fold; the ordered `collect_list` fold is the
+    * oracle-parity audit form (exact/sketch twin discipline, q120/q126)
+    * — the production twin sums components unordered map-side (drift
+    * thresholds tolerate last-bit noise even though the hash oracle
+    * cannot).
+    */
+  val embeddingDrift = Q(
+    "q156_embedding_drift",
+    (s, d) => {
+      import graft.functions.SeqDot
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+      val cents = e
+        .groupBy(col("label"), (col("vec_id") % 2).as("win"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+        .select(col("label"), col("win"), size(col("vs")).cast("long").as("n"),
+          expr(s"""transform(sequence(1, $DriftDim), i ->
+                   aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v[i-1])
+                   / size(vs))""").as("c"))
+      val ref = cents.where(col("win") === 0)
+        .select(col("label"), col("n").as("n_ref"), col("c").as("ca"))
+      val fresh = cents.where(col("win") === 1)
+        .select(col("label"), col("n").as("n_new"), col("c").as("cb"))
+      ref.join(fresh, "label")
+        .select(col("label").cast("long").as("label"), col("n_ref"), col("n_new"),
+          round(SeqDot(col("ca"), col("cb"))
+            / (sqrt(SeqDot(col("ca"), col("ca"))) * sqrt(SeqDot(col("cb"), col("cb")))), 6)
+            .as("cos_drift"),
+          round(sqrt(expr(
+            """aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+               CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""")), 6).as("l2_shift"))
+    },
+    Some(s"""WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE len(list_filter(embedding::DOUBLE[],
+                        x -> isnan(x) OR isinf(x))) = 0),
+            g AS (SELECT label, vec_id % 2 AS win,
+                         list(v ORDER BY vec_id) AS vs
+                  FROM e GROUP BY label, vec_id % 2),
+            c AS (SELECT label, win, len(vs) AS n,
+                         list_transform(generate_series(1, $DriftDim),
+                           i -> list_aggregate(list_transform(vs, x -> x[i]), 'sum')
+                                / len(vs)) AS c
+                  FROM g)
+            SELECT CAST(r.label AS BIGINT) AS label,
+                   CAST(r.n AS BIGINT) AS n_ref, CAST(w.n AS BIGINT) AS n_new,
+                   round(list_aggregate(list_transform(generate_series(1, $DriftDim),
+                           i -> r.c[i] * w.c[i]), 'sum')
+                         / (sqrt(list_aggregate(list_transform(generate_series(1, $DriftDim),
+                              i -> r.c[i] * r.c[i]), 'sum'))
+                            * sqrt(list_aggregate(list_transform(generate_series(1, $DriftDim),
+                                i -> w.c[i] * w.c[i]), 'sum'))), 6) AS cos_drift,
+                   round(sqrt(list_aggregate(list_transform(generate_series(1, $DriftDim),
+                           i -> (r.c[i] - w.c[i]) * (r.c[i] - w.c[i])), 'sum')), 6)
+                     AS l2_shift
+            FROM c r JOIN c w ON r.label = w.label AND r.win = 0 AND w.win = 1""")
+  )
+
+  val all: Seq[Q] =
+    Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift)
 }
