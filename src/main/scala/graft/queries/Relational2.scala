@@ -695,6 +695,61 @@ object Relational2 {
             FROM events e JOIN b USING (event_type)""")
   )
 
+  /** q157 — MAD ROBUST OUTLIER DETECTION: flag `events.value` rows more
+    * than 3 median-absolute-deviations from their type's median — the
+    * robust sibling of q134's z-score (one wild value drags a mean AND
+    * inflates the σ that is supposed to catch it; the median/MAD pair is
+    * immune to exactly the points it is hunting). Both the median and
+    * the MAD are rank-SELECTED members (q120's portable-quantile
+    * discipline — never interpolated), so every output double is either
+    * a stored 2-decimal value or one IEEE subtract/abs/multiply away
+    * from two of them ⇒ full hash oracle. Per-type windows follow
+    * q133's accepted audit-twin shape (bounded type cardinality here;
+    * the 100 TB production twin takes both quantiles from the q49/q126
+    * sketch family with this form as its audit).
+    */
+  val madOutliers = Q(
+    "q157_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      def rankMedian(df: org.apache.spark.sql.DataFrame,
+          valueCol: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .where(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("event_type"), col(valueCol).as(s"med_$valueCol"))
+      }
+      val med = rankMedian(ev, "value")
+      val dev = ev.join(med, "event_type")
+        .withColumn("dev", abs(col("value") - col("med_value")))
+      val mad = rankMedian(dev.select(col("event_id"), col("event_type"), col("dev")), "dev")
+      dev.join(mad, "event_type")
+        .where(col("dev") > lit(3.0) * col("med_dev"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med_value").as("med"), col("med_dev").as("mad"))
+    },
+    Some("""WITH e AS (SELECT event_id, event_type, "value" FROM events),
+            r1 AS (SELECT *,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY "value", event_id) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM e),
+            med AS (SELECT event_type, "value" AS med FROM r1 WHERE rn = (n + 1) // 2),
+            dv AS (SELECT e.event_id, e.event_type, e."value", med.med,
+                          abs(e."value" - med.med) AS dev
+                   FROM e JOIN med USING (event_type)),
+            r2 AS (SELECT *,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY dev, event_id) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM dv),
+            mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+            SELECT d.event_id, d.event_type, d."value", d.med, mad.mad
+            FROM dv d JOIN mad USING (event_type)
+            WHERE d.dev > 3.0 * mad.mad""")
+  )
+
   /** q147 — the NATIVE two-table as-of join
     * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
     * click at-or-before them per user, planned as a first-class Catalyst
@@ -735,5 +790,6 @@ object Relational2 {
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
-    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative)
+    mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
+    madOutliers)
 }
