@@ -324,6 +324,84 @@ object Profiling {
             FROM c r JOIN c w ON r.label = w.label AND r.win = 0 AND w.win = 1""")
   )
 
+  /** q158 — JOIN-KEY SKEW AUDIT: the measurement step BEFORE choosing a
+    * skew cure (q48 salted agg / q128 salted join / AQE skew splits are
+    * the treatments; q158 is the diagnosis a pipeline runs when a stage
+    * straggles). Per-key multiplicities of `events.user_id` reduce to a
+    * COUNT-OF-COUNTS histogram — the scale move: quantiles of the key-
+    * frequency distribution come from a cumulative walk over the
+    * histogram (distinct multiplicity values are ≤ √(2·rows) by a sum
+    * bound, so the one partitionless window runs over a provably tiny
+    * relation — never over the keys). Output is one row: key count, row
+    * count, max/p50/p99 multiplicity (rank-selected integers), mean and
+    * max/mean skew ratio (single IEEE divisions), an integer
+    * `salt_hint = ceil(max/p50)` — the replication factor q128 would
+    * want — and the top-8 hottest keys via orderBy+limit
+    * (TakeOrderedAndProject, q85's discipline).
+    */
+  val skewAudit = Q(
+    "q158_skew_audit",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val hist = counts.groupBy("cnt").agg(count(lit(1)).as("k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("cnt").rowsBetween(Long.MinValue, 0)
+      val cum = hist.withColumn("cum", sum(col("k")).over(w))
+      val totals = hist.agg(
+        sum(col("k")).as("n_keys"),
+        sum(col("cnt") * col("k")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val stats = cum.crossJoin(broadcast(totals))
+        .agg(
+          first(col("n_keys")).as("n_keys"),
+          first(col("total_rows")).as("total_rows"),
+          first(col("max_cnt")).as("max_cnt"),
+          min(when(col("cum") >= expr("(n_keys + 1) DIV 2"), col("cnt"))).as("p50_cnt"),
+          min(when(col("cum") >= expr("(99 * n_keys + 99) DIV 100"), col("cnt"))).as("p99_cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(8)
+        .select(concat(col("user_id"), lit(":"), col("cnt")).as("kc"))
+        .agg(array_join(sort_array(collect_list(col("kc"))), ",").as("top_keys"))
+      stats.crossJoin(top)
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          col("p50_cnt"), col("p99_cnt"),
+          (col("total_rows").cast("double") / col("n_keys").cast("double")).as("mean_cnt"),
+          (col("max_cnt").cast("double")
+            / (col("total_rows").cast("double") / col("n_keys").cast("double")))
+            .as("skew_ratio"),
+          expr("(max_cnt + p50_cnt - 1) DIV p50_cnt").as("salt_hint"),
+          col("top_keys"))
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+            h AS (SELECT cnt, count(*) AS k FROM c GROUP BY cnt),
+            cu AS (SELECT cnt, k,
+                          sum(k) OVER (ORDER BY cnt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM h),
+            t AS (SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+                         CAST(sum(cnt * k) AS BIGINT) AS total_rows,
+                         max(cnt) AS max_cnt
+                  FROM h),
+            st AS (SELECT t.n_keys, t.total_rows, t.max_cnt,
+                          min(CASE WHEN cu.cum >= (t.n_keys + 1) // 2
+                                   THEN cu.cnt END) AS p50_cnt,
+                          min(CASE WHEN cu.cum >= (99 * t.n_keys + 99) // 100
+                                   THEN cu.cnt END) AS p99_cnt
+                   FROM cu, t GROUP BY t.n_keys, t.total_rows, t.max_cnt),
+            tk AS (SELECT array_to_string(list(kc ORDER BY kc), ',') AS top_keys
+                   FROM (SELECT user_id || ':' || cnt AS kc FROM c
+                         ORDER BY cnt DESC, user_id LIMIT 8) x)
+            SELECT st.n_keys, st.total_rows, st.max_cnt, st.p50_cnt, st.p99_cnt,
+                   CAST(st.total_rows AS DOUBLE) / CAST(st.n_keys AS DOUBLE) AS mean_cnt,
+                   CAST(st.max_cnt AS DOUBLE)
+                     / (CAST(st.total_rows AS DOUBLE) / CAST(st.n_keys AS DOUBLE))
+                     AS skew_ratio,
+                   (st.max_cnt + st.p50_cnt - 1) // st.p50_cnt AS salt_hint,
+                   tk.top_keys
+            FROM st, tk""")
+  )
+
   val all: Seq[Q] =
-    Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift)
+    Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
+      skewAudit)
 }
