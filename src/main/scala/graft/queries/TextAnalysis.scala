@@ -1588,9 +1588,100 @@ object TextAnalysis {
             WHERE r = 1""")
   )
 
+  private val ParaLen = 16
+
+  /** q159 — LANGUAGE-MIXTURE (code-switch) AUDIT: q30's marker lang-ID
+    * rerun at PARAGRAPH grain (16-word windows, q89's segmentation
+    * discipline), folded to per-document mixture stats — paragraph
+    * count, distinct predicted languages, the majority language and its
+    * fraction, and a mixed flag. Document-level lang-ID (q30) averages a
+    * code-switched page into whichever language dominates; training
+    * pipelines that route by language (q71 packs per-language shards,
+    * q121 rebalances per-language epochs) need the MIXTURE surfaced, or
+    * a bilingual page pollutes whichever shard wins the argmax.
+    *
+    * Scale shape: paragraphs are a narrow explode (rows × ~len/16, no
+    * shuffle), the per-(doc, lang) counts and the per-doc argmax are
+    * both map-side-combinable aggregations, and the majority pick is the
+    * skew-immune `min(struct(-cnt, lang))` keeper (q89's idiom) — no
+    * window anywhere. All-integer counts; the one double division is
+    * the same IEEE op on both engines ⇒ full hash oracle.
+    */
+  val langMixture = Q(
+    "q159_lang_mixture", {
+      (s, d) =>
+        val paras = Tables.documents(s, d)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(1, CAST(ceil(size(ws) / ${ParaLen}.0) AS INT)),
+                i -> slice(ws, (i - 1) * $ParaLen + 1, $ParaLen))"""))
+            .as(Seq("p_idx", "pws")))
+        val scoreCols = markers.map { case (lang, ms) =>
+          val inList = ms.map(w => s"'$w'").mkString(", ")
+          expr(s"size(filter(pws, w -> w IN ($inList)))").as(s"s_$lang")
+        }
+        val langs = markers.map(_._1)
+        val pred = langs.foldRight(lit(langs.last)) { (lang, els) =>
+          val allGe = langs.filter(_ != lang)
+            .map(o => col(s"s_$lang") >= col(s"s_$o"))
+            .reduce(_ && _)
+          when(allGe, lit(lang)).otherwise(els)
+        }
+        val perLang = paras
+          .select(col("doc_id") +: scoreCols: _*)
+          .withColumn("pred", pred)
+          .groupBy("doc_id", "pred")
+          .agg(count(lit(1)).as("cnt"))
+        perLang.groupBy("doc_id")
+          .agg(
+            sum(col("cnt")).as("n_paras"),
+            count(lit(1)).as("n_langs"),
+            min(struct((-col("cnt")).as("nc"), col("pred").as("lang"))).as("m"))
+          .select(col("doc_id"), col("n_paras"), col("n_langs"),
+            col("m.lang").as("maj_lang"),
+            ((-col("m.nc")).cast("double") / col("n_paras").cast("double"))
+              .as("maj_frac"),
+            when(col("n_langs") > 1, 1L).otherwise(0L).as("is_mixed"))
+    }, {
+      val langs = markers.map(_._1)
+      val scoreSql = markers.map { case (lang, ms) =>
+        val inList = ms.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(pws, w -> w IN ($inList))) AS s_$lang"
+      }.mkString(",\n                   ")
+      val caseSql = langs.init.map { lang =>
+        val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n                        ")
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            paras AS (SELECT doc_id,
+                             list_slice(ws, (i - 1) * $ParaLen + 1, i * $ParaLen) AS pws
+                      FROM (SELECT doc_id, ws,
+                                   unnest(generate_series(1,
+                                     CAST(ceil(len(ws) / ${ParaLen}.0) AS INT))) AS i
+                            FROM toks) t),
+            sc AS (SELECT doc_id,
+                   $scoreSql
+                   FROM paras),
+            pr AS (SELECT doc_id,
+                          CASE $caseSql
+                               ELSE '${langs.last}' END AS pred
+                   FROM sc),
+            pl AS (SELECT doc_id, pred, count(*) AS cnt FROM pr GROUP BY doc_id, pred),
+            agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+                           CAST(count(*) AS BIGINT) AS n_langs,
+                           min(struct_pack(nc := -cnt, lang := pred)) AS m
+                    FROM pl GROUP BY doc_id)
+            SELECT doc_id, n_paras, n_langs, (m).lang AS maj_lang,
+                   CAST(-(m).nc AS DOUBLE) / CAST(n_paras AS DOUBLE) AS maj_frac,
+                   CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+            FROM agg""")
+    }
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch)
+      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
+      langMixture)
 }
