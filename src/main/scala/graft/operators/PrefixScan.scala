@@ -98,5 +98,68 @@ object PrefixScan {
              FROM c, t WHERE cum_tokens <= total // 2""")
   )
 
-  val all: Seq[Q] = Seq(tokenBudget)
+  private val EcdfBins = 20
+
+  /** q160 — GLOBAL EQUI-DEPTH (ECDF) BINNING: map every document's q31
+    * quality score to a percentile bin 0..19 — the rank-normalization a
+    * feature pipeline applies before mixing heterogeneous quality
+    * signals (raw scores from different scorers are incomparable; their
+    * ECDF positions are). A global `ntile`/`percent_rank` window is the
+    * q98/q153 anti-pattern (whole corpus, one window partition); the
+    * scalable shape selects the B−1 BIN EDGES — the rows at global
+    * positions ⌈k·n/B⌉, found with the same range-repartition +
+    * zipWithIndex enumeration as q98 — and joins the bounded edge list
+    * back map-side: the corpus-sized path never sorts globally, and the
+    * driver state is B−1 rows (the ivfCents bounded-collect precedent).
+    * A document's bin is the count of edges lexicographically below its
+    * (quality, doc_id) — edge ties broken by id, so the assignment is
+    * total and engine-portable; with distinct sort keys bin sizes differ
+    * by at most one (`EcdfBinSpec` proves equi-depth directly). Integer
+    * bin + q31's bit-portable doubles ⇒ full hash oracle (the oracle
+    * computes the same edges from a window rank — tiny at oracle scale).
+    */
+  val ecdfBins = Q(
+    "q160_ecdf_bins",
+    (s, d) => {
+      import s.implicits._
+      val scored = TextAnalysis.qualityScore.fn(s, d)
+        .select(col("doc_id"), col("quality"))
+      val sorted = scored
+        .select(col("quality"), col("doc_id"))
+        .repartitionByRange(col("quality"), col("doc_id"))
+        .sortWithinPartitions(col("quality"), col("doc_id"))
+        .as[(Double, Long)]
+      val indexed = sorted.rdd.zipWithIndex()
+      val n = indexed.count()
+      val positions = (1 until EcdfBins).map(k =>
+        (k.toLong * n + EcdfBins - 1) / EcdfBins - 1).toSet // 0-based
+      val edges = indexed.filter(t => positions.contains(t._2))
+        .map(_._1).collect().sortBy(identity)
+      val edgeCol = array(edges.map { case (q, id) =>
+        struct(lit(q).as("eq"), lit(id).as("eid"))
+      }.toIndexedSeq: _*)
+      scored.withColumn("edges", edgeCol)
+        .select(col("doc_id"), col("quality"),
+          expr("""CAST(size(filter(edges, e ->
+                  e.eq < quality OR (e.eq = quality AND e.eid < doc_id)))
+                  AS BIGINT)""").as("bin"))
+    },
+    Some(s"""WITH q AS (${TextAnalysis.qualityScore.oracle.get}),
+             nn AS (SELECT count(*) AS n FROM q),
+             r AS (SELECT doc_id, quality,
+                          row_number() OVER (ORDER BY quality, doc_id) AS pos
+                   FROM q),
+             edges AS (SELECT r.quality AS eq, r.doc_id AS eid
+                       FROM r, nn
+                       WHERE r.pos IN (SELECT (k * nn.n + ${EcdfBins - 1}) // $EcdfBins
+                                       FROM generate_series(1, ${EcdfBins - 1}) g(k), nn))
+             SELECT q.doc_id, q.quality,
+                    CAST((SELECT count(*) FROM edges e
+                          WHERE e.eq < q.quality
+                             OR (e.eq = q.quality AND e.eid < q.doc_id))
+                         AS BIGINT) AS bin
+             FROM q""")
+  )
+
+  val all: Seq[Q] = Seq(tokenBudget, ecdfBins)
 }

@@ -368,6 +368,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q153_token_budget").contains("Window"), "q153 grew a window")
   }
 
+  test("q160: ECDF binning joins bounded edges — no global window") {
+    assert(!plan("q160_ecdf_bins").contains("Window"), "q160 grew a window")
+  }
+
   test("q154: DSv2 pushdown narrows the source range; score is pruned") {
     val p = plan("q154_docgen_source")
     assert(p.contains("DocGenScan range=[25000,50000)"), p)
