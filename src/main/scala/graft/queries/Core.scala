@@ -362,9 +362,56 @@ object Core {
     None
   )
 
+  /** q161 — the TPC-H Q5 SHAPE (local-supplier volume): six tables — two
+    * fact-sized (lineitem, orders) and four dimensions — joined through a
+    * 5-hop chain with a region filter and an order-date year cut,
+    * aggregated to per-nation revenue. The flagship join-ordering
+    * exercise: declared as a flat chain of equi-joins and left for
+    * Catalyst + AQE to order — the dimension filters (region = 'ASIA',
+    * one order year) should cascade through broadcast joins and shrink
+    * the fact side BEFORE the one real shuffle join (lineitem ⨝ orders),
+    * with both date and region predicates pushed to the scans. Revenue
+    * is `l_extendedprice × (1 − l_discount)` — both 2-decimal, product
+    * exactly 4-decimal ⇒ dsum4 hash parity (the TPC-H money discipline).
+    */
+  val starRevenue = Q(
+    "q161_star_revenue",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          Q.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    },
+    Some(s"""SELECT n_name, count(*) AS n_items,
+             ${Q.sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             JOIN lineitem ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+             GROUP BY n_name""")
+  )
+
   val all: Seq[Q] = Seq(
     charCount, filterProject, groupAgg, distinctQ, joinAgg, joinMulti,
     semiJoin, antiJoin, unionQ, sortLimit, topkWindow, groupCollect,
     rollupQ, cubeQ, windowFuncs, setOps, scalarFuncs, dateFuncs,
-    approxDistinct)
+    approxDistinct, starRevenue)
 }

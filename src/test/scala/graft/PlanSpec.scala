@@ -372,6 +372,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q160_ecdf_bins").contains("Window"), "q160 grew a window")
   }
 
+  test("q161: star-join pushes the date and region cuts into the scans") {
+    val p = plan("q161_star_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
   test("q154: DSv2 pushdown narrows the source range; score is pruned") {
     val p = plan("q154_docgen_source")
     assert(p.contains("DocGenScan range=[25000,50000)"), p)
