@@ -750,6 +750,56 @@ object Relational2 {
             WHERE d.dev > 3.0 * mad.mad""")
   )
 
+  /** q162 — BAD-RECORD QUARANTINE ROUTING: the error-handling shape every
+    * production ingest needs (Spark's `badRecordsPath` / dead-letter
+    * queue, as an explicit operator): a staged load with CORRUPTED JSON
+    * (`event_id % 13 = 0` props truncated — q146's dirty-staging
+    * discipline; an all-clean corpus would prove nothing) flows through
+    * `from_json`, and rows whose parse FAILS route to a quarantine
+    * partition instead of killing the job or silently nulling into the
+    * aggregate. Detection is BY PARSE OUTCOME (null struct), never by
+    * the dirt predicate — the oracle routes by the predicate, so hash
+    * equality proves the detector catches exactly the corrupt rows (no
+    * false positives on clean rows, none missed). One narrow map +
+    * one map-side-combined aggregation; quarantine rows keep their
+    * grouping key so the DLQ is replayable per type.
+    */
+  val quarantine = Q(
+    "q162_quarantine",
+    (s, d) => {
+      val dirty = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 13 === 0,
+            expr("substring(props, 1, length(props) - 2)"))
+            .otherwise(col("props")).as("props"))
+      dirty
+        // the canonical Spark bad-record idiom: a corrupt-record column
+        // in the parse schema — malformed input lands there verbatim
+        // (replayable), parsed fields stay null; PERMISSIVE from_json
+        // never nulls the whole struct, so struct-null checks miss.
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, _corrupt_record STRING"),
+          java.util.Map.of("mode", "PERMISSIVE",
+            "columnNameOfCorruptRecord", "_corrupt_record")))
+        .withColumn("kind",
+          when(col("j._corrupt_record").isNotNull, lit("quarantine"))
+            .otherwise(lit("ok")))
+        .groupBy("kind", "event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("j.k")), lit(-1L)).as("sum_k"))
+    },
+    Some("""WITH routed AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 13 = 0 THEN 'quarantine' ELSE 'ok' END AS kind,
+                     CASE WHEN event_id % 13 <> 0
+                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+              FROM events)
+            SELECT kind, event_type, CAST(count(*) AS BIGINT) AS n,
+                   coalesce(CAST(sum(k) AS BIGINT), -1) AS sum_k
+            FROM routed GROUP BY kind, event_type""")
+  )
+
   /** q147 — the NATIVE two-table as-of join
     * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
     * click at-or-before them per user, planned as a first-class Catalyst
@@ -791,5 +841,5 @@ object Relational2 {
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers)
+    madOutliers, quarantine)
 }
