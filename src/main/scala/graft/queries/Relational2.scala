@@ -800,6 +800,55 @@ object Relational2 {
             FROM routed GROUP BY kind, event_type""")
   )
 
+  /** q163 — SCD TYPE 2 DIMENSION BUILD: collapse each user's event
+    * stream into effective-dated attribute history — the warehouse
+    * classic (track WHAT an entity's attribute was WHEN, not just its
+    * latest value; q88/q150 upserts keep only "now"). The attribute is
+    * the user's event_type; consecutive equal values collapse into one
+    * interval (a change row survives where `attr ≠ lag(attr)`), then
+    * `valid_to = lead(valid_from)` over the surviving change rows, the
+    * open interval sealed with the 9999-12-31 sentinel (not NULL — the
+    * NaT compare hazard) and flagged current. Two per-user windows
+    * (q42's precedent: frames are one user's history, never the corpus);
+    * at 100 TB the same shape runs per dimension key after the q147
+    * native merge — intervals are a pure per-key sequential recurrence.
+    */
+  val scd2 = Q(
+    "q163_scd2_history",
+    (s, d) => {
+      val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("attr"), col("ts"), col("event_id"))
+        .withColumn("prev_attr", lag(col("attr"), 1).over(wAll))
+        .where(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      val wChg = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to",
+          coalesce(lead(col("ts"), 1).over(wChg),
+            lit("9999-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("attr"), col("ts").as("valid_from"),
+          col("valid_to"),
+          when(col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"), 1L)
+            .otherwise(0L).as("is_current"))
+    },
+    Some("""WITH ordered AS (
+              SELECT user_id, event_type AS attr, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_attr
+              FROM events),
+            changes AS (SELECT user_id, attr, ts, event_id FROM ordered
+                        WHERE prev_attr IS NULL OR attr <> prev_attr),
+            iv AS (SELECT user_id, attr, ts AS valid_from,
+                          coalesce(lead(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+                   FROM changes)
+            SELECT user_id, attr, valid_from, valid_to,
+                   CAST(CASE WHEN valid_to = TIMESTAMP '9999-12-31 00:00:00'
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+            FROM iv""")
+  )
+
   /** q147 — the NATIVE two-table as-of join
     * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
     * click at-or-before them per user, planned as a first-class Catalyst
@@ -841,5 +890,5 @@ object Relational2 {
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers, quarantine)
+    madOutliers, quarantine, scd2)
 }
