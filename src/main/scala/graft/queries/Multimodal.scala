@@ -866,7 +866,127 @@ object Multimodal {
             FROM half GROUP BY doc_id""")
   )
 
+  /** Closed-form grayscale "photo" for the perceptual-hash path: a fixed
+    * 32×16 frame whose STRUCTURE is a quadratic pattern selected by
+    * `doc_id % 7` and whose uniform BRIGHTNESS offset is `(doc_id % 5)·8`
+    * — the transformation (global exposure shift) a perceptual hash must
+    * be invariant to, applied in closed form so the oracle can replay it.
+    * Pattern values stay ≤ 199 + 32 < 256, so no channel clamps.
+    */
+  private def renderAhashPng(id: Long): Array[Byte] = {
+    val c = (id % 7).toInt
+    val delta = (id % 5).toInt * 8
+    val img = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 32) {
+        val v = ((c + 3) * x * x + (2 * c + 5) * y * y + (c + 1) * x * y) % 200 + delta
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q164 — PERCEPTUAL-HASH IMAGE DEDUP (average hash): the multimodal
+    * twin of q22's exact text dedup, and the first pass of every
+    * image-corpus dedup pipeline: two images are "the same picture" when
+    * their 64-bit aHash matches, not when their bytes do. Stage 1
+    * renders each document's closed-form grayscale frame and PNG-encodes
+    * it (real codec, q77's discipline); stage 2 decodes and computes the
+    * aHash — partition the 32×16 frame into an 8×8 grid of 4×2 blocks,
+    * set bit (by,bx) iff that block's mean exceeds the global mean. All
+    * integer arithmetic: `blockSum·64 > totalSum` avoids division, so
+    * the hash is exact on both engines and the DuckDB oracle replays
+    * pixels → blocks → bits → groups bit-for-bit. The generator plants
+    * the invariance the hash claims: 5 brightness variants per pattern
+    * share one hash (block mean and global mean shift equally — the
+    * `·64` cross-multiply cancels the offset), so 35 (pattern,
+    * brightness) byte-distinct classes collapse to exactly 7 perceptual
+    * groups; `n_brightness = 5` in every output row is the invariance
+    * made visible, and `AhashSpec` pins both halves (collapse + pattern
+    * separation) independently of the oracle.
+    *
+    * Scale shape: hash extraction is a per-image map fused into the
+    * decode `mapPartitions` — payloads NEVER shuffle (PlanSpec-gated);
+    * the only wide op is a metadata groupBy on the 64-bit signature
+    * (hash + doc_id, the q22 fingerprint-shuffle discipline). At 100 TB
+    * the Hamming-near variant buckets this same signature by bands —
+    * q83/q104's SimHash machinery applies unchanged.
+    */
+  val ahashDedup = Q(
+    "q164_ahash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          imageIoOnHeap()
+          it.map(id => (id, renderAhashPng(id)))
+        }
+      val hashed = encoded.mapPartitions { it =>
+        imageIoOnHeap()
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val bs = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 32) {
+              bs(y / 2)(x / 4) += (img.getRGB(x, y) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          val t = bs.map(_.sum).sum
+          val sb = new StringBuilder(64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              sb.append(if (bs(by)(bx) * 64 > t) '1' else '0')
+              bx += 1
+            }
+            by += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("doc_id", "phash")
+      hashed.groupBy("phash")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_images"),
+          countDistinct(col("doc_id") % 7).as("n_patterns"),
+          countDistinct(col("doc_id") % 5).as("n_brightness"))
+    },
+    Some("""WITH px AS (
+              SELECT doc_id, x, y,
+                     (((doc_id % 7) + 3) * x * x + (2 * (doc_id % 7) + 5) * y * y
+                      + ((doc_id % 7) + 1) * x * y) % 200 + (doc_id % 5) * 8 AS v
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 31)) AS x) xs,
+                   (SELECT unnest(generate_series(0, 15)) AS y) ys),
+            blk AS (
+              SELECT doc_id, x // 4 AS bx, y // 2 AS by, sum(v) AS bs
+              FROM px GROUP BY doc_id, x // 4, y // 2),
+            tot AS (SELECT doc_id, sum(bs) AS t FROM blk GROUP BY doc_id),
+            ah AS (
+              SELECT b.doc_id,
+                     string_agg(CASE WHEN b.bs * 64 > t.t THEN '1' ELSE '0' END,
+                                '' ORDER BY b.by, b.bx) AS phash
+              FROM blk b JOIN tot t USING (doc_id)
+              GROUP BY b.doc_id)
+            SELECT phash, min(doc_id) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_patterns,
+                   CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS n_brightness
+            FROM ah GROUP BY phash""")
+  )
+
   val all: Seq[Q] =
     Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles,
-      wavResample)
+      wavResample, ahashDedup)
 }

@@ -1060,7 +1060,8 @@ object TextAnalysis {
       val stepCtes = (1 to TextRankIters).map { t =>
         s"""r$t AS (
               SELECT e.dst AS w,
-                     (1.0 - $TextRankDamping) / (SELECT n FROM n)
+                     (CAST(1.0 AS DOUBLE) - CAST($TextRankDamping AS DOUBLE))
+                       / (SELECT n FROM n)
                        + $TextRankDamping * list_aggregate(
                            list((CAST(e.cnt AS DOUBLE) / wout.wsum) * rp.r
                                 ORDER BY e.src), 'sum') AS r

@@ -205,6 +205,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q164: the only shuffle is the metadata hash groupBy (payloads never shuffle)") {
+    // encode → decode → aHash is a pure per-partition chain; the single
+    // wide op groups the 64-bit signature. An Exchange NOT keyed by the
+    // hash would mean image bytes on the wire (the q22
+    // fingerprint-shuffle discipline, applied to media).
+    val p = plan("q164_ahash_dedup")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected the phash groupBy exchange")
+    assert(exchanges.forall(_.contains("phash")),
+      s"non-metadata shuffle in q164:\n${exchanges.mkString("\n")}")
+  }
+
   test("q107: rerank scores through the native cosine expression, probe side broadcast") {
     val p = plan("q107_matryoshka_rerank")
     assert(p.contains("cosine_similarity"), "native CosineSimilarity missing from q107")
