@@ -1142,9 +1142,83 @@ object Dedup {
             FROM ver WHERE 5 * o >= 4 * (ma + mb - o)""")
   )
 
+  /** Sliding-window length for the duplicated-substring metric (q165):
+    * 8-word windows, every token position — the word-level analogue of
+    * ExactSubstr's 50-char threshold (Lee et al. 2022, *Deduplicating
+    * Training Data Makes Language Models Better*, §3.1).
+    */
+  private val SubstrWindow = 8
+
+  /** q165 — DUPLICATED-SUBSTRING FRACTION (ExactSubstr, Lee et al.
+    * 2022): for every document, the fraction of its sliding 8-word
+    * windows that occur AGAIN anywhere in the corpus (another doc, or a
+    * second time in the same doc). This is the metric behind
+    * substring-level dedup — where q22 asks "is the whole doc a copy?"
+    * and q23/q89 ask "is the doc / the line near-identical?", q165
+    * measures HOW MUCH of each doc is boilerplate that appears verbatim
+    * elsewhere, the signal used both to cut docs above a duplication
+    * threshold and to audit a crawl's template load. A window is
+    * duplicated iff its fingerprint's corpus-wide occurrence count ≥ 2;
+    * `dup_frac = n_dup / n_windows` is one IEEE division of exact
+    * integers (portable). TOTAL: docs shorter than 8 tokens emit
+    * (0, 0, 0.0) — guarded explicitly because Spark's `sequence(1, n)`
+    * REVERSES for n < 1 where DuckDB's `generate_series` returns empty.
+    *
+    * Scale shape: windows shuffle as 32-char md5 fingerprints + doc_id,
+    * never text (q22's discipline); the occurrence count is one
+    * map-side-combined aggregation on the fingerprint and the join back
+    * is linear per window — there is no pair join anywhere, so unlike
+    * the Jaccard family this needs no df cap to survive a
+    * template-heavy crawl (hot fingerprints cost one skewed-key
+    * aggregation, which AQE splits). The suffix-array construction the
+    * paper uses single-node is exactly what the fingerprint shuffle
+    * replaces at cluster scale.
+    */
+  val substrDupFraction = Q(
+    "q165_substr_dup_fraction",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val wins = docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= SubstrWindow)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ws) - ${SubstrWindow - 1}),
+                i -> array_join(slice(ws, i, $SubstrWindow), ' '))""")).as("win"))
+        .select(col("doc_id"), TextFns.md5Hex(col("win")).as("fp"))
+      val occ = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+      val perDoc = wins.join(occ, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+          when(col("n_windows").isNull, lit(0.0))
+            .otherwise(col("n_dup").cast("double") / col("n_windows"))
+            .as("dup_frac"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            wins AS (SELECT doc_id, md5(array_to_string(ws[i:i+${SubstrWindow - 1}], ' ')) AS fp
+                     FROM (SELECT doc_id, ws,
+                                  unnest(generate_series(1, len(ws) - ${SubstrWindow - 1})) AS i
+                           FROM toks WHERE len(ws) >= $SubstrWindow) t),
+            occ AS (SELECT fp, count(*) AS c FROM wins GROUP BY fp),
+            perdoc AS (SELECT w.doc_id, count(*) AS n_windows,
+                              CAST(sum(CASE WHEN o.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                       FROM wins w JOIN occ o USING (fp)
+                       GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_windows, 0) AS n_windows,
+                   coalesce(p.n_dup, 0) AS n_dup_windows,
+                   CASE WHEN p.n_windows IS NULL THEN 0.0
+                        ELSE CAST(p.n_dup AS DOUBLE) / p.n_windows END AS dup_frac
+            FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
-      componentKeeper, triangleCensus, prefixSimilarityJoin)
+      componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction)
 }
