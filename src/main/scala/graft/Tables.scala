@@ -24,18 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nanos long (legacy conf),
-    * then convert to a microsecond timestamp — lossless here (the
-    * generated data is µs-aligned; TESTDATA.md). `eventsNanosConf` +
-    * `nanosTsToMicros` are shared with the streaming twin (q37) so batch
-    * and stream can never diverge on the conversion.
+  /** `events.ts` has shipped in two physical encodings across driver
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright — read as a raw nanos long via the legacy
+    * conf, then convert; the data is µs-aligned per TESTDATA.md) and
+    * plain TIMESTAMP(MICROS) `isAdjustedToUTC=false`, which Spark 4
+    * infers as TIMESTAMP_NTZ. `nanosTsToMicros` normalizes EITHER
+    * encoding to a session-local TimestampType — the session timezone is
+    * pinned to UTC in every entry point, so the NTZ→LTZ cast preserves
+    * instants exactly and both generations produce identical values.
+    * `eventsNanosConf` + `nanosTsToMicros` are shared with the streaming
+    * twins (q37 etc.) so batch and stream can never diverge on the
+    * conversion.
     */
   def eventsNanosConf(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def nanosTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def nanosTsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     eventsNanosConf(s)

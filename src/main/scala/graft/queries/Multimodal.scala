@@ -986,7 +986,159 @@ object Multimodal {
             FROM ah GROUP BY phash""")
   )
 
+  /** Frame length (samples) and voiced-energy threshold for q167. At
+    * 8 kHz, 80 samples = a 10 ms VAD frame.
+    */
+  private val VadFrame = 80
+  private val VadThreshold = 4000L
+
+  /** Closed-form gated waveform for q167: frame `f` of doc `id` is VOICED
+    * (loud, samples in ±800) when `(id·11 + f·7) mod 5 < 3`, else quiet
+    * (±20). Pure integer arithmetic, so the oracle replays every sample.
+    */
+  private[graft] def vadSamples(id: Long): Array[Short] = {
+    val nf = 30 + (id % 5).toInt * 6
+    Array.tabulate(nf * VadFrame) { i =>
+      val f = i / VadFrame
+      val k = id * 7 + i.toLong * 13
+      val s =
+        if ((id * 11 + f.toLong * 7) % 5 < 3) (k % 1601) - 800
+        else (k % 41) - 20
+      s.toShort
+    }
+  }
+
+  /** q167 — AUDIO VAD SEGMENTATION: energy-based voice-activity detection
+    * over a real WAV codec round-trip. Each doc becomes a closed-form
+    * gated waveform (loud/quiet 10 ms frames), WAV-encoded then DECODED
+    * through `AudioSystem` (q108's byte-exact codec discipline — an
+    * endianness or frame-size bug corrupts every energy), reduced
+    * per-partition to integer frame energies (`sum |s|`), thresholded to
+    * voiced flags, and segmented into maximal voiced runs with the
+    * gaps-and-islands window (`f − row_number` per doc — the q163 shape:
+    * frames of ONE doc, never corpus-wide). Per doc: frame/voiced counts,
+    * segment count, longest run, and an md5 of the ordered `start-end`
+    * segment list. This is the speech-pipeline front door (segment before
+    * ASR, drop silence before training) expressed as engine operators.
+    *
+    * Determinism: energies are exact integer sums both engines replay
+    * identically, so the threshold compare agrees bit-for-bit no matter
+    * where it falls. TOTAL: an all-quiet doc reports 0 segments and the
+    * empty-list fingerprint (left join + coalesce, q165's totality
+    * guard).
+    *
+    * Scale shape: waveform payloads never shuffle (generate → encode →
+    * decode → energies inside one `mapPartitions` chain); only
+    * (doc_id, frame, energy) rows — 3 integers — reach the shuffle, and
+    * every window is partitioned by doc_id with bounded (≤54-frame)
+    * history.
+    */
+  val vadSegments = Q(
+    "q167_vad_segments",
+    (s, d) => {
+      import s.implicits._
+      val fmt = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val energies = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val format = fmt()
+          it.flatMap { id =>
+            val samples = vadSamples(id)
+            val pcm = new Array[Byte](samples.length * 2)
+            var i = 0
+            while (i < samples.length) { // little-endian 16-bit
+              pcm(2 * i) = (samples(i) & 0xff).toByte
+              pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), format, samples.length.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            // decode back: the energies come from the codec output, not
+            // the generator — a WAV bug breaks the oracle match
+            val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val raw = dec.readAllBytes()
+            val n = raw.length / 2
+            Iterator.tabulate(n / VadFrame) { f =>
+              var e = 0L
+              var j = f * VadFrame
+              val end = j + VadFrame
+              while (j < end) {
+                val v = (((raw(2 * j + 1) & 0xff) << 8) | (raw(2 * j) & 0xff)).toShort
+                e += math.abs(v.toLong)
+                j += 1
+              }
+              (id, f.toLong, e)
+            }
+          }
+        }.toDF("doc_id", "f", "energy")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("f")
+      val segs = energies.where(col("energy") >= VadThreshold)
+        .withColumn("grp", col("f") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("f").as("s"), max("f").as("e"), count(lit(1)).as("len"))
+      val perDocSegs = segs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_segments"),
+        sum("len").as("voiced_frames"),
+        max("len").as("longest_seg"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("e")))),
+          x => concat(x.getField("s").cast("string"), lit("-"),
+            x.getField("e").cast("string"))), ",")).as("seg_fp"))
+      energies.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        .join(perDocSegs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("voiced_frames"), lit(0L)).as("voiced_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+          coalesce(col("seg_fp"), md5(lit(""))).as("seg_fp"))
+    },
+    Some(s"""WITH dims AS (
+               SELECT doc_id, 30 + (doc_id % 5) * 6 AS nf FROM documents),
+             fr AS (
+               SELECT doc_id, unnest(generate_series(0, CAST(nf AS INT) - 1)) AS f
+               FROM dims),
+             smp AS (
+               SELECT doc_id, f,
+                      CASE WHEN (doc_id * 11 + f * 7) % 5 < 3
+                           THEN ((doc_id * 7 + (f * $VadFrame + j) * 13) % 1601) - 800
+                           ELSE ((doc_id * 7 + (f * $VadFrame + j) * 13) % 41) - 20
+                      END AS s
+               FROM (SELECT doc_id, f, unnest(generate_series(0, ${VadFrame - 1})) AS j
+                     FROM fr) u),
+             en AS (
+               SELECT doc_id, f, sum(abs(s)) AS energy
+               FROM smp GROUP BY doc_id, f),
+             vf AS (
+               SELECT doc_id, f,
+                      f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+               FROM en WHERE energy >= $VadThreshold),
+             seg AS (
+               SELECT doc_id, grp, min(f) AS st, max(f) AS en2, count(*) AS len
+               FROM vf GROUP BY doc_id, grp),
+             perseg AS (
+               SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_segments,
+                      CAST(sum(len) AS BIGINT) AS voiced_frames,
+                      CAST(max(len) AS BIGINT) AS longest_seg,
+                      md5(string_agg(CAST(st AS VARCHAR) || '-' || CAST(en2 AS VARCHAR),
+                                     ',' ORDER BY st)) AS seg_fp
+               FROM seg GROUP BY doc_id),
+             nfm AS (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+               FROM en GROUP BY doc_id)
+             SELECT n.doc_id, n.n_frames,
+                    coalesce(p.voiced_frames, 0) AS voiced_frames,
+                    coalesce(p.n_segments, 0) AS n_segments,
+                    coalesce(p.longest_seg, 0) AS longest_seg,
+                    coalesce(p.seg_fp, md5('')) AS seg_fp
+             FROM nfm n LEFT JOIN perseg p USING (doc_id)""")
+  )
+
   val all: Seq[Q] =
     Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles,
-      wavResample, ahashDedup)
+      wavResample, ahashDedup, vadSegments)
 }

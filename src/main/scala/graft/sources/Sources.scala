@@ -440,7 +440,169 @@ object Sources {
             GROUP BY lang""")
   )
 
+  /** q166 — CUSTOM STREAMING SOURCE: the docgen connector read through
+    * Structured Streaming (`MICRO_BATCH_READ`), draining 100k generated
+    * rows in 8 admission-controlled micro-batches of 12 500
+    * (`Trigger.AvailableNow`) into a complete-mode aggregation. The
+    * operator under test is the STREAM MACHINERY in
+    * [[graft.sources.docgen.DocGenMicroBatchStream]]: replayable
+    * `[start, end)` offsets (exactly-once re-generation), a
+    * `maxRows`-style read limit per trigger, per-batch partition
+    * planning. The final aggregate must equal the one-shot batch read of
+    * the same options — which is exactly what the q154-shaped oracle
+    * checks, so hash equality proves no batch was lost, duplicated, or
+    * mis-split across the 8 triggers. (`DocGenStreamSpec` additionally
+    * pins that the drain really was multi-batch and batch/stream
+    * row-level equality.)
+    *
+    * Scale: state is one number (rows emitted); each micro-batch plans
+    * `slices` independent readers, so a 1000-executor drain of a
+    * backlogged source proceeds in bounded, checkpointable steps instead
+    * of one unboundedly-large batch.
+    */
+  val docgenStream = Q(
+    "q166_stream_source",
+    (s, _) => {
+      val name = "docgen_stream_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = s.readStream.format("graft.sources.docgen")
+        .option("rows", "100000").option("slices", "8")
+        .option("rowsPerBatch", "12500")
+        .load()
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM (SELECT id,
+                         ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                         (id * 2654435761) % 997 AS tokens
+                  FROM range(0, 100000) t(id))
+            GROUP BY lang""")
+  )
+
+  /** q168 — VACUUM / RETENTION GC over the q143 copy-on-write store: the
+    * second half of the time-travel contract. Snapshots share immutable
+    * files, so old versions cost only their PRIVATE files — and reclaiming
+    * space means deleting exactly the files no RETAINED manifest
+    * references (Delta's `VACUUM`, Iceberg's `expireSnapshots`). The
+    * query rebuilds the two-version store (v1 = 4 base buckets; v2 =
+    * copy-on-write commit rewriting buckets {0,2} + an insert file),
+    * expires v1, computes the dead set as a manifest ANTI-join
+    * (files referenced by any version MINUS files referenced by retained
+    * versions), physically deletes those files, and then reports per file
+    * TAG: reference counts, live/vacuumed status, and the row count from
+    * actually RE-READING every surviving file post-vacuum — so the result
+    * hash proves both halves at once (dead files identified correctly
+    * AND no live file was harmed; a vacuum that deleted a shared bucket
+    * would zero a live row count).
+    *
+    * Scale: the reference-count diff runs on the MANIFEST (file-count
+    * rows, the metadata plane — Delta does this exact anti-join); the
+    * physical deletes are per-file storage calls fanned out from that
+    * list, never a data-plane scan. Tags, not paths, appear in the
+    * output, so the oracle is layout-independent.
+    *
+    * `VacuumSpec` pins the physical contract: dead files ABSENT on disk,
+    * `asOf(2)` still readable and equal to the merge result, `asOf(1)`
+    * no longer materializable.
+    */
+  def vacuumManifestDir(d: String): String = leaf(d, "vac_manifest")
+
+  val vacuum = Q(
+    "q168_vacuum",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (col("doc_id") % 4).as("bucket"))
+      val updates = base.where(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+      val inserts = base.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val touched: Seq[Long] = Seq(0L, 2L) // multiples of 10 mod 4 ∈ {0, 2}
+
+      val baseFiles = (0L until 4L).map { k =>
+        val f = leaf(d, s"vac_base_$k")
+        base.where(col("bucket") === k).drop("bucket")
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        s"base_$k" -> f
+      }.toMap
+      val rwFiles = touched.map { k =>
+        val f = leaf(d, s"vac_rw_$k")
+        base.where(col("bucket") === k && col("doc_id") % 10 =!= 0).drop("bucket")
+          .unionAll(updates.where(col("bucket") === k).drop("bucket"))
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        s"rw_$k" -> f
+      }.toMap
+      val insFile = leaf(d, "vac_ins")
+      inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insFile)
+      val files = baseFiles ++ rwFiles + ("ins" -> insFile)
+
+      import s.implicits._
+      val manifest =
+        (0L until 4L).map(k => (1L, s"base_$k")) ++
+          (0L until 4L).map(k => if (touched.contains(k)) (2L, s"rw_$k") else (2L, s"base_$k")) :+
+          ((2L, "ins"))
+      manifest.toDF("version", "tag")
+        .write.mode(SaveMode.Overwrite).parquet(vacuumManifestDir(d))
+
+      // Metadata-plane GC: reference counts over the manifest, retained
+      // version set = {2}. Bounded by FILE count — collect is the same
+      // planning-phase read every table format does.
+      val m = s.read.parquet(vacuumManifestDir(d))
+      val refs = m.groupBy("tag").agg(
+        count(lit(1)).as("n_refs_total"),
+        sum(when(col("version") >= 2L, 1L).otherwise(0L)).as("n_refs_retained"))
+        .collect()
+        .map(r => (r.getAs[String]("tag"), r.getAs[Long]("n_refs_total"),
+          r.getAs[Long]("n_refs_retained")))
+      val dead = refs.filter(_._3 == 0L).map(_._1)
+      dead.foreach { tag => // per-file storage deletes, fanned out from the diff
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(files(tag)))
+      }
+      // Post-vacuum audit: re-read every surviving file for its count.
+      val counts: Map[String, Long] = refs.collect {
+        case (tag, _, retained) if retained > 0 =>
+          tag -> s.read.parquet(files(tag)).count()
+      }.toMap
+      refs.toSeq.map { case (tag, total, retained) =>
+        (tag, total, retained,
+          if (retained > 0) "live" else "vacuumed",
+          counts.getOrElse(tag, 0L))
+      }.toDF("tag", "n_refs_total", "n_refs_retained", "status", "n_rows")
+    },
+    Some("""WITH c AS (
+              SELECT CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                     CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                     CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                     CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ci
+              FROM documents)
+            SELECT 'base_0' AS tag, CAST(1 AS BIGINT) AS n_refs_total,
+                   CAST(0 AS BIGINT) AS n_refs_retained, 'vacuumed' AS status,
+                   CAST(0 AS BIGINT) AS n_rows FROM c
+            UNION ALL SELECT 'base_1', 2, 1, 'live', c1 FROM c
+            UNION ALL SELECT 'base_2', 1, 0, 'vacuumed', 0 FROM c
+            UNION ALL SELECT 'base_3', 2, 1, 'live', c3 FROM c
+            UNION ALL SELECT 'rw_0', 1, 1, 'live', c0 FROM c
+            UNION ALL SELECT 'rw_2', 1, 1, 'live', c2 FROM c
+            UNION ALL SELECT 'ins', 1, 1, 'live', ci FROM c""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
-      schemaEvolution, timeTravel, docgenScan, gdprDelete)
+      schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete, vacuum)
 }

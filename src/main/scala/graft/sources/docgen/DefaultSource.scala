@@ -73,19 +73,21 @@ class DefaultSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new DocGenTable(
       properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("rowsPerBatch", "25000").toLong)
 }
 
-class DocGenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class DocGenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"docgen(rows=$rows)"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, slices)
+    new DocGenScanBuilder(rows, slices, rowsPerBatch)
 }
 
-class DocGenScanBuilder(rows: Long, slices: Int)
+class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -128,14 +130,22 @@ class DocGenScanBuilder(rows: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new DocGenScan(lo, math.max(lo, hi), slices, required)
+    new DocGenScan(lo, math.max(lo, hi), slices, rowsPerBatch, required)
 }
 
-class DocGenScan(lo: Long, hi: Long, slices: Int, schema: StructType)
+class DocGenScan(lo: Long, hi: Long, slices: Int, rowsPerBatch: Long, schema: StructType)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Streaming read mode — same generator, micro-batch offsets; see
+    * [[DocGenMicroBatchStream]]. (Filter pushdown narrows only the batch
+    * path; the streaming scan always starts at row 0.)
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocGenMicroBatchStream(hi, slices, rowsPerBatch, schema.fieldNames)
 
   /** Surfaces the narrowed range + pruned columns in the executed plan —
     * what PlanSpec gates on.
