@@ -1074,6 +1074,11 @@ object Multimodal {
             }
           }
         }.toDF("doc_id", "f", "energy")
+        // two consumers below (segment pipeline + n_frames count): persist
+        // the 3-integer frame rows so the WAV encode/decode mapPartitions
+        // chain — the expensive half — executes once, not once per branch.
+        // The cached relation is frames × 3 longs, never the payloads.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("f")
       val segs = energies.where(col("energy") >= VadThreshold)

@@ -807,8 +807,14 @@ object Relational2 {
     * the user's event_type; consecutive equal values collapse into one
     * interval (a change row survives where `attr ≠ lag(attr)`), then
     * `valid_to = lead(valid_from)` over the surviving change rows, the
-    * open interval sealed with the 9999-12-31 sentinel (not NULL — the
-    * NaT compare hazard) and flagged current. Two per-user windows
+    * open interval sealed with a far-future sentinel (not NULL — the
+    * NaT compare hazard) and flagged current. The sentinel is
+    * 2262-01-01, NOT the warehouse-traditional 9999-12-31: any hash or
+    * compare path that normalizes timestamps to nanoseconds (pandas
+    * `datetime64[ns]` tops out at 2262-04-11) overflows on 9999-12-31,
+    * so a ns-representable sentinel keeps the result portable across
+    * engines while preserving "sorts after every real row" (data ts
+    * are 2024-vintage). Two per-user windows
     * (q42's precedent: frames are one user's history, never the corpus);
     * at 100 TB the same shape runs per dimension key after the q147
     * native merge — intervals are a pure per-key sequential recurrence.
@@ -825,10 +831,10 @@ object Relational2 {
       changes
         .withColumn("valid_to",
           coalesce(lead(col("ts"), 1).over(wChg),
-            lit("9999-12-31 00:00:00").cast("timestamp")))
+            lit("2262-01-01 00:00:00").cast("timestamp")))
         .select(col("user_id"), col("attr"), col("ts").as("valid_from"),
           col("valid_to"),
-          when(col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"), 1L)
+          when(col("valid_to") === lit("2262-01-01 00:00:00").cast("timestamp"), 1L)
             .otherwise(0L).as("is_current"))
     },
     Some("""WITH ordered AS (
@@ -841,12 +847,68 @@ object Relational2 {
             iv AS (SELECT user_id, attr, ts AS valid_from,
                           coalesce(lead(ts) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id),
-                                   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+                                   TIMESTAMP '2262-01-01 00:00:00') AS valid_to
                    FROM changes)
             SELECT user_id, attr, valid_from, valid_to,
-                   CAST(CASE WHEN valid_to = TIMESTAMP '9999-12-31 00:00:00'
+                   CAST(CASE WHEN valid_to = TIMESTAMP '2262-01-01 00:00:00'
                              THEN 1 ELSE 0 END AS BIGINT) AS is_current
             FROM iv""")
+  )
+
+  /** q171 — CSV CORRUPT-RECORD QUARANTINE: q162's twin for the OTHER
+    * half of real crawl ingest. q162 catches malformed JSON inside a
+    * parsed column; this stage ingests a dirtied CSV FILE — the shape a
+    * 100 TB crawl actually lands in — through Spark's PERMISSIVE CSV
+    * reader with a `_corrupt_record` column in the read schema. Rows
+    * whose numeric field fails to parse (every `event_id % 13 = 0` line
+    * gets a poisoned `k`) surface with the VERBATIM line in
+    * `_corrupt_record` (the replayable DLQ payload) while their
+    * well-formed fields still parse; clean rows parse fully. Detection
+    * is BY PARSE OUTCOME — never the dirt predicate — so hash equality
+    * against the predicate-routing oracle proves the reader catches
+    * exactly the corrupt rows. Same discipline as q162: one narrow
+    * stage write, one PERMISSIVE read, one map-side-combined aggregate;
+    * the quarantine keeps its grouping key so the DLQ replays per type.
+    *
+    * Scale: the CSV stage writes with task parallelism (one file per
+    * partition, no driver funnel), the read takes an EXPLICIT schema
+    * (no inference pass over 100 TB of text), and corrupt handling is
+    * per-row inside the scan — a bad line never fails the job (the
+    * FAILFAST alternative) nor silently vanishes (DROPMALFORMED).
+    */
+  val quarantineCsv = Q(
+    "q171_csv_quarantine",
+    (s, d) => {
+      val stage = graft.sources.Sources.scratchLeaf(d, "csv_quarantine_stage")
+      val k = floor(col("value") * 100).cast("long").cast("string")
+      Tables.events(s, d)
+        .select(concat_ws(",",
+          col("event_id"), col("event_type"),
+          when(col("event_id") % 13 === 0, concat(k, lit("x"))).otherwise(k))
+          .as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(stage)
+      s.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, k BIGINT, _corrupt_record STRING"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(stage)
+        .withColumn("kind",
+          when(col("_corrupt_record").isNotNull, lit("quarantine"))
+            .otherwise(lit("ok")))
+        .groupBy("kind", "event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("k")), lit(-1L)).as("sum_k"))
+    },
+    Some("""WITH routed AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 13 = 0 THEN 'quarantine' ELSE 'ok' END AS kind,
+                     CASE WHEN event_id % 13 <> 0
+                          THEN CAST(floor("value" * 100) AS BIGINT) END AS k
+              FROM events)
+            SELECT kind, event_type, CAST(count(*) AS BIGINT) AS n,
+                   coalesce(CAST(sum(k) AS BIGINT), -1) AS sum_k
+            FROM routed GROUP BY kind, event_type""")
   )
 
   /** q147 — the NATIVE two-table as-of join
@@ -890,5 +952,5 @@ object Relational2 {
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers, quarantine, scd2)
+    madOutliers, quarantine, quarantineCsv, scd2)
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -298,14 +298,22 @@ object Similarity {
     * would version the path.)
     */
   private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (java.util.List[org.apache.spark.sql.Row],
+    .empty[(String, Int, Int), (java.util.List[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]
 
+  /** Centroid count `k` is a PARAMETER of the Lloyd chain, not a build
+    * constant: SemDeDup's within-cell loop (q117) is quadratic in cell
+    * size, so at scale k must track the corpus (k ≈ n/⌀cell — the dial
+    * the q117 scaladoc documents). Queries default to [[IvfCentroids]]
+    * (the test-scale setting every oracle unrolls); `SemDedupSpec`
+    * drives a second k to prove cells shrink and the survivor set
+    * converges toward the unblocked ground truth.
+    */
   private[graft] def ivfCents(s: SparkSession, d: String,
-      steps: Int = IvfLloydSteps): DataFrame = {
+      steps: Int = IvfLloydSteps, k: Int = IvfCentroids): DataFrame = {
     import s.implicits._
-    val (rows, schema) = centCache.getOrElseUpdate((d, steps), {
-      val seeds = (0 until IvfCentroids)
+    val (rows, schema) = centCache.getOrElseUpdate((d, steps, k), {
+      val seeds = (0 until k)
         .map(j => (0 until Dim).map(i => centComponent(j, i)))
       val seedRow = seeds.zipWithIndex.map { case (c, j) => (j, c) }
         .toDF("cell", "c")
@@ -535,7 +543,7 @@ object Similarity {
   )
 
   private val NearDupPlanes = 10
-  private val NearDupThreshold = 0.38
+  private[graft] val NearDupThreshold = 0.38
 
   /** q96 — embedding near-duplicate pairs blocked by LSH BUCKET, the
     * production blocking key q26's scaladoc promises (q26 blocks by
@@ -1098,13 +1106,16 @@ object Similarity {
     * exist in the corpus) are dropped from the PAIR set on both engines,
     * so those vectors are always retained.
     */
-  val semDedup = Q(
-    "q117_semdedup",
-    (s, d) => {
-      import s.implicits._
-      val assigned = ivfWithCells(s, d, ivfCents(s, d))
-        .select(element_at(col("cells"), 1)("j").as("cell"), col("vec_id"), col("v"))
-      val dropped = assigned.as[(Int, Long, Array[Double])]
+  /** The q117 body at an arbitrary centroid count `k` — the SemDeDup
+    * scale dial (k ≈ n/⌀cell). q117 runs it at the oracle-pinned
+    * [[IvfCentroids]]; `SemDedupSpec` runs a second k to pin the
+    * cells-shrink / survivors-converge contract.
+    */
+  private[graft] def semDedupRetained(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val assigned = ivfWithCells(s, d, ivfCents(s, d, IvfLloydSteps, k))
+      .select(element_at(col("cells"), 1)("j").as("cell"), col("vec_id"), col("v"))
+    val dropped = assigned.as[(Int, Long, Array[Double])]
         .groupByKey(_._1)
         .flatMapGroups { (_, it) =>
           val block = it.toArray.sortBy(_._2)
@@ -1127,10 +1138,14 @@ object Similarity {
             if math.floor(raw * 1e6 + 0.5) / 1e6 >= NearDupThreshold
           } yield block(b)._2 // the higher id of the pair is the duplicate
         }
-        .toDF("vec_id").distinct()
-      assigned.select(col("vec_id"), col("cell").cast("long"))
-        .join(dropped, Seq("vec_id"), "left_anti")
-    },
+      .toDF("vec_id").distinct()
+    assigned.select(col("vec_id"), col("cell").cast("long"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  val semDedup = Q(
+    "q117_semdedup",
+    (s, d) => semDedupRetained(s, d, IvfCentroids),
     Some(s"""${ivfOracleCtes(IvfLloydSteps)},
             dropped AS (
               SELECT DISTINCT b.vec_id

@@ -198,6 +198,94 @@ object Sources {
             FROM z GROUP BY zval >> 12""")
   )
 
+  /** q169 — Z-ORDER PRUNED READ: the payoff of q91's Morton layout,
+    * executed end-to-end. q91 computes the clustered layout's min/max
+    * envelopes as EVIDENCE; this query actually (1) writes the events
+    * table range-partitioned by the z-value (`repartitionByRange` over
+    * [[graft.functions.InterleaveBits]] — each file covers a contiguous
+    * curve segment, hence a bounded rectangle in (user_id, vbin) space),
+    * (2) collects a per-file min/max STATS SIDECAR on both original
+    * dimensions in one pass over the fresh files (the Delta/Iceberg
+    * data-skipping model: stats ride the commit log, not parquet
+    * footers — at 100 TB the reader consults O(files) metadata, never
+    * opens a footer to decide), and (3) serves a 2-dim range predicate
+    * by intersecting the predicate rectangle with each file's envelope
+    * and scanning ONLY the intersecting files, residual-filtered.
+    *
+    * This is the claim a lexicographic sort cannot make: sorted by
+    * (user_id, vbin), a predicate on vbin alone touches every file;
+    * z-ordered, BOTH dimensions have bounded per-file ranges, so either
+    * predicate skips most files. Correctness never depends on the
+    * envelope logic — the residual filter re-applies the full predicate,
+    * and the oracle (a plain filter over the source table) catches a
+    * sidecar that wrongly DROPS a matching file. `ZorderPruneSpec` gates
+    * the economics: files-read is a strict subset of files-written, and
+    * skipping is better than a lexicographic layout's on the
+    * second dimension.
+    */
+  private[graft] val ZPruneFiles = 16
+  // The predicate rectangle is selective AND populated at every test SF
+  // (user_id tops out at 14 in sf0.001, 1499 in sf0.1; ⌊value⌋ ∈
+  // [100, 180] covers ~11% of rows) — an empty-match rectangle would
+  // make the oracle compare vacuous and the spec's skipping gate lucky.
+  private[graft] val ZPredU = (3L, 7L) // user_id ∈ [3, 7]
+  private[graft] val ZPredV = (100L, 180L) // ⌊value⌋ ∈ [100, 180]
+
+  /** Write the z-clustered store + stats sidecar, return
+    * (allFiles, selectedFiles, prunedScan). Factored so the spec can see
+    * the file lists; `clusterBy` swaps the layout (the lexicographic
+    * counterfactual) while the sidecar/pruning path stays identical.
+    */
+  private[graft] def zorderPruned(s: SparkSession, d: String,
+      tag: String = "zorder_store",
+      clusterBy: DataFrame => DataFrame = _.repartitionByRange(ZPruneFiles,
+        col("zval")).sortWithinPartitions("zval"))
+      : (Seq[String], Seq[String], DataFrame) = {
+    val out = leaf(d, tag)
+    val z = graft.functions.InterleaveBits(
+      col("user_id"), floor(col("value")).cast("long"))
+    clusterBy(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("vbin"), col("value"))
+        .withColumn("zval", z))
+      .drop("zval")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    // write-time stats collection (one pass over the fresh files): the
+    // per-file envelope on BOTH original dimensions. Bounded by file
+    // count — the same metadata-plane collect as q143's manifest reads.
+    val stats = s.read.parquet(out)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+        min("vbin").as("min_v"), max("vbin").as("max_v"))
+      .collect()
+    val all = stats.map(_.getAs[String]("path")).toSeq
+    val selected = stats.filter { r =>
+      !(r.getAs[Long]("max_u") < ZPredU._1 || r.getAs[Long]("min_u") > ZPredU._2 ||
+        r.getAs[Long]("max_v") < ZPredV._1 || r.getAs[Long]("min_v") > ZPredV._2)
+    }.map(_.getAs[String]("path")).toSeq
+    // prune-all is a LEGAL outcome (a rectangle outside every envelope):
+    // serve it as an empty relation with the store's schema — limit(0)
+    // folds to an empty plan, so even the schema read scans nothing.
+    val source =
+      if (selected.isEmpty) s.read.parquet(all: _*).limit(0)
+      else s.read.parquet(selected: _*)
+    val scan = source
+      .where(col("user_id").between(ZPredU._1, ZPredU._2)
+        && col("vbin").between(ZPredV._1, ZPredV._2))
+      .select("event_id", "user_id", "vbin", "value")
+    (all, selected, scan)
+  }
+
+  val zorderPrunedRead = Q(
+    "q169_zorder_pruned_read",
+    (s, d) => zorderPruned(s, d)._3,
+    Some(s"""SELECT event_id, user_id, CAST(floor("value") AS BIGINT) AS vbin, "value"
+             FROM events
+             WHERE user_id BETWEEN ${ZPredU._1} AND ${ZPredU._2}
+               AND CAST(floor("value") AS BIGINT) BETWEEN ${ZPredV._1} AND ${ZPredV._2}""")
+  )
+
   /** q102 — SCHEMA EVOLUTION on read: an old batch written without a
     * column and a new batch written with it (`quality`, the score a
     * later pipeline version started stamping) are read together with
@@ -406,6 +494,156 @@ object Sources {
              FROM u GROUP BY version, bucket""")
   )
 
+  /** q170 — DELETION VECTORS (merge-on-read DELETE): the small-delete
+    * path q155 deliberately does NOT take. Copy-on-write rewrites a
+    * whole bucket file to drop a handful of rows — correct, but at
+    * 100 TB a daily trickle of GDPR requests would rewrite the table
+    * continuously. The Delta/Iceberg answer is a TOMBSTONE SIDECAR
+    * (deletion vector): the delete commit writes only (bucket, event_id)
+    * tombstone rows, data files stay byte-identical, and readers
+    * anti-join the sidecar at scan time (merge-on-read). The read tax is
+    * paid per query until a MAINTENANCE pass (q168's vacuum discipline)
+    * compacts: when a bucket's tombstone fraction crosses
+    * [[DvCompactThreshold]], that bucket is rewritten without its dead
+    * rows and its tombstones are dropped; buckets under the threshold
+    * keep riding the sidecar.
+    *
+    * Three snapshots exercise both regimes: v1 = base (8 immutable
+    * bucket files); v2 = q155's deleted-user predicate as a PURE
+    * deletion-vector commit — `DeletionVectorSpec` pins that every v2
+    * data file IS v1's file, untouched; v3 = a second delete wave that
+    * pushes bucket 5 past the threshold (measured fraction ~0.99 vs
+    * bucket 6's ~0.55, threshold 0.75 — safely between at every SF), so
+    * the maintenance pass compacts exactly bucket 5 and clears its
+    * tombstones while bucket 6 keeps its vector. The compact-or-not
+    * decision is an 8-row metadata aggregate, never a corpus scan.
+    * Output: per (version, bucket) visible rows / users / value mass,
+    * plus `n_dv` — the live tombstone count a storage auditor reads off
+    * the manifest.
+    */
+  def dvManifestDir(d: String): String = leaf(d, "dv_manifest")
+
+  private[graft] val DvCompactThreshold = 0.75
+  private val dvPred1 = deletedPred // q155's deleted users, as a DV commit
+  private val dvPred2 = "user_id % 16 = 13 AND value < 250.0"
+
+  val deletionVectors = Q(
+    "q170_deletion_vector_delete",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("user_id") % 8).as("bucket"))
+      val p1 = expr(dvPred1)
+      val p2 = expr(dvPred2)
+
+      // v1: the immutable base layout. The bucket column is KEPT in the
+      // files — (bucket, event_id) is the deletion-vector key, so a
+      // reader can anti-join without re-deriving the bucketing.
+      val baseFiles = (0L until 8L).map { k =>
+        val f = leaf(d, s"dv_base_$k")
+        ev.where(col("bucket") === k)
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+
+      // commit 2 — the deletion-vector path: tombstones only, zero data
+      // files touched (the property DeletionVectorSpec gates on).
+      val dv2File = leaf(d, "dv_tomb_v2")
+      ev.where(p1).select("bucket", "event_id")
+        .write.mode(SaveMode.Overwrite).parquet(dv2File)
+
+      // commit 3 — second wave + maintenance: per-bucket tombstone
+      // fraction (an 8-row aggregate) picks compaction candidates.
+      val fracs = ev.groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(p1 || p2, 1L).otherwise(0L)).as("n_dead"))
+        .collect()
+        .map(r => (r.getAs[Long]("bucket"),
+          r.getAs[Long]("n_dead").toDouble / r.getAs[Long]("n")))
+      val compacted = fracs.filter(_._2 >= DvCompactThreshold).map(_._1).sorted
+      val rewritten = compacted.map { k =>
+        val f = leaf(d, s"dv_rw_$k")
+        ev.where(col("bucket") === k && !(p1 || p2))
+          .write.mode(SaveMode.Overwrite).parquet(f)
+        k -> f
+      }.toMap
+      val dv3File = leaf(d, "dv_tomb_v3")
+      ev.where((p1 || p2) && !col("bucket").isInCollection(compacted.toSeq))
+        .select("bucket", "event_id")
+        .write.mode(SaveMode.Overwrite).parquet(dv3File)
+
+      import s.implicits._
+      val manifest =
+        (0L until 8L).map(k => (1L, "data", k, baseFiles(k))) ++
+          (0L until 8L).map(k => (2L, "data", k, baseFiles(k))) :+
+          ((2L, "dv", -1L, dv2File)) :++
+          (0L until 8L).map(k => (3L, "data", k, rewritten.getOrElse(k, baseFiles(k)))) :+
+          ((3L, "dv", -1L, dv3File))
+      manifest.toDF("version", "kind", "bucket", "path")
+        .write.mode(SaveMode.Overwrite).parquet(dvManifestDir(d))
+
+      // merge-on-read: manifest-v data files, anti-joined with
+      // manifest-v tombstones on the (bucket, event_id) key.
+      def paths(v: Long, kind: String): Seq[String] =
+        s.read.parquet(dvManifestDir(d))
+          .where(col("version") === v && col("kind") === kind)
+          .select("path").collect().map(_.getString(0)).sorted.toSeq
+      def asOf(v: Long): DataFrame = {
+        val data = s.read.parquet(paths(v, "data"): _*)
+        val dvPaths = paths(v, "dv") // v1 carries no vector at all
+        if (dvPaths.isEmpty) data
+        else data.join(s.read.parquet(dvPaths: _*),
+          Seq("bucket", "event_id"), "left_anti")
+      }
+      def dvCounts(v: Long): DataFrame =
+        s.read.parquet(paths(v, "dv"): _*)
+          .groupBy("bucket").agg(count(lit(1)).as("n_dv"))
+
+      Seq(1L, 2L, 3L).map { v =>
+        val visible = asOf(v)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            graft.Q.dsum2(col("value")).as("sum_value"))
+        val withDv =
+          if (v == 1L) visible.withColumn("n_dv", lit(0L))
+          else visible.join(dvCounts(v), Seq("bucket"), "left")
+            .withColumn("n_dv", coalesce(col("n_dv"), lit(0L)))
+        withDv.select(lit(v).as("version"), col("bucket"),
+          col("n_rows"), col("n_users"), col("sum_value"), col("n_dv"))
+      }.reduce(_ unionAll _)
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, "value",
+                               user_id % 8 AS bucket FROM events),
+             u AS (SELECT 1 AS version, * FROM e
+                   UNION ALL
+                   SELECT 2 AS version, * FROM e WHERE NOT ($dvPred1)
+                   UNION ALL
+                   SELECT 3 AS version, * FROM e
+                   WHERE NOT ($dvPred1) AND NOT (user_id % 16 = 13 AND "value" < 250.0)),
+             dv AS (SELECT 2 AS version, bucket, CAST(count(*) AS BIGINT) AS n_dv
+                    FROM e WHERE $dvPred1 GROUP BY bucket
+                    UNION ALL
+                    -- v3 keeps tombstones only for the non-compacted
+                    -- bucket (bucket 5 crossed the threshold and was
+                    -- rewritten; its vector is cleared)
+                    SELECT 3 AS version, bucket, CAST(count(*) AS BIGINT)
+                    FROM e
+                    WHERE ($dvPred1 OR (user_id % 16 = 13 AND "value" < 250.0))
+                      AND bucket <> 5
+                    GROUP BY bucket),
+             vis AS (
+               SELECT CAST(version AS BIGINT) AS version, bucket,
+                      CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                      ${Q.sqlSum2("\"value\"")} AS sum_value
+               FROM u GROUP BY version, bucket)
+             SELECT vis.version, vis.bucket, vis.n_rows, vis.n_users,
+                    vis.sum_value, coalesce(dv.n_dv, 0) AS n_dv
+             FROM vis LEFT JOIN dv
+               ON dv.version = vis.version AND dv.bucket = vis.bucket""")
+  )
+
   /** q154 — CUSTOM DataSourceV2 CONNECTOR: aggregate a filtered read of
     * the [[graft.sources.docgen.DefaultSource]] synthetic table. The query
     * itself is deliberately plain — the operator under test is the SOURCE:
@@ -568,8 +806,13 @@ object Sources {
           r.getAs[Long]("n_refs_retained")))
       val dead = refs.filter(_._3 == 0L).map(_._1)
       dead.foreach { tag => // per-file storage deletes, fanned out from the diff
+        // Delta VACUUM's error surfacing: a file the store cannot remove
+        // must fail the command loudly — reporting it 'vacuumed' while it
+        // still exists on disk would corrupt every later retention audit.
         def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          if (!f.delete() && f.exists())
+            throw new java.io.IOException(s"vacuum failed to delete $f")
         }
         rm(new java.io.File(files(tag)))
       }
@@ -604,5 +847,6 @@ object Sources {
 
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
-      schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete, vacuum)
+      zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
+      deletionVectors, vacuum)
 }

@@ -140,12 +140,19 @@ class DocGenScan(lo: Long, hi: Long, slices: Int, rowsPerBatch: Long, schema: St
   override def toBatch: Batch = this
 
   /** Streaming read mode — same generator, micro-batch offsets; see
-    * [[DocGenMicroBatchStream]]. (Filter pushdown narrows only the batch
-    * path; the streaming scan always starts at row 0.)
+    * [[DocGenMicroBatchStream]]. Spark runs no filter pushdown on
+    * micro-batch scans today, so `lo` must still be 0 here; if pushdown
+    * ever reaches the streaming path, the accepted filters would already
+    * be gone from the post-scan plan and rows [0, lo) would silently
+    * leak — so the invariant is ENFORCED, not documented.
     */
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(lo == 0L,
+      s"DocGen streaming scan with pushed lower bound lo=$lo: filter pushdown " +
+        "reached the micro-batch path; wire lo into DocGenMicroBatchStream first")
     new DocGenMicroBatchStream(hi, slices, rowsPerBatch, schema.fieldNames)
+  }
 
   /** Surfaces the narrowed range + pruned columns in the executed plan —
     * what PlanSpec gates on.

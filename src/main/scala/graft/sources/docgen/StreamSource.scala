@@ -2,7 +2,8 @@ package graft.sources.docgen
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+  CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit,
+  ReadMaxRows, SupportsTriggerAvailableNow}
 
 /** Stream position = count of rows already emitted. A single
   * monotonically-increasing Long is the whole checkpoint state, so offset
@@ -64,13 +65,22 @@ class DocGenMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  /** Admission control, the Kafka connector's semantics: ReadMaxRows
+    * caps the advance, ReadAllAvailable drains to the end in ONE step
+    * (not one default-sized batch), and a CompositeReadLimit is honored
+    * by its most restrictive row cap.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[DocGenOffset].index
-    val step = limit match {
-      case m: ReadMaxRows => m.maxRows()
-      case _              => rowsPerBatch
+    def step(l: ReadLimit): Long = l match {
+      case m: ReadMaxRows                => math.max(1L, m.maxRows())
+      case _: ReadAllAvailable           => rows - from
+      case c: CompositeReadLimit         =>
+        val steps = c.getReadLimits.map(step)
+        if (steps.isEmpty) rowsPerBatch else steps.min
+      case _                             => rowsPerBatch
     }
-    DocGenOffset(math.min(rows, from + math.max(1L, step)))
+    DocGenOffset(math.min(rows, from + math.max(1L, step(limit))))
   }
 
   override def reportLatestOffset(): Offset = DocGenOffset(rows)

@@ -47,4 +47,18 @@ class BloomDecontamSpec extends AnyFunSuite {
       s"bloom pipeline drifted: only-exact=${(exact.keySet -- bloomed.keySet).take(3)} " +
         s"only-bloom=${(bloomed.keySet -- exact.keySet).take(3)}")
   }
+
+  /** The round-9 economics contract: the prefilter must be the NATIVE
+    * codegen'd `might_contain` over `xxhash64` riding the train-side
+    * scan stage — a closure UDF here fences the petabyte side of the
+    * join out of whole-stage codegen, which is exactly the plan defect
+    * the first cut shipped.
+    */
+  test("q136: the probe is the native might_contain expression, not a closure UDF") {
+    val plan = SparkEntry.queries("q136_decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "native bloom probe missing from the plan")
+    assert(plan.contains("xxhash64"), "probe key is not the codegen'd xxhash64")
+    assert(!plan.contains("UDF("), "closure UDF re-entered the probe path")
+  }
 }

@@ -42,4 +42,35 @@ class QuarantineSpec extends AnyFunSuite {
     assert(quarantined > 0, "fixture corrupts nothing — vacuous test")
     assert(quarantined + passed == evs.length.toLong, "route split loses rows")
   }
+
+  /** The q171 CSV twin: same routing contract at file-ingest level, plus
+    * the DLQ property the aggregate can't see — every quarantined row
+    * carries its VERBATIM input line (replayable), and parse-outcome
+    * routing matches the dirt predicate row-for-row.
+    */
+  test("q171 CSV: parse-outcome routing matches the dirt predicate; DLQ is verbatim") {
+    SparkEntry.queries("q171_csv_quarantine")(spark, d).collect() // commit the stage
+    val stage = sources.Sources.scratchLeaf(d, "csv_quarantine_stage")
+    val rows = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, k BIGINT, _corrupt_record STRING"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(stage)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val corrupt = r.getAs[String]("_corrupt_record")
+      if (id % 13 == 0) {
+        assert(corrupt != null, s"poisoned row $id passed the parser")
+        assert(corrupt.startsWith(s"$id,") && corrupt.endsWith("x"),
+          s"DLQ payload for $id is not the verbatim line: $corrupt")
+        assert(r.isNullAt(r.fieldIndex("k")), s"poisoned k parsed for $id")
+      } else {
+        assert(corrupt == null, s"clean row $id was quarantined")
+        assert(!r.isNullAt(r.fieldIndex("k")), s"clean k dropped for $id")
+      }
+    }
+  }
 }

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class Scd2Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val d = TestSpark.Sf0001
-  private val Sentinel = Timestamp.valueOf("9999-12-31 00:00:00")
+  private val Sentinel = Timestamp.valueOf("2262-01-01 00:00:00")
 
   test("q163 matches a sequential replay and keeps interval algebra") {
     val evs = Tables.events(spark, d)
