@@ -228,12 +228,12 @@ object Behavior {
       val weighted = Tables.events(s, d)
         .select(col("event_type"), col("value"), col("event_id"))
         .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
-        .withColumn("h",
-          expr("""CAST(conv(substring(md5(CAST(concat(CAST(b AS STRING), '|',
-                  CAST(event_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 1000"""))
+        // the native fused draw (graft.functions.PoissonWeight) — same
+        // 60-bit-md5 % 1000 + pmf-threshold contract as the portable SQL
+        // chain the oracle replays, minus the per-row hex-string
+        // round-trip the chain pays corpus × B times
         .withColumn("w",
-          when(col("h") < 368, 0L).when(col("h") < 736, 1L)
-            .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+          graft.functions.PoissonWeight(col("b").cast("long"), col("event_id")))
       val reps = weighted
         .groupBy("event_type", "b")
         .agg((Q.dsum2(col("value") * col("w")) / sum(col("w")).cast("double")).as("m"))
