@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.Behavior.all ++
       _root_.graft.queries.Relational2.all ++
       _root_.graft.queries.Profiling.all ++
+      _root_.graft.queries.Sketches.all ++
       _root_.graft.sources.Sources.all ++
       _root_.graft.operators.CleanCorpus.all ++
       _root_.graft.operators.SequencePacking.all ++

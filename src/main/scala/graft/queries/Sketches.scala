@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** The mergeable-sketch family beyond q19/q49/q105's one-shot
+  * approximations: sketches as STORED, UNIONED artifacts — the pattern
+  * that makes 100 TB incremental analytics affordable (build tiny
+  * per-shard summaries once, answer corpus-scale questions from the
+  * summaries forever). Both queries audit the sketch against the exact
+  * answer IN-QUERY and emit the bound check as a boolean column, so the
+  * driver's hash gate (oracle emits TRUE) fails loudly the day a sketch
+  * drifts out of contract — a FULL oracle over approximate machinery,
+  * where q19/q49/q126 settle for rows-only.
+  */
+object Sketches {
+
+  /** q172 — COUNT–MIN SKETCH frequency audit: one pass builds Spark's
+    * native `count_min_sketch` over the token stream (eps = 0.001,
+    * confidence 0.99, fixed seed — deterministic), the q135 exact
+    * heavy-hitter pass supplies ground truth for the top 16 words, and
+    * the output states, per word, the exact count plus whether the
+    * sketch obeyed BOTH CMS guarantees: est ≥ exact (structural — CMS
+    * never undercounts) and est ≤ exact + ⌈eps·N⌉ (the collision
+    * bound). The sketch is the mergeable, fixed-size (KB) summary a
+    * 100 TB pipeline keeps per shard and unions for corpus-wide
+    * frequency service; the exact pass here is the AUDIT, not the
+    * serving path.
+    *
+    * Scale shape: the sketch aggregate and the token count ride ONE
+    * corpus scan (two aggregates, one pass, map-side partials — a CMS
+    * merge is cell-wise addition); the exact side is q135's
+    * TakeOrderedAndProject top-k; the driver-side sketch probe touches
+    * 16 candidate words (bounded metadata, the ivfCents collect class).
+    * `SketchSpec` widens the audit to the ENTIRE vocabulary at test
+    * scale.
+    */
+  private val CmsEps = 0.001
+  private[graft] def cmsSketch(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.util.sketch.CountMinSketch, Long) = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "").as[String]
+    val row = toks.toDF("w")
+      .agg(expr(s"count_min_sketch(w, ${CmsEps}d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n"))
+      .head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    (cms, row.getAs[Long]("n"))
+  }
+
+  val cmsFreqAudit = Q(
+    "q172_cms_freq_audit",
+    (s, d) => {
+      import s.implicits._
+      val (cms, n) = cmsSketch(s, d)
+      val bound = math.ceil(CmsEps * n).toLong
+      val top = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(16)
+        .collect()
+        .map { r =>
+          val w = r.getAs[String]("w"); val c = r.getAs[Long]("cnt")
+          val est = cms.estimateCount(w)
+          (w, c, est >= c && est <= c + bound)
+        }
+      s.createDataFrame(s.sparkContext.parallelize(top.toSeq, 1))
+        .toDF("w", "cnt", "within_eps")
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            SELECT w, count(*) AS cnt, TRUE AS within_eps
+            FROM tok WHERE w <> ''
+            GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
+  )
+
+  /** q173 — HLL SKETCH STORE (incremental distinct counting): per-day
+    * `hll_sketch_agg` summaries of the event stream's user column,
+    * materialized ONCE to scratch parquet — the Apache DataSketches
+    * artifact a 100 TB pipeline appends daily — then date-RANGE
+    * distinct-user questions answered by `hll_union_agg` over the
+    * STORE (O(days) rows, zero event rescans; sketch union is the
+    * whole point: distinct counts are not additive, sketches are
+    * unionable). Three ranges exercise the store (first day, first
+    * week, full span); each output row carries the range's day count,
+    * the EXACT distinct-user answer, and whether the sketch estimate
+    * landed within ±5% of it — the exact side is the in-query audit
+    * (and the oracle), the sketch side is the serving path.
+    *
+    * Scale shape: the store build is one shuffle on day (map-side
+    * partial sketches — HLL merges cell-wise); range service reads the
+    * day-partitionable store, never events; the exact audit is one
+    * distinct-aggregate per range, the thing production DOESN'T pay
+    * per query — it's here precisely so the oracle can pin the
+    * estimate's contract. The two bounded collects (min/max day, 3
+    * range rows) are metadata-plane.
+    */
+  val hllStore = Q(
+    "q173_hll_sketch_store",
+    (s, d) => {
+      val store = graft.sources.Sources.scratchLeaf(d, "hll_day_store")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val days = s.read.parquet(store).agg(min("day"), max("day")).head()
+      val lo = days.getDate(0).toLocalDate
+      val ranges = Seq(
+        ("day1", lo, lo),
+        ("week1", lo, lo.plusDays(6)),
+        ("all", lo, days.getDate(1).toLocalDate))
+      ranges.map { case (tag, a, b) =>
+        val est = s.read.parquet(store)
+          .where(col("day").between(lit(a.toString), lit(b.toString)))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+            count(lit(1)).as("n_days"))
+        val exact = Tables.events(s, d)
+          .where(to_date(col("ts")).between(lit(a.toString), lit(b.toString)))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.crossJoin(exact)
+          .select(lit(tag).as("range_tag"), col("n_days"), col("exact_users"),
+            (abs(col("est") - col("exact_users")).cast("double") <=
+              col("exact_users").cast("double") * 0.05).as("est_ok"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+            span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            r AS (SELECT 'day1' AS range_tag, lo AS a, lo AS b FROM span
+                  UNION ALL SELECT 'week1', lo, lo + INTERVAL 6 DAY FROM span
+                  UNION ALL SELECT 'all', lo, hi FROM span)
+            SELECT r.range_tag,
+                   CAST(count(DISTINCT d.day) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS exact_users,
+                   TRUE AS est_ok
+            FROM r JOIN d ON d.day BETWEEN r.a AND r.b
+            GROUP BY r.range_tag""")
+  )
+
+  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore)
+}
