@@ -536,25 +536,31 @@ object Sources {
       val p1 = expr(dvPred1)
       val p2 = expr(dvPred2)
 
-      // v1: the immutable base layout. The bucket column is KEPT in the
-      // files — (bucket, event_id) is the deletion-vector key, so a
-      // reader can anti-join without re-deriving the bucketing.
-      val baseFiles = (0L until 8L).map { k =>
-        val f = leaf(d, s"dv_base_$k")
-        ev.where(col("bucket") === k)
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        k -> f
-      }.toMap
+      // v1: the immutable base layout — ONE scan of the source, fanned
+      // into per-bucket directories by a partitioned write (not 8
+      // filtered rescans). The bucket column is KEPT in the data (the
+      // partition column `pb` is a duplicate) — (bucket, event_id) is
+      // the deletion-vector key, so a reader can anti-join without
+      // re-deriving the bucketing. Everything downstream consults the
+      // STORE, never the upstream source again — the commit discipline
+      // a real table format has (a delete decision reads table state).
+      val baseRoot = leaf(d, "dv_base")
+      ev.withColumn("pb", col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      val baseFiles = (0L until 8L).map(k => k -> s"$baseRoot/pb=$k").toMap
+      def store: DataFrame =
+        s.read.option("basePath", baseRoot).parquet(baseRoot).drop("pb")
 
       // commit 2 — the deletion-vector path: tombstones only, zero data
       // files touched (the property DeletionVectorSpec gates on).
       val dv2File = leaf(d, "dv_tomb_v2")
-      ev.where(p1).select("bucket", "event_id")
+      store.where(p1).select("bucket", "event_id")
         .write.mode(SaveMode.Overwrite).parquet(dv2File)
 
       // commit 3 — second wave + maintenance: per-bucket tombstone
-      // fraction (an 8-row aggregate) picks compaction candidates.
-      val fracs = ev.groupBy("bucket")
+      // fraction (an 8-row aggregate over the store) picks compaction
+      // candidates.
+      val fracs = store.groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           sum(when(p1 || p2, 1L).otherwise(0L)).as("n_dead"))
         .collect()
@@ -563,12 +569,12 @@ object Sources {
       val compacted = fracs.filter(_._2 >= DvCompactThreshold).map(_._1).sorted
       val rewritten = compacted.map { k =>
         val f = leaf(d, s"dv_rw_$k")
-        ev.where(col("bucket") === k && !(p1 || p2))
+        store.where(col("bucket") === k && !(p1 || p2))
           .write.mode(SaveMode.Overwrite).parquet(f)
         k -> f
       }.toMap
       val dv3File = leaf(d, "dv_tomb_v3")
-      ev.where((p1 || p2) && !col("bucket").isInCollection(compacted.toSeq))
+      store.where((p1 || p2) && !col("bucket").isInCollection(compacted.toSeq))
         .select("bucket", "event_id")
         .write.mode(SaveMode.Overwrite).parquet(dv3File)
 
@@ -588,15 +594,21 @@ object Sources {
         s.read.parquet(dvManifestDir(d))
           .where(col("version") === v && col("kind") === kind)
           .select("path").collect().map(_.getString(0)).sorted.toSeq
+      // per-path reads unioned by name: the manifest mixes bucket subdirs
+      // of the partitioned base layout with rewritten plain dirs, and a
+      // multi-path read would run partition-structure inference across
+      // them; the bucket key lives IN the data, so each path reads flat.
+      def readAll(ps: Seq[String]): DataFrame =
+        ps.map(p => s.read.parquet(p)).reduce(_ unionByName _)
       def asOf(v: Long): DataFrame = {
-        val data = s.read.parquet(paths(v, "data"): _*)
+        val data = readAll(paths(v, "data"))
         val dvPaths = paths(v, "dv") // v1 carries no vector at all
         if (dvPaths.isEmpty) data
-        else data.join(s.read.parquet(dvPaths: _*),
+        else data.join(readAll(dvPaths),
           Seq("bucket", "event_id"), "left_anti")
       }
       def dvCounts(v: Long): DataFrame =
-        s.read.parquet(paths(v, "dv"): _*)
+        readAll(paths(v, "dv"))
           .groupBy("bucket").agg(count(lit(1)).as("n_dv"))
 
       Seq(1L, 2L, 3L).map { v =>
