@@ -656,6 +656,40 @@ object Sources {
                ON dv.version = vis.version AND dv.bucket = vis.bucket""")
   )
 
+  /** q174 — CUSTOM DataSourceV2 SINK (staged-commit write protocol):
+    * the write half of the connector surface q154's read-only source
+    * left unexercised. The documents table flows OUT through
+    * `graft.sources.blob` — per-task [[graft.sources.blob.BlobDataWriter]]s
+    * stage uuid-unique files, the driver's `BatchWrite.commit` publishes
+    * exactly the files the commit messages name and renames the manifest
+    * last — and back IN through the connector's manifest-resolved batch
+    * read, aggregated per language. The oracle (a plain aggregation over
+    * the source table) proves the whole staged-commit round trip loses
+    * and invents nothing; `BlobStoreSpec` covers the failure paths the
+    * happy-path oracle can't (planted staged/orphan files invisible to
+    * readers, task abort cleanup, append vs truncate manifests).
+    * At 100 TB this is the protocol that makes a 10 000-task write
+    * all-or-nothing: stragglers and speculative duplicates stage files
+    * no manifest ever references.
+    */
+  val blobSink = Q(
+    "q174_blob_sink_roundtrip",
+    (s, d) => {
+      val p = leaf(d, "blob_store")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .write.format("graft.sources.blob").option("path", p)
+        .mode(SaveMode.Overwrite).save()
+      s.read.format("graft.sources.blob").option("path", p).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""")
+  )
+
   /** q154 — CUSTOM DataSourceV2 CONNECTOR: aggregate a filtered read of
     * the [[graft.sources.docgen.DefaultSource]] synthetic table. The query
     * itself is deliberately plain — the operator under test is the SOURCE:
@@ -860,5 +894,5 @@ object Sources {
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
-      deletionVectors, vacuum)
+      deletionVectors, vacuum, blobSink)
 }
