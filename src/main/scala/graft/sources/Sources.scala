@@ -690,6 +690,52 @@ object Sources {
             FROM documents GROUP BY lang""")
   )
 
+  /** q175 — CUSTOM V2 STREAMING SINK: the last cell of the connector
+    * matrix (batch read q154, micro-batch read q166, batch write q174,
+    * streaming write HERE). The docgen stream drains its 8
+    * admission-controlled micro-batches through
+    * [[graft.sources.blob.BlobStreamingWrite]] — each epoch's staged
+    * files and its `#epoch` marker publish in one atomic manifest
+    * replace, so a replayed epoch (crash-recovery) discards duplicates
+    * instead of double-publishing: exactly-once end-to-end on top of the
+    * source's replayable offsets. The store is then batch-read back and
+    * aggregated; hash equality with the q166/q154-shaped oracle proves
+    * all 8 epochs landed exactly once. Store + checkpoint are
+    * run-unique (q78's discipline) so re-runs never inherit manifests.
+    */
+  val blobStreamSink = Q(
+    "q175_stream_sink",
+    (s, d) => {
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val p = leaf(d, s"blob_stream_$runId")
+      val chk = leaf(d, s"blob_stream_chk_$runId")
+      val q = s.readStream.format("graft.sources.docgen")
+        .option("rows", "100000").option("slices", "8")
+        .option("rowsPerBatch", "12500")
+        .load()
+        .writeStream.format("graft.sources.blob")
+        .option("path", p).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.blob").option("path", p).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM (SELECT id,
+                         ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                         (id * 2654435761) % 997 AS tokens
+                  FROM range(0, 100000) t(id))
+            GROUP BY lang""")
+  )
+
   /** q154 — CUSTOM DataSourceV2 CONNECTOR: aggregate a filtered read of
     * the [[graft.sources.docgen.DefaultSource]] synthetic table. The query
     * itself is deliberately plain — the operator under test is the SOURCE:
@@ -894,5 +940,5 @@ object Sources {
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
-      deletionVectors, vacuum, blobSink)
+      deletionVectors, vacuum, blobSink, blobStreamSink)
 }

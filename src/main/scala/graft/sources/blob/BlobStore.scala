@@ -73,8 +73,15 @@ object BlobStore {
     out
   }
 
-  /** Manifest = one committed data-file name per line (publish order). */
-  def readManifest(root: String): Seq[String] = {
+  /** Manifest = one committed data-file name per line (publish order),
+    * plus `#epoch:<id>` marker lines recording committed streaming
+    * epochs — markers and their files land in ONE atomic manifest
+    * replace, which is what makes streaming re-commits idempotent.
+    */
+  def readManifest(root: String): Seq[String] =
+    readManifestRaw(root).filterNot(_.startsWith("#"))
+
+  def readManifestRaw(root: String): Seq[String] = {
     val mf = new Path(root, ManifestFile)
     val f = fs(mf)
     if (!f.exists(mf)) Seq.empty
@@ -83,6 +90,27 @@ object BlobStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     }
+  }
+
+  /** Shared publish step: move the named staged files into `data/`,
+    * persist the schema, and atomically replace the manifest with
+    * `lines` (FileContext overwriting rename — `FileSystem.rename`
+    * silently refuses existing destinations).
+    */
+  private[blob] def publish(root: String, schema: StructType,
+      names: Seq[String], lines: Seq[String]): Unit = {
+    val f = fs(new Path(root))
+    val dataDir = new Path(root, DataDir)
+    f.mkdirs(dataDir)
+    names.foreach { n =>
+      f.rename(new Path(s"$root/$StagedDir/$n"), new Path(dataDir, n))
+    }
+    writeString(new Path(root, SchemaFile), schema.json)
+    val tmp = new Path(root, ManifestFile + ".tmp")
+    writeString(tmp, lines.mkString("\n"))
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, f.getConf)
+      .rename(tmp, new Path(root, ManifestFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[blob] def readSchema(root: String): Option[StructType] = {
@@ -130,7 +158,7 @@ class BlobTable(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new BlobScan(root, tableSchema)
@@ -147,6 +175,8 @@ class BlobWriteBuilder(root: String, schema: StructType)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BlobBatchWrite(root, schema, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new BlobStreamingWrite(root, schema)
   }
 }
 
@@ -166,29 +196,16 @@ class BlobBatchWrite(root: String, schema: StructType, truncate: Boolean)
     * see the old complete manifest or the new one, never a torn file).
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rootPath = new Path(root)
-    val f = BlobStore.fs(rootPath)
-    val dataDir = new Path(root, BlobStore.DataDir)
-    f.mkdirs(dataDir)
+    val f = BlobStore.fs(new Path(root))
     val names = messages.collect { case m: BlobCommitMessage => m.stagedName }
-    names.foreach { n =>
-      f.rename(new Path(s"$root/${BlobStore.StagedDir}/$n"), new Path(dataDir, n))
-    }
-    val prior = if (truncate) Seq.empty else BlobStore.readManifest(root)
-    BlobStore.writeString(new Path(root, BlobStore.SchemaFile), schema.json)
-    val tmp = new Path(root, BlobStore.ManifestFile + ".tmp")
-    BlobStore.writeString(tmp, (prior ++ names.sorted).mkString("\n"))
-    // FileSystem.rename refuses an existing destination (silently, with
-    // `false`) — the manifest REPLACE needs FileContext's overwriting
-    // rename, which is atomic on posix-rename filesystems.
-    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, f.getConf)
-      .rename(tmp, new Path(root, BlobStore.ManifestFile),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val prior = if (truncate) Seq.empty else BlobStore.readManifestRaw(root)
+    BlobStore.publish(root, schema, names.toSeq, prior ++ names.sorted)
     // truncate: files the new manifest no longer references are dead;
     // remove them (the q168 vacuum move, inline because truncate IS the
     // retention decision here)
     if (truncate) {
       val live = names.toSet
+      val dataDir = new Path(root, BlobStore.DataDir)
       Option(f.listStatus(dataDir)).getOrElse(Array.empty).foreach { st =>
         if (!live.contains(st.getPath.getName)) f.delete(st.getPath, false)
       }
@@ -207,6 +224,56 @@ class BlobBatchWrite(root: String, schema: StructType, truncate: Boolean)
 class BlobWriterFactory(root: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BlobDataWriter(root, schema, partitionId, taskId)
+}
+
+/** The STREAMING half of the sink: same staged files, same per-task
+  * writers — the delta is the commit contract. `commit(epochId, ...)`
+  * can be REPLAYED: a recovered query re-runs an epoch whose commit may
+  * or may not have landed, so the publish records an `#epoch:<id>`
+  * marker in the SAME atomic manifest replace as the epoch's files, and
+  * a re-commit of a recorded epoch discards its (duplicate) staged
+  * files instead of publishing them — end-to-end exactly-once on top of
+  * the source's replayable offsets (q166's contract). This is the
+  * micro-batch `StreamingWrite` path every production streaming sink
+  * (Kafka exactly-once, Delta streaming) implements.
+  */
+class BlobStreamingWrite(root: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new BlobStreamingWriterFactory(root, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = s"#epoch:$epochId"
+    val names = messages.collect { case m: BlobCommitMessage => m.stagedName }
+    val raw = BlobStore.readManifestRaw(root)
+    if (raw.contains(marker)) {
+      // replayed epoch: its files are already published — the staged
+      // re-writes are duplicates, drop them
+      val f = BlobStore.fs(new Path(root))
+      names.foreach(n =>
+        f.delete(new Path(s"$root/${BlobStore.StagedDir}/$n"), false))
+    } else {
+      BlobStore.publish(root, schema, names.toSeq,
+        raw ++ names.sorted :+ marker)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = BlobStore.fs(new Path(root))
+    messages.collect { case m: BlobCommitMessage => m.stagedName }.foreach { n =>
+      f.delete(new Path(s"$root/${BlobStore.StagedDir}/$n"), false)
+    }
+  }
+}
+
+class BlobStreamingWriterFactory(root: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new BlobDataWriter(root, schema, partitionId, taskId)
 }
 

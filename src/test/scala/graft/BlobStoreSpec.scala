@@ -66,6 +66,33 @@ class BlobStoreSpec extends AnyFunSuite {
     assert(left === 0, s"abort left $left staged file(s)")
   }
 
+  test("q175: epoch re-commit is idempotent; multi-epoch manifests accumulate") {
+    val root = freshRoot("epoch")
+    val schema = docs.schema
+    def stageOne(task: Long): sources.blob.BlobCommitMessage = {
+      val w = new sources.blob.BlobDataWriter(root, schema, 0, task)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        task, org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("row")))
+      w.commit().asInstanceOf[sources.blob.BlobCommitMessage]
+    }
+    val sw = new sources.blob.BlobStreamingWrite(root, schema)
+    sw.commit(0L, Array(stageOne(1L)))
+    sw.commit(1L, Array(stageOne(2L)))
+    val after2 = sources.blob.BlobStore.readManifest(root)
+    assert(after2.size === 2, s"two epochs must publish two files: $after2")
+    // crash-recovery replay: epoch 1 re-runs with a NEW staged duplicate
+    sw.commit(1L, Array(stageOne(3L)))
+    val afterReplay = sources.blob.BlobStore.readManifest(root)
+    assert(afterReplay === after2, "replayed epoch changed the manifest")
+    val staged = new java.io.File(s"$root/${sources.blob.BlobStore.StagedDir}")
+    val left = Option(staged.listFiles()).map(_.count(!_.getName.startsWith("."))).getOrElse(0)
+    assert(left === 0, s"replay left $left duplicate staged file(s)")
+    // the two committed rows are both readable
+    val n = spark.read.format("graft.sources.blob").option("path", root).load().count()
+    assert(n === 2L)
+  }
+
   test("q174: append unions the manifest; truncate replaces it and vacuums") {
     val root = freshRoot("modes")
     val part = docs.limit(100)
