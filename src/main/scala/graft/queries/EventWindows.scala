@@ -498,8 +498,75 @@ object EventWindows {
             WHERE rn = 1""")
   )
 
+  /** q176 — EWMA SMOOTHING + ANOMALY FLAGS over the hourly event-count
+    * series per type: the metrics-pipeline classic (smooth a noisy
+    * counter, flag hours that jump away from their own recent history).
+    * EWMA is a SEQUENTIAL RECURRENCE — e_t = α·x_t + (1−α)·e_{t−1} —
+    * the class no window function expresses (each value depends on the
+    * previous OUTPUT, not previous inputs), so it runs as the q95/q163
+    * per-key typed fold: one shuffle on event_type, then an ordered
+    * scalar loop over that type's hours (series length is bounded by
+    * the time span, never the corpus — at 100 TB the per-key history is
+    * hours-per-year, trivially executor-resident). An hour is flagged
+    * when its count leaves [0.5, 2]× the PRIOR smoothed level (flag
+    * from e_{t−1}, not e_t — the anomaly must not vote on its own
+    * baseline); the first hour of a series has no baseline and is never
+    * flagged.
+    *
+    * Bit-exactness: α = 0.25 and 1−α = 0.75 are exact binary fractions,
+    * counts are integers, and both engines fold in the same hour order —
+    * so every intermediate double is IDENTICAL and the oracle (a
+    * recursive CTE stepping one hour per type per iteration, all types
+    * advancing in parallel — the q95 pattern) hash-matches without any
+    * rounding escape hatch.
+    */
+  val ewmaAnomaly = Q(
+    "q176_ewma_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, java.sql.Timestamp, Long)]
+      hourly.groupByKey(_._1)
+        .flatMapGroups { (tpe, it) =>
+          val series = it.toArray.sortBy(_._2.getTime)
+          var ewma = 0.0
+          series.iterator.zipWithIndex.map { case ((_, hr, n), i) =>
+            val prev = ewma
+            ewma = if (i == 0) n.toDouble else 0.25 * n.toDouble + 0.75 * prev
+            val anomaly =
+              if (i == 0) 0L
+              else if (n.toDouble > 2.0 * prev || n.toDouble < 0.5 * prev) 1L
+              else 0L
+            (tpe, hr, n, ewma, anomaly)
+          }
+        }
+        .toDF("event_type", "hr", "n", "ewma", "anomaly")
+    },
+    Some("""WITH RECURSIVE hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hr,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY date_trunc('hour', ts)) AS rn
+              FROM events GROUP BY 1, 2),
+            walk AS (
+              SELECT event_type, hr, n, rn,
+                     CAST(n AS DOUBLE) AS ewma, CAST(0 AS BIGINT) AS anomaly
+              FROM hourly WHERE rn = 1
+              UNION ALL
+              SELECT h.event_type, h.hr, h.n, h.rn,
+                     0.25 * CAST(h.n AS DOUBLE) + 0.75 * w.ewma,
+                     CAST(CASE WHEN CAST(h.n AS DOUBLE) > 2.0 * w.ewma
+                                 OR CAST(h.n AS DOUBLE) < 0.5 * w.ewma
+                               THEN 1 ELSE 0 END AS BIGINT)
+              FROM hourly h JOIN walk w
+                ON w.event_type = h.event_type AND h.rn = w.rn + 1)
+            SELECT event_type, hr, n, ewma, anomaly FROM walk""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
-      streamStaticJoin, streamUpsert)
+      streamStaticJoin, streamUpsert, ewmaAnomaly)
 }

@@ -1143,6 +1143,96 @@ object Similarity {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** q177 — SALTED SemDeDup block loop: the hot-cell cure q117's
+    * scaladoc promises, implemented and proven output-identical. q117's
+    * within-cell loop is quadratic in CELL size — fine while k tracks
+    * the corpus, fatal the day one cell goes viral (every embedding of
+    * a template page landing together). The salted form splits each
+    * cell's members into ⌈n/cap⌉ hash groups and enumerates UNORDERED
+    * GROUP PAIRS (g1 ≤ g2) as independent tasks: every within-cell pair
+    * lands in exactly one task (the pair of its two groups — complete
+    * by construction, no dedup pass needed), each task holds at most
+    * 2·cap vectors (executor-bounded regardless of cell size), and a
+    * row is replicated G times (G = groups of its cell) — the q48/q128
+    * replicate-the-small-dimension trade applied to a PAIR loop. Total
+    * pair work is unchanged; what changes is the largest single task:
+    * C(n,2) → ~C(cap,2), which is the difference between a straggler
+    * pinning one executor for hours and even parallel work.
+    *
+    * Oracle: q117's, verbatim — the salted plan must produce the exact
+    * retained set. `SemDedupSpec` additionally pins salted ≡ plain at
+    * the row level and that the fixture really exercises G > 1.
+    */
+  private[graft] val SemDedupBlockCap = 32L
+
+  val semDedupSalted = Q(
+    "q177_semdedup_salted",
+    (s, d) => {
+      import s.implicits._
+      val assigned = ivfWithCells(s, d, ivfCents(s, d))
+        .select(element_at(col("cells"), 1)("j").as("cell"), col("vec_id"), col("v"))
+      // per-cell group counts: a k-row metadata aggregate (cluster-
+      // bounded), broadcast as the salting dial
+      val groups = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
+        .collect()
+        .map(r => r.getAs[Int]("cell") ->
+          math.max(1L, (r.getAs[Long]("cn") + SemDedupBlockCap - 1) / SemDedupBlockCap).toInt)
+        .toMap
+      val gB = s.sparkContext.broadcast(groups)
+      val dropped = assigned.as[(Int, Long, Array[Double])]
+        .flatMap { case (cell, id, v) =>
+          val g = gB.value(cell)
+          val mine = (id % g).toInt
+          // replicate into every unordered group pair containing my group
+          (0 until g).iterator.map { other =>
+            val lo = math.min(mine, other); val hi = math.max(mine, other)
+            (cell, lo, hi, mine, id, v)
+          }
+        }
+        .groupByKey(t => (t._1, t._2, t._3))
+        .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Int, Long, Array[Double])]) =>
+          val (_, g1, g2) = key
+          val block = it.map(t => (t._4, t._5, t._6)).toArray.sortBy(_._2)
+          val norms = block.map { case (_, _, v) =>
+            var ss = 0.0; var i = 0
+            while (i < v.length) { ss += v(i) * v(i); i += 1 }
+            math.sqrt(ss)
+          }
+          for {
+            a <- block.indices.iterator
+            b <- (a + 1) until block.length
+            // this task owns exactly the pairs whose group pair IS
+            // (g1, g2); same-group pairs of g2 belong to task (g2, g2)
+            if math.min(block(a)._1, block(b)._1) == g1 &&
+              math.max(block(a)._1, block(b)._1) == g2
+            dot = {
+              val va = block(a)._3; val vb = block(b)._3
+              var acc = 0.0; var i = 0
+              while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+              acc
+            }
+            raw = dot / (norms(a) * norms(b))
+            if java.lang.Double.isFinite(raw)
+            if math.floor(raw * 1e6 + 0.5) / 1e6 >= NearDupThreshold
+          } yield block(b)._2
+        }
+        .toDF("vec_id").distinct()
+      assigned.select(col("vec_id"), col("cell").cast("long"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b
+                ON b.cell = a.cell AND a.vec_id < b.vec_id
+              WHERE isfinite(list_cosine_similarity(a.v, b.v))
+                AND floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6
+                      >= $NearDupThreshold)
+            SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell
+            FROM assigned s LEFT JOIN dropped dr ON dr.vec_id = s.vec_id
+            WHERE dr.vec_id IS NULL""")
+  )
+
   val semDedup = Q(
     "q117_semdedup",
     (s, d) => semDedupRetained(s, d, IvfCentroids),
@@ -1276,5 +1366,5 @@ object Similarity {
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
-      filteredAnn, hardNegatives)
+      semDedupSalted, filteredAnn, hardNegatives)
 }

@@ -103,6 +103,19 @@ class SemDedupSpec extends AnyFunSuite {
     assert(recall16 >= 0.3, s"k=$K2 recall vs unblocked fell to $recall16")
   }
 
+  test("q177: the salted block loop retains exactly q117's survivor set") {
+    val plain = SparkEntry.queries("q117_semdedup")(spark, d)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    val salted = SparkEntry.queries("q177_semdedup_salted")(spark, d)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(salted === plain, "salting changed the dedup answer")
+    // the fixture must really exercise multi-group cells, or the
+    // completeness claim (cross-group pairs) was never tested
+    val maxCell = assigned.groupBy(_._2).map(_._2.size).max
+    assert(maxCell > queries.Similarity.SemDedupBlockCap,
+      s"largest cell $maxCell under the $${cap} block cap — salting untested")
+  }
+
   test("q117: same-cell label-blocked near-dup pairs lose their higher member") {
     val labelPairs = SparkEntry.queries("q26_embedding_near_dup")(spark, d)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
