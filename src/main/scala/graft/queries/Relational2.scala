@@ -911,6 +911,49 @@ object Relational2 {
             FROM routed GROUP BY kind, event_type""")
   )
 
+  /** q178 — VARIANT semi-structured access (Spark 4's answer to string
+    * JSON): `parse_json` decodes each `props` payload ONCE into the
+    * binary VARIANT encoding, and every subsequent path access
+    * (`variant_get`, codegen'd) walks the decoded form — versus q41's
+    * `get_json_object`, which re-tokenizes the JSON STRING on every
+    * access. At 100 TB the difference compounds twice: n-path
+    * extraction parses once instead of n times, and a variant column
+    * persisted to parquet shreds into typed subcolumns that scan
+    * without any parse at all. The query exercises decode → typed path
+    * access → null-safe re-serialization (`to_json(variant)` round-trip
+    * fingerprint per type, proving the binary form preserves content,
+    * not just the one extracted path). Oracle: DuckDB's JSON type walks
+    * the same paths; the md5 fingerprint is over the canonical
+    * minified text both engines emit for these single-key objects.
+    */
+  val variantExtract = Q(
+    "q178_variant_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("to_json(v)").as("rt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          md5(concat_ws(",", sort_array(collect_list(col("rt"))))
+            .cast("binary")).as("rt_fp")),
+    // to_json(variant) emits MINIFIED JSON; the oracle rebuilds the
+    // same canonical text from the extracted value (DuckDB's JSON cast
+    // preserves the source's spacing, so it can't be used directly)
+    Some("""WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     '{"k":' || json_extract_string(props, '$.k') || '}' AS rt
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   md5(string_agg(rt, ',' ORDER BY rt)) AS rt_fp
+            FROM e GROUP BY event_type""")
+  )
+
   /** q147 — the NATIVE two-table as-of join
     * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
     * click at-or-before them per user, planned as a first-class Catalyst
@@ -952,5 +995,5 @@ object Relational2 {
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers, quarantine, quarantineCsv, scd2)
+    madOutliers, quarantine, quarantineCsv, scd2, variantExtract)
 }
