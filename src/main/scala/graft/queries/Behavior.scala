@@ -271,5 +271,68 @@ object Behavior {
             FROM fm f JOIN ci c ON c.event_type = f.event_type""")
   )
 
-  val all: Seq[Q] = Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi)
+  /** q179 — ROW-PATTERN RECOGNITION (the MATCH_RECOGNIZE shape Spark
+    * lacks and Flink/Trino/Oracle ship): each user's event stream,
+    * ordered by (ts, event_id), becomes a SYMBOL STRING (one char per
+    * event type) and behavioral patterns become REGULAR EXPRESSIONS over
+    * it — here the conversion motif `v+c*p` (≥1 view, any clicks, then a
+    * purchase) and the frustration motif `ee+` (consecutive errors),
+    * counted non-overlapping per user. This generalizes q139's
+    * fixed-3-step funnel to arbitrary patterns: alternation, repetition,
+    * and optionality come free from the regex engine instead of a
+    * hand-built window per pattern shape.
+    *
+    * Portability: the symbol string is built by an ordered fold
+    * (`array_sort(collect_list(struct(ts, event_id, sym)))` — the q167
+    * fingerprint discipline, deterministic because (ts, event_id) is a
+    * total key), and both patterns avoid every RE2/Java divergence
+    * (no backrefs, no lookaround — the q93/q97 portable-regex rule), so
+    * DuckDB counts the exact same matches. Non-overlapping semantics are
+    * the shared default of both engines' `regexp_extract_all`-style
+    * scans.
+    *
+    * Scale shape: one shuffle on user_id; each user's sequence is their
+    * own history (bounded — the q42/q163 per-key frame argument), the
+    * regex scan is linear in it, and the output is one row per user. At
+    * 100 TB the same fold runs after the q147 merge; a history too long
+    * for one string would chunk by session (q36) first.
+    */
+  val patternMatch = Q(
+    "q179_pattern_match",
+    (s, d) => {
+      val sym = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "error", "e")
+        .otherwise("s") // signup
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), sym.as("sym"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("sym")))),
+          x => x.getField("sym")), "").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          regexp_count(col("seq"), lit("v+c*p")).cast("long").as("n_conversions"),
+          regexp_count(col("seq"), lit("ee+")).cast("long").as("n_error_bursts"),
+          graft.functions.TextFns.md5Hex(col("seq")).as("seq_fp"))
+    },
+    Some("""WITH seq AS (
+              SELECT user_id,
+                     string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                                WHEN 'click' THEN 'c'
+                                                WHEN 'purchase' THEN 'p'
+                                                WHEN 'error' THEN 'e'
+                                                ELSE 's' END, ''
+                                ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_conversions,
+                   CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts,
+                   md5(seq) AS seq_fp
+            FROM seq""")
+  )
+
+  val all: Seq[Q] =
+    Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch)
 }

@@ -397,6 +397,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cols=[id,lang,tokens]"), p)
   }
 
+  test("q178: variant path access, never string JSON re-parse") {
+    val p = plan("q178_variant_extract")
+    assert(p.contains("variant_get"), p.take(1500))
+    assert(!p.contains("get_json_object"),
+      "string JSON re-parse crept into the variant path")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
