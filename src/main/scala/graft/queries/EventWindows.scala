@@ -565,8 +565,86 @@ object EventWindows {
             SELECT event_type, hr, n, ewma, anomaly FROM walk""")
   )
 
+  /** q180 — RECURSIVE CTE executed BY SPARK (the `WITH RECURSIVE`
+    * surface Spark gained in 4.x, previously a DuckDB-oracle-only
+    * device in this suite): q176's EWMA recurrence at DAILY grain,
+    * written once as standard recursive SQL and run verbatim-shaped on
+    * BOTH engines — the anchor seeds each type's first day, the
+    * recursive step joins `rn = rn + 1`, and all five types advance in
+    * parallel per iteration (semi-naive evaluation, the engine-native
+    * form of the q70/q176 iterate-by-hand loops). The recursion is
+    * structurally terminating (rn strictly increases; depth = 30 days,
+    * under Spark's default 100-level limit) — the discipline that makes
+    * UNION ALL recursion safe where a cyclic-graph walk would not be.
+    *
+    * Why it earns a slot next to q176: same recurrence, different
+    * EXECUTION ENGINE PATH (UnionLoop iterative plan vs a typed
+    * flatMapGroups fold) — two independent Spark implementations plus
+    * the DuckDB oracle must all agree bit-for-bit on the folded
+    * doubles, which triangulates the recurrence itself. Scale: the
+    * daily relation is MATERIALIZED to scratch and cached before the
+    * recursion (un-materialized, each of the 30 iterations re-derives
+    * the corpus aggregate — measured ~2× slower even at test scale; the
+    * q76/q129 train-once discipline applies to recursion inputs too),
+    * so each iteration joins one |types|-row frontier against ~150
+    * cached rows; iteration count is the calendar span, never the
+    * corpus. Residual cost is UnionLoop's fixed per-iteration
+    * scheduling (~30 steps × job overhead) — the price of the iterative
+    * engine path itself, flat in data size; the q176 fold remains the
+    * cheap form when the recurrence fits one key's partition.
+    */
+  val recursiveEwma = Q(
+    "q180_recursive_sql",
+    (s, d) => {
+      val dailyPath = graft.sources.Sources.scratchLeaf(d, "rec_daily")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("day")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dailyPath)
+      // cache the ~150-row relation: the 30 UnionLoop iterations each
+      // re-reference it, and re-opening parquet per step is pure waste
+      s.read.parquet(dailyPath).cache().createOrReplaceTempView("daily_rec_v")
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT event_type, day, n, rn,
+                 CAST(n AS DOUBLE) AS ewma, CAST(0 AS BIGINT) AS anomaly
+          FROM daily_rec_v WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.day, h.n, h.rn,
+                 0.25 * CAST(h.n AS DOUBLE) + 0.75 * w.ewma,
+                 CAST(CASE WHEN CAST(h.n AS DOUBLE) > 2.0 * w.ewma
+                             OR CAST(h.n AS DOUBLE) < 0.5 * w.ewma
+                           THEN 1 ELSE 0 END AS BIGINT)
+          FROM daily_rec_v h JOIN walk w
+            ON w.event_type = h.event_type AND h.rn = w.rn + 1)
+        SELECT event_type, day, n, ewma, anomaly FROM walk""")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY date_trunc('day', ts)) AS rn
+              FROM events GROUP BY event_type, date_trunc('day', ts)),
+            walk AS (
+              SELECT event_type, day, n, rn,
+                     CAST(n AS DOUBLE) AS ewma, CAST(0 AS BIGINT) AS anomaly
+              FROM daily WHERE rn = 1
+              UNION ALL
+              SELECT h.event_type, h.day, h.n, h.rn,
+                     0.25 * CAST(h.n AS DOUBLE) + 0.75 * w.ewma,
+                     CAST(CASE WHEN CAST(h.n AS DOUBLE) > 2.0 * w.ewma
+                                 OR CAST(h.n AS DOUBLE) < 0.5 * w.ewma
+                               THEN 1 ELSE 0 END AS BIGINT)
+              FROM daily h JOIN walk w
+                ON w.event_type = h.event_type AND h.rn = w.rn + 1)
+            SELECT event_type, day, n, ewma, anomaly FROM walk""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
-      streamStaticJoin, streamUpsert, ewmaAnomaly)
+      streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma)
 }
