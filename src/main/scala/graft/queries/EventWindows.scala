@@ -582,7 +582,8 @@ object EventWindows {
     * flatMapGroups fold) — two independent Spark implementations plus
     * the DuckDB oracle must all agree bit-for-bit on the folded
     * doubles, which triangulates the recurrence itself. Scale: the
-    * daily relation is MATERIALIZED to scratch and cached before the
+    * daily relation is MATERIALIZED to scratch and handed to the
+    * recursion as a literal local relation before the
     * recursion (un-materialized, each of the 30 iterations re-derives
     * the corpus aggregate — measured ~2× slower even at test scale; the
     * q76/q129 train-once discipline applies to recursion inputs too),
@@ -604,9 +605,16 @@ object EventWindows {
           org.apache.spark.sql.expressions.Window
             .partitionBy("event_type").orderBy("day")))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dailyPath)
-      // cache the ~150-row relation: the 30 UnionLoop iterations each
-      // re-reference it, and re-opening parquet per step is pure waste
-      s.read.parquet(dailyPath).cache().createOrReplaceTempView("daily_rec_v")
+      // The 30 UnionLoop iterations each re-reference the ~150-row daily
+      // relation; re-opening parquet per step is pure waste, and a
+      // .cache() here could never be unpersisted by this function (the
+      // returned DF is lazy) — it would pin executor storage for the
+      // session. Hand the recursion a literal LOCAL relation instead
+      // (the ivfCents bounded-artifact discipline): collect ~150 rows
+      // once, zero storage-memory footprint, bit-exact doubles.
+      val daily = s.read.parquet(dailyPath)
+      s.createDataFrame(java.util.Arrays.asList(daily.collect(): _*), daily.schema)
+        .createOrReplaceTempView("daily_rec_v")
       s.sql("""
         WITH RECURSIVE walk AS (
           SELECT event_type, day, n, rn,

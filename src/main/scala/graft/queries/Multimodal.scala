@@ -44,6 +44,13 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** q167's frame-energy table, materialized to scratch once per data
+    * dir (same keying caveat as `Similarity.centCache`: dirs are
+    * immutable here; a mutating production dir would version the path).
+    */
+  private val vadEnergyMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q33 — a TOTAL operator: every input row produces a feature row.
     * Empty payloads get defined zero/empty features (no divide-by-zero,
     * no dropped rows) and all per-byte work is byte-based on BOTH sides —
@@ -1038,7 +1045,7 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       val fmt = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      val energies = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val energiesRaw = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           val format = fmt()
           it.flatMap { id =>
@@ -1074,11 +1081,22 @@ object Multimodal {
             }
           }
         }.toDF("doc_id", "f", "energy")
-        // two consumers below (segment pipeline + n_frames count): persist
-        // the 3-integer frame rows so the WAV encode/decode mapPartitions
-        // chain — the expensive half — executes once, not once per branch.
-        // The cached relation is frames × 3 longs, never the payloads.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two consumers below (segment pipeline + n_frames count): the WAV
+      // encode/decode mapPartitions chain — the expensive half — must
+      // execute once, not once per branch. Materialize the 3-long frame
+      // rows to scratch parquet (memoized per dir, the ivfCents/q142
+      // discipline) instead of .persist: a cached relation pinned inside
+      // a lazily-returned DataFrame can never be unpersisted by this
+      // function, so it would leak executor storage for the rest of the
+      // session across a 180-query bench run.
+      val energies = {
+        val path = vadEnergyMemo.getOrElseUpdate(d, {
+          val p = graft.sources.Sources.scratchLeaf(d, "vad_energies")
+          energiesRaw.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+          p
+        })
+        s.read.parquet(path)
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("f")
       val segs = energies.where(col("energy") >= VadThreshold)

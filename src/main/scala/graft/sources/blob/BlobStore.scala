@@ -103,7 +103,15 @@ object BlobStore {
     val dataDir = new Path(root, DataDir)
     f.mkdirs(dataDir)
     names.foreach { n =>
-      f.rename(new Path(s"$root/$StagedDir/$n"), new Path(dataDir, n))
+      val src = new Path(s"$root/$StagedDir/$n")
+      val dst = new Path(dataDir, n)
+      // rename returns false (no exception) when src is missing or dst
+      // exists; publishing a manifest line for an unmoved file would
+      // break every subsequent read of the partition, so fail the
+      // commit here instead.
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(
+          s"blob publish: rename $src -> $dst failed (missing staged file or existing destination)")
     }
     writeString(new Path(root, SchemaFile), schema.json)
     val tmp = new Path(root, ManifestFile + ".tmp")
@@ -194,6 +202,15 @@ class BlobBatchWrite(root: String, schema: StructType, truncate: Boolean)
     * attempt's staged file is NOT in any message and stays unpublished —
     * then writes schema and finally the manifest (temp + rename: readers
     * see the old complete manifest or the new one, never a torn file).
+    *
+    * Concurrency contract: ONE writer job at a time per store root.
+    * Append-mode commit is a read-modify-write of the manifest, so two
+    * concurrent appends (or a batch append racing the streaming sink)
+    * could lose each other's manifest lines regardless of how staged
+    * files are cleaned up. Single-writer is the store invariant (the
+    * same one Delta enforces with a commit-log lock); under it, the
+    * per-name staged cleanup below is exact, and a crashed job's
+    * orphans are swept by the next truncate-mode rewrite.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = BlobStore.fs(new Path(root))
@@ -210,7 +227,14 @@ class BlobBatchWrite(root: String, schema: StructType, truncate: Boolean)
         if (!live.contains(st.getPath.getName)) f.delete(st.getPath, false)
       }
     }
-    f.delete(new Path(root, BlobStore.StagedDir), true)
+    // publish() moved every named staged file; only zombie task attempts
+    // (committed task retried after a speculative duplicate) can leave
+    // residue. Remove the staged dir only if it is now empty — never
+    // blow away files another in-flight job may have staged.
+    val stagedDir = new Path(root, BlobStore.StagedDir)
+    val residue = Option(if (f.exists(stagedDir)) f.listStatus(stagedDir) else null)
+      .getOrElse(Array.empty)
+    if (residue.isEmpty) f.delete(stagedDir, false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -360,7 +384,10 @@ class BlobReaderFactory(schema: StructType) extends PartitionReaderFactory {
       override def next(): Boolean =
         if (!lines.hasNext) false
         else {
-          val cells = lines.next().split('\t')
+          // limit -1: keep trailing empty cells — an empty string in the
+          // last column hex-encodes to "" and the line ends in a tab,
+          // which the default split would drop.
+          val cells = lines.next().split("\t", -1)
           val vals = schema.fields.zipWithIndex.map { case (fld, i) =>
             val c = cells(i)
             if (c == "\\N") null

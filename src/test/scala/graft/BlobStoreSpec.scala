@@ -93,6 +93,29 @@ class BlobStoreSpec extends AnyFunSuite {
     assert(n === 2L)
   }
 
+  test("q174: empty string in the LAST column survives the round trip") {
+    // "" hex-encodes to "" so the line ends in a tab; a limit-dropping
+    // split loses that cell and the read throws. Distinct from NULL
+    // (\N) — both must come back exactly.
+    val root = freshRoot("empty")
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "en", ""),           // empty string in last column
+      (2L, "", ""),             // empty in middle AND last
+      (3L, "de", null: String), // null stays null, not ""
+      (4L, "fr", "text")
+    ).toDF("doc_id", "lang", "text")
+    tricky.write.format("graft.sources.blob").option("path", root)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft.sources.blob").option("path", root).load()
+    assert(back.count() === 4L)
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
+    val r1 = back.where(col("doc_id") === 1L).head()
+    assert(r1.getAs[String]("text") === "", "empty string came back as something else")
+    val r3 = back.where(col("doc_id") === 3L).head()
+    assert(r3.isNullAt(r3.fieldIndex("text")), "null came back as non-null")
+  }
+
   test("q174: append unions the manifest; truncate replaces it and vacuums") {
     val root = freshRoot("modes")
     val part = docs.limit(100)

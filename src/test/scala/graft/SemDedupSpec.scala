@@ -113,7 +113,7 @@ class SemDedupSpec extends AnyFunSuite {
     // completeness claim (cross-group pairs) was never tested
     val maxCell = assigned.groupBy(_._2).map(_._2.size).max
     assert(maxCell > queries.Similarity.SemDedupBlockCap,
-      s"largest cell $maxCell under the $${cap} block cap — salting untested")
+      s"largest cell $maxCell under the ${queries.Similarity.SemDedupBlockCap} block cap — salting untested")
   }
 
   test("q117: same-cell label-blocked near-dup pairs lose their higher member") {
