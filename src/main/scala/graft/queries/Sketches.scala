@@ -142,5 +142,72 @@ object Sketches {
             GROUP BY r.range_tag""")
   )
 
-  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore)
+  /** q181 — MERGEABLE QUANTILE-SKETCH STORE: q173's move for
+    * percentiles. Per-day log-bucketed histograms of `events.value`
+    * ([[graft.functions.QuantileSketchAggregator]] — a custom mergeable
+    * typed UDAF, the TopKAggregator discipline) are materialized ONCE to
+    * scratch parquet; date-range p50/p90/p99 questions are then answered
+    * by MERGING the stored day sketches (explode + sum by bucket —
+    * cell-wise Long addition, exactly associative), never by rescanning
+    * events. Distinct counts have HLL (q173); quantiles get this —
+    * order statistics are not additive, but log-histograms are, which is
+    * what lets a 100 TB store serve any range from O(days) KB-sized
+    * rows.
+    *
+    * Contract (rows-only by design, the q19/q49/q126 class): every
+    * served quantile is within `QuantileSketch.RelErrBound` (2⁻⁷ ≈
+    * 0.8%) of the exact order statistic RELATIVELY — the bucket walk
+    * locates the exact rank's bucket, only within-bucket position is
+    * approximate — and any two-level merge equals the flat merge
+    * bit-for-bit. `SketchSpec` proves both on every prefix range
+    * against an exact sort, plus merge-order invariance; the registered
+    * run exercises day1/week1/full-span ranges × three quantiles.
+    *
+    * Scale shape: the store build is ONE shuffle on day with KB partial
+    * sketches (map-side merge); range service reads the
+    * day-partitionable store and collects only the merged histogram
+    * (bounded by occupied buckets — metadata-plane, the ivfCents
+    * collect class); no query ever touches an event row.
+    */
+  val quantileStore = Q(
+    "q181_quantile_sketch_store",
+    (s, d) => {
+      import s.implicits._
+      val store = graft.sources.Sources.scratchLeaf(d, "quant_day_store")
+      val sk = udaf(new graft.functions.QuantileSketchAggregator(),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(sk(col("value")).as("sk"), count(lit(1)).as("n"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val days = s.read.parquet(store).agg(min("day"), max("day")).head()
+      val lo = days.getDate(0).toLocalDate
+      val ranges = Seq(
+        ("day1", lo, lo),
+        ("week1", lo, lo.plusDays(6)),
+        ("all", lo, days.getDate(1).toLocalDate))
+      val rows = ranges.flatMap { case (tag, a, b) =>
+        val merged = s.read.parquet(store)
+          .where(col("day").between(lit(a.toString), lit(b.toString)))
+          .select(explode(col("sk")).as("bc"))
+          .groupBy(col("bc.bucket").as("bucket"))
+          .agg(sum(col("bc.cnt")).as("cnt"))
+          .collect()
+          .map(r => graft.functions.BucketCount(
+            r.getAs[Int]("bucket"), r.getAs[Long]("cnt")))
+          .toSeq
+        val n = merged.map(_.cnt).sum
+        Seq(0.5, 0.9, 0.99).map { q =>
+          (tag, q, graft.functions.QuantileSketch.quantile(merged, q), n)
+        }
+      }
+      rows.toDF("range_tag", "quantile", "est", "n")
+    },
+    None // rows-only by design: the bucket index is IEEE-bit arithmetic
+         // DuckDB can't replay; the contract lives in SketchSpec's
+         // band + merge-equality proofs (q19/q49 discipline)
+  )
+
+  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore)
 }
