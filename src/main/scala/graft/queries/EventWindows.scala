@@ -362,6 +362,95 @@ object EventWindows {
              AND b.ts <= a.ts + INTERVAL '5 minutes'""")
   )
 
+  /** q182 — watermarked stream-stream LEFT OUTER interval join: q74's
+    * outer twin, shaped as the production attribution question "which
+    * views led to a purchase by the same user within 6 hours — and
+    * which views led to NOTHING". The inner join can emit a match the
+    * moment both rows have arrived; the OUTER row is the new machinery:
+    * a view with no matching purchase is held in join state until the
+    * WATERMARK proves no match can still arrive (watermark > ts_view +
+    * 6 h), then emitted exactly once with NULL right columns — the
+    * bounded-state streaming form of "LEFT JOIN then wait". State on
+    * both sides stays bounded by the time condition, exactly as in q74.
+    *
+    * Determinism discipline (q61's closed-window move, applied to join
+    * expiry): only left rows whose outcome is DECIDED by the final
+    * watermark are kept — ts_view < min(max view ts, max purchase ts)
+    * − (1 h watermark + 6 h window + 1 s guard for the watermark's ms
+    * truncation); the min is the real multi-input watermark rule — and
+    * the batch oracle applies the IDENTICAL closed
+    * predicate, so streaming and batch agree row-for-row. NULL
+    * timestamps don't canonicalize in the compare (NaT ≠ NaT), so the
+    * unmatched purchase side degrades to (−1, epoch) on BOTH engines.
+    *
+    * Scale shape: one shuffle per side on user_id; join state holds
+    * only rows inside the watermark-plus-window horizon per user —
+    * O(arrival rate × 7 h), never the stream's history.
+    */
+  val streamOuterJoin = Q(
+    "q182_stream_outer_join",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_oj_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+        val views = src.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("ts_view"))
+        val buys = src.where(col("event_type") === "purchase")
+          .select(col("user_id").as("user_b"), col("event_id").as("purchase_id"),
+            col("ts").as("ts_buy"))
+        val q = views.join(buys,
+            col("user_id") === col("user_b") &&
+              col("ts_buy") >= col("ts_view") &&
+              col("ts_buy") <= col("ts_view") + expr("INTERVAL 6 HOURS"),
+            "leftOuter")
+          .select(col("user_id"), col("view_id"), col("ts_view"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            coalesce(col("ts_buy"),
+              to_timestamp(lit("1970-01-01 00:00:00"))).as("ts_buy"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // The query's final watermark is the MIN over both inputs' event
+      // clocks — Catalyst pushes each side's type filter below its
+      // watermark node, so the views side advances to max(view ts) − 1 h
+      // and the purchases side to max(purchase ts) − 1 h (surfaced as a
+      // 1-row diff at sf0.01, where purchases end 32 min before views).
+      // The closed predicate mirrors that min, with a 1 s guard for the
+      // watermark's ms truncation.
+      val cutoff = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type").agg(max(col("ts")).as("mx"))
+        .agg((min(col("mx")) - expr("INTERVAL 7 HOURS") -
+          expr("INTERVAL 1 SECOND")).as("closed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(col("ts_view") < col("closed_before"))
+        .select(col("user_id"), col("view_id"), col("ts_view"),
+          col("purchase_id"), col("ts_buy"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS view_id, a.ts AS ts_view,
+                   CAST(coalesce(b.event_id, -1) AS BIGINT) AS purchase_id,
+                   coalesce(b.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_buy
+            FROM events a LEFT JOIN events b
+              ON b.user_id = a.user_id AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '6 hours'
+            WHERE a.event_type = 'view'
+              AND a.ts < (SELECT min(mx) - INTERVAL '7 hours' - INTERVAL '1 second'
+                          FROM (SELECT max(ts) AS mx FROM events
+                                WHERE event_type = 'view'
+                                UNION ALL
+                                SELECT max(ts) FROM events
+                                WHERE event_type = 'purchase') t)""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -654,5 +743,5 @@ object EventWindows {
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
-      streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma)
+      streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin)
 }

@@ -40,6 +40,55 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q182: left-outer join emits a never-matched row exactly once, after expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDS().toDF("user", "vts").withWatermark("vts", "1 minute")
+    val b = buys.toDS().toDF("buser", "bts").withWatermark("bts", "1 minute")
+    // a purchase attributes to a view by the same user within 5 minutes
+    val joined = v.join(b,
+      col("user") === col("buser") &&
+        col("bts") >= col("vts") &&
+        col("bts") <= col("vts") + expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+    val name = "soj_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1 converts; user 2 never does
+      views.addData((1L, ts(10)), (2L, ts(20)))
+      buys.addData((1L, ts(100)))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      assert(early.count(_.getLong(0) == 1L) === 1, "matched pair not emitted")
+      // user 2's outcome is UNDECIDED (watermark hasn't passed vts+5min):
+      // the null row must NOT have been emitted yet
+      assert(!early.exists(_.getLong(0) == 2L),
+        "unmatched row emitted before the watermark could decide it")
+
+      // advance both event clocks far past user 2's horizon (20s + 5min
+      // window + 1min watermark); the no-match row must now appear with
+      // a null right side
+      views.addData((9L, ts(10000)))
+      buys.addData((9L, ts(10000)))
+      q.processAllAvailable()
+      val late = spark.table(name).collect().filter(_.getLong(0) == 2L)
+      assert(late.length === 1, s"expected exactly one unmatched row, got ${late.length}")
+      assert(late.head.isNullAt(late.head.fieldIndex("buser")),
+        "unmatched row carries a non-null right side")
+
+      // and it is emitted EXACTLY once: further watermark advances must
+      // not re-emit it
+      views.addData((9L, ts(20000)))
+      buys.addData((9L, ts(20000)))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().count(_.getLong(0) == 2L) === 1,
+        "expired row re-emitted on a later watermark advance")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed events across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
