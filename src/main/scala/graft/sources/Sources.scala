@@ -286,6 +286,96 @@ object Sources {
                AND CAST(floor("value") AS BIGINT) BETWEEN ${ZPredV._1} AND ${ZPredV._2}""")
   )
 
+  /** q183 — PER-FILE BLOOM DATA-SKIPPING SIDECAR: the skipping class
+    * q169's min/max envelopes structurally CANNOT serve. A point lookup
+    * on a high-cardinality scattered column (`event_id IN (2 needles)`)
+    * defeats envelope pruning on a store clustered by OTHER dimensions —
+    * every file's [min, max] event_id range covers the needles, so the
+    * envelope-only prune reads ALL files. The fix is the Delta/Iceberg
+    * answer: the stats pass additionally builds a PER-FILE BLOOM FILTER
+    * over the lookup column (Spark's native `BloomFilterAggregate` under
+    * `groupBy(input_file_name)` — the q136 machinery turned into
+    * file-level metadata, KB per file), the sidecar rides the commit log
+    * like q169's envelopes, and the reader opens only files whose bloom
+    * admits at least one needle — O(needle files + FP·files), not
+    * O(files). Residual `IN` filter re-applies the exact predicate, so
+    * correctness never depends on the bloom (no false negatives by
+    * construction; false positives only cost a file open).
+    *
+    * Scale: at 100 TB this is THE difference between a needle query
+    * costing 2 file reads and costing a full scan — min/max skipping
+    * only helps clustered dimensions, and a table has at most ~2
+    * clustered dims (q91); blooms cover every other high-cardinality
+    * lookup column for KB/file. Build rides the same single stats pass
+    * as the envelopes (one aggregation per fresh file set); the probe is
+    * a driver-side test over O(files) sidecar rows — metadata-plane,
+    * like every manifest read in this suite. `ZorderPruneSpec` gates the
+    * economics: bloom∧envelope reads STRICTLY fewer files than the
+    * envelope-only prune (which reads all of them here).
+    */
+  private[graft] val BloomNeedles = Seq(7L, 13L) // present at every test SF
+  private[graft] val BloomFpp = 0.01
+
+  /** Write the z-clustered store + (envelope, bloom) sidecar; return
+    * (allFiles, envelopeSelected, bloomSelected, lookupScan). Factored
+    * so the spec can compare the two prunes' file economics.
+    */
+  private[graft] def bloomPointLookup(s: SparkSession, d: String)
+      : (Seq[String], Seq[String], Seq[String], DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val out = leaf(d, "zbloom_store")
+    val z = graft.functions.InterleaveBits(
+      col("user_id"), floor(col("value")).cast("long"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vbin"), col("value"))
+      .withColumn("zval", z)
+      .repartitionByRange(ZPruneFiles, col("zval")).sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    // bloom sizing from the store's row count (a parquet metadata count,
+    // no data scan): estimated items per file at the known file count
+    val estPerFile = math.max(1L, s.read.parquet(out).count() / ZPruneFiles)
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(estPerFile, BloomFpp)
+    // ONE stats pass per fresh file set: envelopes AND blooms together
+    val stats = s.read.parquet(out)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+        min("vbin").as("min_v"), max("vbin").as("max_v"),
+        Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(col("event_id")),
+          Literal(estPerFile), Literal(nBits)).toAggregateExpression()).as("bf"))
+      .collect()
+    val all = stats.map(_.getAs[String]("path")).toSeq
+    // envelope prune for the event_id point lookup: the sidecar's
+    // min/max dims don't constrain it — every file survives (the
+    // documented weakness this query exists to show)
+    val envSelected = all
+    val bloomSelected = stats.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+      BloomNeedles.exists(bf.mightContainLong)
+    }.map(_.getAs[String]("path")).toSeq
+    val source =
+      if (bloomSelected.isEmpty) s.read.parquet(all: _*).limit(0)
+      else s.read.parquet(bloomSelected: _*)
+    val scan = source
+      .where(col("event_id").isin(BloomNeedles: _*))
+      .select("event_id", "user_id", "vbin", "value")
+    (all, envSelected, bloomSelected, scan)
+  }
+
+  val bloomSkipLookup = Q(
+    "q183_bloom_skip_lookup",
+    (s, d) => bloomPointLookup(s, d)._4,
+    Some(s"""SELECT event_id, user_id, CAST(floor("value") AS BIGINT) AS vbin, "value"
+             FROM events
+             WHERE event_id IN (${BloomNeedles.mkString(", ")})""")
+  )
+
   /** q102 — SCHEMA EVOLUTION on read: an old batch written without a
     * column and a new batch written with it (`quality`, the score a
     * later pipeline version started stamping) are read together with
@@ -940,5 +1030,5 @@ object Sources {
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
-      deletionVectors, vacuum, blobSink, blobStreamSink)
+      deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup)
 }

@@ -53,6 +53,26 @@ class ZorderPruneSpec extends AnyFunSuite {
       || r.getAs[Long]("mn") > sources.Sources.ZPredV._2)).toDouble / envs.length
   }
 
+  test("q183: bloom sidecar prunes the point lookup where envelopes cannot") {
+    val (all, envSel, bloomSel, scan) = sources.Sources.bloomPointLookup(spark, d)
+    // the envelope prune is structurally blind to an event_id point
+    // lookup on this layout — it keeps every file
+    assert(envSel.size === all.size, "fixture drift: envelopes pruned an event_id lookup")
+    // the bloom prune must do strictly better than the envelope prune
+    assert(bloomSel.toSet.subsetOf(all.toSet))
+    assert(bloomSel.nonEmpty, "blooms dropped the needle files — false negative")
+    assert(bloomSel.size < envSel.size,
+      s"bloom bought nothing: ${bloomSel.size} of ${envSel.size} files")
+    // correctness is residual-filter exact regardless of pruning
+    val expected = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.floor(col("value")).cast("long").as("vbin"),
+        col("value"))
+      .where(col("event_id").isin(sources.Sources.BloomNeedles: _*))
+    assert(scan.count() === expected.count())
+    assert(scan.exceptAll(expected).isEmpty && expected.exceptAll(scan).isEmpty)
+  }
+
   test("q169: the second dimension prunes under z-order, not under lexicographic") {
     val (allLex, _, _) = sources.Sources.zorderPruned(spark, d,
       tag = "zorder_store_lex",
