@@ -954,6 +954,56 @@ object Relational2 {
             FROM e GROUP BY event_type""")
   )
 
+  /** q184 — VARIANT SHREDDING to parquet, the follow-through q178 stops
+    * short of: the parsed variant column is MATERIALIZED to a parquet
+    * store with write-shredding enabled — the writer infers a typed
+    * shredding schema and lays each path down as a typed subcolumn
+    * (`v.typed_value.k.typed_value: INT64` in the footer) next to the
+    * binary fallback — and the read-back path access runs with
+    * `pushVariantIntoScan`, so the scan's ReadSchema is the TYPED
+    * struct (`v:struct<0:bigint>`): zero parse at scan time, plus
+    * ordinary parquet column pruning/min-max stats on the shredded
+    * column. This is the full parse-ONCE story: q178 proves
+    * parse-once-per-row in memory; this proves parse-NEVER-again once
+    * the store is written — the difference between re-decoding 100 TB
+    * of JSON per query and scanning an INT64 column.
+    *
+    * Per-query conf isolation via `newSession` (the q92 discipline):
+    * shredded write + shredded read + scan pushdown are session confs,
+    * and the returned DataFrame carries its session, so Verify/Bench
+    * execute under them. Output ≡ q178 exactly (same per-type
+    * aggregates + to_json round-trip fingerprint — proving the
+    * shredded store reconstructs the same canonical text), so the
+    * oracle is q178's verbatim and `VariantShredSpec` additionally
+    * pins (a) the typed ReadSchema with pushdown on, (b) the binary
+    * variant ReadSchema with pushdown off (same store — the
+    * counterfactual), and (c) q184 ≡ q178 row-for-row.
+    */
+  val variantShred = Q(
+    "q184_variant_shred_store",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+      s.conf.set("spark.sql.variant.allowReadingShredded", "true")
+      s.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+      val store = graft.sources.Sources.scratchLeaf(d, "variant_store")
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      s.read.parquet(store)
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("to_json(v)").as("rt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          md5(concat_ws(",", sort_array(collect_list(col("rt"))))
+            .cast("binary")).as("rt_fp"))
+    },
+    variantExtract.oracle // identical semantics through the shredded store
+  )
+
   /** q147 — the NATIVE two-table as-of join
     * ([[graft.plans.AsOfJoinExec]]): error events paired with the latest
     * click at-or-before them per user, planned as a first-class Catalyst
@@ -995,5 +1045,5 @@ object Relational2 {
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers, quarantine, quarantineCsv, scd2, variantExtract)
+    madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred)
 }
