@@ -376,6 +376,73 @@ object Sources {
              WHERE event_id IN (${BloomNeedles.mkString(", ")})""")
   )
 
+  /** q185 — DYNAMIC PARTITION OVERWRITE: the lakehouse restatement op
+    * the suite's other writes don't cover. A day-partitioned store
+    * absorbs a CORRECTION BATCH (one day's rows restated — the
+    * late-arriving-facts fix every pipeline runs) via
+    * `partitionOverwriteMode=dynamic`: `SaveMode.Overwrite` replaces
+    * ONLY the partitions present in the incoming batch, leaving every
+    * other partition's files physically untouched — where the default
+    * STATIC overwrite would truncate the whole table down to the one
+    * corrected day (the classic data-loss footgun this mode exists to
+    * fix). At 100 TB the difference is a one-partition write vs a
+    * full-table rewrite — same contract as Hive's dynamic-partition
+    * INSERT OVERWRITE and the Delta `replaceWhere` shape.
+    *
+    * Session-conf isolation via `newSession` (q92/q184 discipline).
+    * Oracle reconstructs the post-correction state in closed form
+    * (CASE on the corrected day). `DynamicOverwriteSpec` pins the
+    * physics the oracle can't see: untouched partitions keep their
+    * exact file paths after the correction commit, the corrected
+    * partition's files are replaced, and the STATIC counterfactual
+    * really does drop every other partition.
+    */
+  private[graft] val DpoDay = "2024-01-03"
+
+  private[graft] def dpoSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s
+  }
+
+  /** Day-partitioned base store of the events table. */
+  private[graft] def dpoWriteBase(s: SparkSession, d: String, tag: String): String = {
+    val store = leaf(d, tag)
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("user_id"),
+        col("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(store)
+    store
+  }
+
+  /** The correction batch: ONLY the target day, values restated ×2. */
+  private[graft] def dpoCorrection(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("user_id"),
+        (col("value") * 2).as("value"))
+      .where(col("day") === lit(DpoDay))
+
+  val dynamicPartitionOverwrite = Q(
+    "q185_dynamic_partition_overwrite",
+    (s0, d) => {
+      val s = dpoSession(s0)
+      val store = dpoWriteBase(s, d, "dpo_store")
+      dpoCorrection(s, d)
+        .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(store)
+      s.read.parquet(store)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), Q.dsum2(col("value")).as("sum_value"))
+    },
+    Some(s"""WITH src AS (
+               SELECT CAST(ts AS DATE) AS day,
+                      CASE WHEN CAST(ts AS DATE) = DATE '$DpoDay'
+                           THEN "value" * 2 ELSE "value" END AS v
+               FROM events)
+             SELECT day, CAST(count(*) AS BIGINT) AS n,
+                    ${Q.sqlSum2("v")} AS sum_value
+             FROM src GROUP BY day""")
+  )
+
   /** q102 — SCHEMA EVOLUTION on read: an old batch written without a
     * column and a new batch written with it (`quality`, the score a
     * later pipeline version started stamping) are read together with
@@ -1030,5 +1097,6 @@ object Sources {
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
-      deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup)
+      deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
+      dynamicPartitionOverwrite)
 }
