@@ -451,6 +451,69 @@ object EventWindows {
                                 WHERE event_type = 'purchase') t)""")
   )
 
+  /** q186 — CHAINED STATEFUL OPERATORS in one streaming query: a 1-hour
+    * tumbling aggregation whose OUTPUT feeds a second, 6-hour tumbling
+    * aggregation — two watermarked stateful operators in a single
+    * micro-batch pipeline (`window(window_time(window), '6 hours')`
+    * re-windows the first aggregate's event-time column), the
+    * capability Spark added in 3.4 (before it, the hourly rollup had to
+    * land in a sink and a SECOND query re-read it — double storage,
+    * double latency). This is the canonical metrics-rollup topology:
+    * fine-grain pre-aggregation shrinks the stream by orders of
+    * magnitude, the coarse rollup aggregates O(windows) pre-aggregated
+    * rows, never raw events — at 100 TB/day the 6-hour state holds 6
+    * rows per type, not six hours of events.
+    *
+    * Both levels share the q61 closed-window determinism: the outer
+    * window emits when the watermark passes ITS end, and the registered
+    * result keeps only 6-hour windows closed by the final watermark —
+    * the identical predicate the batch oracle applies. Sums re-enter
+    * decimal for the second fold (dsum2 of dsum2 output), so
+    * cross-level double order can't drift. The per-level counts agree
+    * with a flat 6-hour aggregation BY CONSTRUCTION (count-sum and
+    * decimal-sum are associative) — which is exactly what the oracle's
+    * flat GROUP BY checks; `StreamChainSpec` additionally pins that the
+    * running query really holds TWO state operators and that the outer
+    * level only emits once the watermark passes the OUTER window end.
+    */
+  val streamChainedWindows = Q(
+    "q186_stream_chained_windows",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_chain_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n1"), dsum2(col("value")).as("sv1"))
+          .groupBy(window(window_time(col("window")), "6 hours"),
+            col("event_type"))
+          .agg(sum(col("n1")).as("n"), dsum2(col("sv1")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("closed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(col("wend") <= col("closed_before"))
+        .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+                    count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events
+             GROUP BY 1, 2
+             HAVING time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' <=
+                    (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -743,5 +806,6 @@ object EventWindows {
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
-      streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin)
+      streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
+      streamChainedWindows)
 }
