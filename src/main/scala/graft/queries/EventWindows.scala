@@ -514,6 +514,54 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q187 — the q61 aggregation under the ROCKSDB STATE STORE: the
+    * provider swap every large-state production deployment makes, run
+    * as a first-class query. The default HDFS-backed provider keeps
+    * every key's state as JVM objects on-heap — at 100 TB/day of
+    * events a high-cardinality window×key state OOMs the executor or
+    * drowns it in GC; RocksDB keeps state off-heap in an embedded LSM
+    * with incremental checkpointing, bounding heap by block-cache size
+    * regardless of key count. The CONTRACT is that the swap is
+    * invisible to results: identical rows, identical closed-window
+    * set — which is exactly what the unchanged q61 oracle checks, and
+    * the q37/q61 pair discipline (same aggregation, different
+    * machinery) extends to a third execution path. Provider is a
+    * per-query conf read at stream start; `newSession` isolation (q92/
+    * q184 discipline) keeps it from leaking into other queries.
+    */
+  val streamRocksDb = Q(
+    "q187_stream_rocksdb_state",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_rocks_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("closed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(col("wend") <= col("closed_before"))
+        .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+    },
+    streamTumblingAppend.oracle // provider swap must not change a row
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -807,5 +855,5 @@ object EventWindows {
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
-      streamChainedWindows)
+      streamChainedWindows, streamRocksDb)
 }
