@@ -562,6 +562,71 @@ object EventWindows {
     streamTumblingAppend.oracle // provider swap must not change a row
   )
 
+  /** q188 — typed COGROUP: the generalized two-input per-key operator
+    * (the reference's "reduce sees its WHOLE group" contract, extended
+    * to two grouped inputs — MapReduce's reduce-side join ancestor,
+    * `KeyValueGroupedDataset.cogroup` in Spark). Per user, the click
+    * group and the purchase group arrive as two iterators in one
+    * function call, which expresses group-wise logic a join contorts:
+    * here, anchor on the user's FIRST click and count purchases at or
+    * after it — a fold over one side parameterized by an aggregate of
+    * the other. Keys present in EITHER input emit (purchase-only users
+    * report first_click = epoch and after = −1; click-only users report
+    * 0 purchases) — the same totality discipline as q57/q165.
+    *
+    * Scale shape: ONE co-partitioned shuffle on user_id for both
+    * inputs (cogroup requires identical partitioning, so Spark plans
+    * the two exchanges to the same layout); per-key state is the two
+    * iterators — streamed, never materialized corpus-wide. The
+    * group-wise fold here is deliberately replayable in SQL (min +
+    * conditional count) so the oracle can check it exactly; the
+    * operator's value is the API contract — whole-group access to TWO
+    * inputs — which `CogroupSpec` exercises beyond SQL with an
+    * order-sensitive fixture.
+    */
+  val cogroupReconcile = Q(
+    "q188_cogroup_reconcile",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+      clicks.cogroup(buys) { (user, cs, ps) =>
+        // Timestamp comparisons, never getTime: millis truncation would
+        // drop the µs the parquet data carries
+        var firstClick: java.sql.Timestamp = null
+        var nClicks = 0L
+        cs.foreach { c => nClicks += 1
+          if (firstClick == null || c._2.compareTo(firstClick) < 0) firstClick = c._2 }
+        var nBuys = 0L
+        var after = 0L
+        ps.foreach { p => nBuys += 1
+          if (firstClick != null && p._2.compareTo(firstClick) >= 0) after += 1 }
+        Iterator((user, nClicks, nBuys,
+          if (nClicks == 0) -1L else after,
+          if (firstClick == null) new java.sql.Timestamp(0L) else firstClick))
+      }.toDF("user_id", "n_clicks", "n_purchases", "purchases_after_first_click",
+        "first_click")
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n_clicks, min(ts) AS fc
+                       FROM events WHERE event_type = 'click' GROUP BY user_id),
+                 p AS (SELECT user_id, count(*) AS n_purchases,
+                              list(ts) AS pts
+                       FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+                   CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+                   CAST(CASE WHEN c.user_id IS NULL THEN -1
+                        ELSE coalesce(len(list_filter(p.pts, t -> t >= c.fc)), 0)
+                        END AS BIGINT) AS purchases_after_first_click,
+                   coalesce(c.fc, TIMESTAMP '1970-01-01 00:00:00') AS first_click
+            FROM c FULL OUTER JOIN p ON p.user_id = c.user_id""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -855,5 +920,5 @@ object EventWindows {
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
-      streamChainedWindows, streamRocksDb)
+      streamChainedWindows, streamRocksDb, cogroupReconcile)
 }
