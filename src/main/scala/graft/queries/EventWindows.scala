@@ -627,6 +627,59 @@ object EventWindows {
             FROM c FULL OUTER JOIN p ON p.user_id = c.user_id""")
   )
 
+  /** q189 — `transformWithState`, Spark 4's ARBITRARY-STATE operator
+    * (the successor to q47's `flatMapGroupsWithState`): per-user
+    * running totals kept in an explicit named `ValueState` created
+    * against the `StatefulProcessorHandle`
+    * ([[graft.streaming.RunningTotals]]) — the API that adds named
+    * state variables (Value/List/Map), per-key timers, TTL, and
+    * initial-state bootstrap, and REQUIRES the RocksDB provider (q187's
+    * knob is this operator family's prerequisite). Each micro-batch
+    * emits the totals-so-far per key touched (Update mode); n is
+    * monotone, so the final `max(struct(n, sum))` per user is the
+    * stream's answer regardless of how the source batched — the same
+    * batching-independence discipline as q61's closed windows. Sums
+    * accumulate as exact integer cents inside state (dsum2's exactness
+    * in imperative form), so no cross-batch double order exists to
+    * drift. Oracle: the plain per-user batch aggregate.
+    * `TransformWithStateSpec` drives the state machinery across real
+    * micro-batch boundaries with MemoryStream.
+    */
+  val transformWithStateTotals = Q(
+    "q189_transform_with_state",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_tws_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotals(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "sum_value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum_value"))).as("b"))
+        .select(col("user_id"), col("b.n").as("n"), col("b.sum_value").as("sum_value"))
+    },
+    Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                    ${sqlSum2("value")} AS sum_value
+             FROM events GROUP BY user_id""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -920,5 +973,6 @@ object EventWindows {
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
-      streamChainedWindows, streamRocksDb, cogroupReconcile)
+      streamChainedWindows, streamRocksDb, cogroupReconcile,
+      transformWithStateTotals)
 }
