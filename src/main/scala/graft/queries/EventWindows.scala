@@ -680,6 +680,74 @@ object EventWindows {
              FROM events GROUP BY user_id""")
   )
 
+  /** q191 — STATE-STORE READER: the q61 aggregation's CHECKPOINT opened
+    * as a DataFrame (Spark 4's `statestore` / `state-metadata` V2
+    * sources) — the production debugging door for stateful streaming.
+    * When a 100 TB/day pipeline's state grows without bound or a window
+    * never seems to close, the operational question is "what is IN the
+    * state store right now?", and before this reader the only answers
+    * were heap dumps or printf; now state is a queryable table keyed
+    * exactly as the operator keys it. The registered run starts q61's
+    * append aggregation against a fresh checkpoint, drains it, then
+    * reads the checkpoint back: what remains in state is precisely the
+    * OPEN windows — every window the final watermark (max ts − 1 h)
+    * has not yet closed — because append mode evicts a window's row the
+    * moment the watermark passes its end. So q61 and q191 are exact
+    * complements of the same GROUP BY, and the oracle says so: same
+    * aggregation, HAVING flipped to `window end > max(ts) − 1 h`. The
+    * aggregation buffer comes back typed (count long, sum as the exact
+    * decimal dsum2 accumulates) — the reader exposes the operator's
+    * internal schema, which is the point.
+    *
+    * Scale shape: the state source plans one task per state-store
+    * partition (partition_id is a column — skew in state is VISIBLE),
+    * reads only the requested operator's store, and never replays the
+    * source stream; the sink is `noop` (the result is the state itself,
+    * nothing collects). `StateReaderSpec` pins the complement contract
+    * (state ∪ emitted = full batch GROUP BY, disjoint) and the
+    * metadata listing. Fresh checkpoint per execution (q78 discipline).
+    */
+  val stateStoreRead = Q(
+    "q191_state_store_read",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val chk = graft.sources.Sources.scratchLeaf(d, s"state_read_chk_$runId")
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // state-metadata names the operator whose store we read — 1 row,
+      // metadata-plane; carrying it in the output pins that the listing
+      // side of the reader works too
+      val op = s.read.format("state-metadata").load(chk)
+        .select(col("operatorName").as("operator")).limit(1)
+      s.read.format("statestore").load(chk)
+        .select(col("key.window.start").as("wstart"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          col("value.sum").cast("double").as("sum_value"))
+        .crossJoin(op)
+    },
+    Some(s"""SELECT 'stateStoreSave' AS operator,
+                    time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+                    count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events
+             GROUP BY 2, 3
+             HAVING wstart + INTERVAL '1 hour' >
+                    (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -974,5 +1042,5 @@ object EventWindows {
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
-      transformWithStateTotals)
+      transformWithStateTotals, stateStoreRead)
 }

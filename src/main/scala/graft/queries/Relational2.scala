@@ -1041,9 +1041,128 @@ object Relational2 {
               ON e.user_id = c.c_user_id AND e.ts >= c.c_ts""")
   )
 
+  /** q192 — COLLATED grouping (Spark 4 collations): case-insensitive
+    * semantics pushed into the ENGINE instead of wrapped around every
+    * expression. The corpus's language tags are synthesized into three
+    * case spellings per value (closed-form from doc_id — the q123 dirty
+    * -input reconstruction move), then grouped under `UTF8_LCASE`: the
+    * engine's grouping keys, equality, and codegen'd comparisons are
+    * collation-aware, where the pre-collation idiom (`lower()` around
+    * every key) costs an allocation per row per expression and is
+    * forgettable — one missed wrap silently splits groups. Each group
+    * also counts its DISTINCT raw spellings under the column's default
+    * binary collation, pinning that the two collations coexist in one
+    * aggregate. Output keys are projected through `lower()` back to a
+    * binary-collated string, because a collated group's representative
+    * (which raw spelling survives) is engine-internal — the q123
+    * determinism discipline.
+    *
+    * Scale shape: one map-side-combined aggregation, same as any
+    * groupBy — collation changes the comparator, not the plan. (The
+    * trade to know at 100 TB: collated columns currently opt out of
+    * parquet min/max pushdown, so collate at the AGGREGATION, keep
+    * storage binary — exactly what this query does.)
+    */
+  val collatedGroup = Q(
+    "q192_collated_group",
+    (s, d) => {
+      val spellings = Tables.documents(s, d).select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                WHEN doc_id % 3 = 1 THEN concat(upper(substring(lang, 1, 1)), substring(lang, 2))
+                ELSE lang END""").as("lang_raw"))
+      spellings
+        .groupBy(expr("collate(lang_raw, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang_raw")).as("n_spellings"))
+        .select(expr("collate(lower(k), 'UTF8_BINARY')").as("lang"),
+          col("n"), col("n_spellings"))
+    },
+    Some("""WITH s AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                          WHEN doc_id % 3 = 1 THEN upper(substr(lang, 1, 1)) || substr(lang, 2)
+                          ELSE lang END AS lang_raw
+              FROM documents)
+            SELECT lower(lang_raw) AS lang, count(*) AS n,
+                   CAST(count(DISTINCT lang_raw) AS BIGINT) AS n_spellings
+            FROM s GROUP BY lower(lang_raw)""")
+  )
+
+  /** q193 — LATERAL correlated subquery (SQL:1999 LATERAL, Spark 3.2+):
+    * per-nation top-2 customers by balance, written as "for each nation,
+    * run this parameterized subquery" — the row-wise formulation every
+    * analyst reaches for, and the one a naive engine executes as N
+    * re-scans of customer. Catalyst DECORRELATES it: the correlated
+    * LIMIT-under-ORDER becomes a partitioned rank filter over ONE scan
+    * of customer joined back to nation — the same physical work as
+    * q11's explicit window top-k, derived from the declarative form.
+    * That equivalence is the point: LATERAL is the programmable face
+    * (arbitrary correlated logic per outer row), the window rewrite is
+    * the scale path, and the engine owns the translation. Ties broken
+    * by custkey so both engines pick identical rows; nations with no
+    * customers drop (inner lateral — the CROSS APPLY contract).
+    *
+    * Scale shape: one shuffle of customer on nationkey for the rank,
+    * one broadcast-able join to the 25-row nation side; no per-row
+    * re-execution anywhere (`.explain` shows a single customer scan).
+    */
+  val lateralTopK = Q(
+    "q193_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql("""SELECT n.n_nationkey, n.n_name, x.c_custkey, x.c_name, x.c_acctbal
+               FROM nation_lat n,
+               LATERAL (SELECT c_custkey, c_name, c_acctbal
+                        FROM customer_lat c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x""")
+    },
+    Some("""SELECT n.n_nationkey, n.n_name, x.c_custkey, x.c_name, x.c_acctbal
+            FROM nation n,
+            LATERAL (SELECT c_custkey, c_name, c_acctbal
+                     FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x""")
+  )
+
+  /** q196 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join every merge-on-natural-key pipeline eventually needs, because
+    * real keys go NULL (here: an unattributed-user bucket synthesized
+    * by `nullif`, the q123 closed-form move) and standard SQL equality
+    * silently DROPS the null×null match — the clicks and purchases of
+    * the unattributed bucket would vanish from the reconciliation with
+    * `=`, no error, just missing rows. `<=>` makes NULL a first-class
+    * key value. Critically for scale, Catalyst plans EqualNullSafe as a
+    * HASH-JOIN KEY (coalescing the null into the key domain), not as a
+    * residual nested-loop predicate — the null bucket shuffles and
+    * matches like any other key. The null group is also the classic
+    * skew hot spot at 100 TB (every unattributed row shares one key);
+    * q128's salting is the cure when it grows hot — noted, not needed
+    * at this cardinality.
+    */
+  val nullSafeJoin = Q(
+    "q196_null_safe_join",
+    (s, d) => {
+      def side(tpe: String, outn: String) =
+        Tables.events(s, d).where(col("event_type") === tpe)
+          .select(nullif(col("user_id") % 50, lit(0)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as(outn))
+      val clicks = side("click", "n_clicks")
+      val buys = side("purchase", "n_buys")
+      clicks.join(buys, clicks("k") <=> buys("k"), "inner")
+        .select(clicks("k").as("k"), col("n_clicks"), col("n_buys"))
+    },
+    Some("""WITH c AS (SELECT nullif(user_id % 50, 0) AS k, count(*) AS n_clicks
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+                 p AS (SELECT nullif(user_id % 50, 0) AS k, count(*) AS n_buys
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT c.k, c.n_clicks, p.n_buys
+            FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.k""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
-    madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred)
+    madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
+    collatedGroup, lateralTopK, nullSafeJoin)
 }

@@ -70,6 +70,18 @@ object Sources {
         // schema is a cross-check rather than a requirement
         w.orc(out)
         r.orc(out)
+      case "xml" =>
+        // Spark 4's built-in XML source (spark-xml merged into core):
+        // one <doc> element per row, values as child elements. The
+        // explicit read schema is REQUIRED at scale — XML inference is a
+        // full extra pass AND would re-guess types per run. The writer
+        // escapes markup, so free text survives; the reader trims
+        // element character data by DEFAULT (losing leading/trailing
+        // whitespace in string values — XmlRoundTripSpec's fixture), so
+        // the lossless contract needs ignoreSurroundingSpaces=false.
+        w.option("rowTag", "doc").xml(out)
+        r.option("rowTag", "doc")
+          .option("ignoreSurroundingSpaces", "false").xml(out)
     }
   }
 
@@ -91,6 +103,25 @@ object Sources {
   val orcRoundTrip = Q(
     "q65_orc_roundtrip",
     (s, d) => roundTrip(s, d, "orc"),
+    Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
+  )
+
+  /** q190 — XML write + read round-trip equals the parquet source,
+    * completing the text-format matrix (CSV q44, JSON q45, ORC q65):
+    * the interchange format document feeds still arrive in (sitemaps,
+    * feed dumps, Wikipedia exports). Same lossless contract as the
+    * other round-trips — markup characters in `text` are escaped by the
+    * writer and restored by the parser, so the DuckDB compare against
+    * the parquet original is byte-exact. Scale shape: identical to
+    * q44's (one file per task both ways, schema-on-read, no inference
+    * pass); XML is a row-major text format, so like CSV/JSON it is an
+    * INGEST format — the first job in a 100 TB pipeline converts it to
+    * parquet, which is exactly the write-then-read this query runs in
+    * reverse.
+    */
+  val xmlRoundTrip = Q(
+    "q190_xml_roundtrip",
+    (s, d) => roundTrip(s, d, "xml"),
     Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
   )
 
@@ -1098,5 +1129,5 @@ object Sources {
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
-      dynamicPartitionOverwrite)
+      dynamicPartitionOverwrite, xmlRoundTrip)
 }
