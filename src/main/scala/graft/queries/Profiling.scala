@@ -401,7 +401,56 @@ object Profiling {
             FROM st, tk""")
   )
 
+  /** q194 — OBSERVED METRICS (`Dataset.observe`): data-quality counters
+    * instrumented INSIDE a gating pass, at both ends of the gate — rows
+    * and characters arriving, empty-text anomalies, rows and characters
+    * surviving — harvested from the `Observation` handles after one
+    * `noop`-sink execution. This is the production telemetry shape: at
+    * 100 TB the naive audit ("run the pipeline, then run COUNT queries
+    * on input and output") pays one or two EXTRA full scans per metric
+    * set; `observe` attaches an `AggregatingAccumulator` to the
+    * operators already executing, so every counter rides the same scan
+    * for free and arrives at the driver with task completion — zero
+    * additional jobs, zero extra reads (ObserveSpec pins both
+    * `CollectMetrics` operators into the single-scan plan). The
+    * pipeline output goes to the `noop` sink (executors consume it;
+    * nothing collects) — the registered RESULT is the metrics row
+    * itself, which is what an ingest monitor stores per batch.
+    *
+    * All counters are integer counts/sums — exact, order-independent,
+    * so the closed-form oracle matches bit-for-bit.
+    */
+  val observedIngest = Q(
+    "q194_observe_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obsIn = org.apache.spark.sql.Observation("ingest_in")
+      val obsOut = org.apache.spark.sql.Observation("ingest_out")
+      Tables.documents(s, d)
+        .observe(obsIn,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("text") === "", 1L).otherwise(0L)).as("empty_texts"),
+          sum(col("n_chars").cast("long")).as("chars_in"))
+        .where(col("n_chars") >= 200)
+        .observe(obsOut,
+          count(lit(1)).as("rows_kept"),
+          sum(col("n_chars").cast("long")).as("chars_kept"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obsIn.get ++ obsOut.get
+      Seq((m("rows_in").asInstanceOf[Long], m("empty_texts").asInstanceOf[Long],
+        m("chars_in").asInstanceOf[Long], m("rows_kept").asInstanceOf[Long],
+        m("chars_kept").asInstanceOf[Long]))
+        .toDF("rows_in", "empty_texts", "chars_in", "rows_kept", "chars_kept")
+    },
+    Some("""SELECT count(*) AS rows_in,
+                   CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_texts,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_in,
+                   CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+                   CAST(sum(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+            FROM documents""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
-      skewAudit)
+      skewAudit, observedIngest)
 }
