@@ -748,6 +748,88 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q195 — EVENT-TIME TIMERS (`transformWithState` +
+    * `TimeMode.EventTime`): gap-based sessions closed by the ENGINE's
+    * callback when the watermark passes "last event + 15 min", not by
+    * the next record's arrival — the semantics q36/q47 approximate in
+    * batch, now with the production trigger: a session whose user
+    * simply left must still close, and per-key timers are the mechanism
+    * (the pre-timer alternatives were GroupStateTimeout's one coarse
+    * timeout per key, or sweeping every key every batch). The processor
+    * ([[graft.streaming.SessionTimers]]) buffers events in ListState
+    * and emits ONLY from `handleExpiredTimer`; q189 covered named
+    * ValueState, this adds ListState + registerTimer/deleteTimer — the
+    * rest of the handle's surface.
+    *
+    * Determinism: emitted sessions are exactly those the final
+    * watermark sealed; both sides apply the identical closed predicate
+    * `session_last + 15 min ≤ max(ts) − 1 h − 1 s` (q61's discipline;
+    * the 1 s guard covers ms-truncated timer/watermark arithmetic, the
+    * q182 move). Oracle = q36's gaps-and-islands SQL with that HAVING.
+    * RocksDB provider required (q187's knob, q189's precedent).
+    */
+  val sessionTimers = Q(
+    "q195_session_timers",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_timers_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.SessionTimers(gapUs = 15L * 60 * 1000000),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "start_us", "last_us", "n", "sum_value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 SECOND"))
+          .as("sealed_before"))
+      s.table(name)
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("last_us")).as("session_last"),
+          col("n"), col("sum_value"))
+        .crossJoin(cutoff)
+        .where(col("session_last") + expr("INTERVAL 15 MINUTES") <= col("sealed_before"))
+        .select("user_id", "session_start", "session_last", "n", "sum_value")
+    },
+    Some(s"""WITH o AS (
+               SELECT user_id, ts, event_id, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                           THEN 1 ELSE 0 END AS ns
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             sess AS (
+               SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o),
+             agg AS (
+               SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+                      CAST(count(*) AS BIGINT) AS n, ${sqlSum2("value")} AS sum_value
+               FROM sess GROUP BY user_id, sid)
+             SELECT user_id, session_start, session_last, n, sum_value
+             FROM agg
+             WHERE session_last + INTERVAL '15 minutes' <=
+                   (SELECT max(ts) - INTERVAL '1 hour' - INTERVAL '1 second' FROM events)""")
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -1042,5 +1124,5 @@ object EventWindows {
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
-      transformWithStateTotals, stateStoreRead)
+      transformWithStateTotals, stateStoreRead, sessionTimers)
 }
