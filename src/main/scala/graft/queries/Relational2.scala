@@ -1159,10 +1159,93 @@ object Relational2 {
             FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.k""")
   )
 
+  /** q197 — SCHEMA-DRIFT UNION (`unionByName` + allowMissingColumns):
+    * merging corpus shards whose schemas drifted apart — the situation
+    * every long-lived 100 TB dataset is in (an early shard lacks the
+    * `quality` column a later pipeline added; a later shard dropped
+    * `lang`). Positional UNION would silently pair `lang` with `source`
+    * (same type, wrong meaning — corrupt rows, no error); `unionByName`
+    * aligns columns BY NAME and `allowMissingColumns` null-fills what a
+    * shard never had — the read-time contract schema evolution (q102)
+    * provides at the storage layer, applied at the relational layer.
+    * Shards are synthesized disjointly from documents (q123 closed-form
+    * discipline); DuckDB's `UNION ALL BY NAME` is the oracle twin.
+    *
+    * Scale shape: a union is a no-shuffle plan concatenation — each
+    * shard scans with its own pruned schema, null columns materialize
+    * as constants.
+    */
+  val unionByNameDrift = Q(
+    "q197_union_by_name",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val early = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val late = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars").cast("double") / lit(100.0)).as("quality"))
+      early.unionByName(late, allowMissingColumns = true)
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT doc_id, source, n_chars,
+                   CAST(n_chars AS DOUBLE) / CAST(100.0 AS DOUBLE) AS quality
+            FROM documents WHERE doc_id % 2 = 1""")
+  )
+
+  /** q198 — ERROR-SAFE CASTS (`try_cast`): malformed-value tolerance as
+    * an EXPRESSION, not a crashed job. Under ANSI semantics (Spark 4's
+    * default) a single unparseable string kills the task — at 100 TB
+    * "one bad row aborts the 6-hour ingest" is not a policy anyone
+    * wants, and pre-filtering with regexes re-implements the parser,
+    * badly. `try_cast` yields NULL exactly where the strict cast would
+    * throw, making bad cells COUNTABLE (the per-shape audit q162's
+    * row-level quarantine complements at cell level). Dirty inputs are
+    * synthesized closed-form in five shapes — clean int, decimal,
+    * garbage prefix, empty, whitespace — so the oracle sees identical
+    * bytes. Cross-engine lesson the fixture surfaces: Spark's ANSI
+    * integer grammar is STRICT ('1.25' → BIGINT is NULL) while DuckDB's
+    * TRY_CAST ROUNDS ('1.25' → 1), so the oracle guards its BIGINT leg
+    * with the integer-literal regexp — the portable spelling of Spark's
+    * rule.
+    */
+  val tryCast = Q(
+    "q198_try_cast",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS STRING)
+                WHEN doc_id % 5 = 1 THEN concat(CAST(doc_id AS STRING), '.25')
+                WHEN doc_id % 5 = 2 THEN concat('x', CAST(doc_id AS STRING))
+                WHEN doc_id % 5 = 3 THEN ''
+                ELSE '  ' END""").as("raw"))
+        .select(col("doc_id"), col("raw"),
+          expr("try_cast(raw AS BIGINT)").as("as_int"),
+          expr("try_cast(raw AS DOUBLE)").as("as_double"),
+          expr("try_cast(raw AS BIGINT) IS NULL AND try_cast(raw AS DOUBLE) IS NULL")
+            .as("unparseable")),
+    Some("""WITH r AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 5 = 1 THEN CAST(doc_id AS VARCHAR) || '.25'
+                          WHEN doc_id % 5 = 2 THEN 'x' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 5 = 3 THEN ''
+                          ELSE '  ' END AS raw
+              FROM documents),
+            c AS (
+              SELECT doc_id, raw,
+                     CASE WHEN regexp_matches(raw, '^\s*[+-]?\d+\s*$')
+                          THEN TRY_CAST(raw AS BIGINT) END AS as_int,
+                     TRY_CAST(raw AS DOUBLE) AS as_double
+              FROM r)
+            SELECT doc_id, raw, as_int, as_double,
+                   (as_int IS NULL AND as_double IS NULL) AS unparseable
+            FROM c""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
-    collatedGroup, lateralTopK, nullSafeJoin)
+    collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast)
 }
