@@ -55,6 +55,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q11: rank-filter top-k plans a WindowGroupLimit below the window") {
+    // the per-group top-k pushdown: each map task keeps only k rows per
+    // group BEFORE the shuffle+sort, so the exchange carries O(groups·k)
+    // instead of the whole table — the difference between a window that
+    // scales and one that sorts 100 TB to throw it away
+    val p = plan("q11_topk_window")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter no longer pushes a group limit below the window:\n${p.take(2000)}")
+  }
+
   test("q27: plan uses the native cosine expression") {
     val p = plan("q27_cosine_topk")
     assert(p.contains("cosine_similarity"), p.take(2000))
