@@ -748,6 +748,61 @@ object EventWindows {
                     (SELECT max(ts) - INTERVAL '1 hour' FROM events)""")
   )
 
+  /** q199 — NAMED-STATE READBACK: q191's state-store reader pointed at
+    * q189's `transformWithState` checkpoint — arbitrary USER-DEFINED
+    * state is just as operable as the built-in operators'. The reader
+    * needs `stateVarName` because a StatefulProcessor owns many named
+    * variables (the metadata's operatorProperties lists them — pinned
+    * in `StateReaderSpec`); here it opens the "totals" ValueState and
+    * recovers every user's (n, cents) pair exactly as RunningTotals
+    * left it. Because the drained run processed everything, state IS
+    * the final answer, so q189's oracle applies verbatim — three
+    * independent roads (imperative state machine, its checkpoint read
+    * cold, plain batch GROUP BY) to one row set. The cents/100 division
+    * happens HERE, proving the stored representation is the exact
+    * integer form (dsum2's discipline surviving a round-trip through
+    * RocksDB + the reader).
+    *
+    * Scale shape: same as q191 — one task per state partition, no
+    * source replay; this is how a 100 TB deployment audits or migrates
+    * live state (the offline-repartition path starts from exactly this
+    * read).
+    */
+  val twsStateRead = Q(
+    "q199_tws_state_read",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val chk = graft.sources.Sources.scratchLeaf(d, s"tws_read_chk_$runId")
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotals(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "sum_value")
+          .writeStream.format("noop")
+          .option("checkpointLocation", chk)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.format("statestore").option("stateVarName", "totals").load(chk)
+        .select(col("key.value").as("user_id"),
+          col("value._1").as("n"),
+          (col("value._2").cast("double") / lit(100.0)).as("sum_value"))
+    },
+    transformWithStateTotals.oracle // state read cold ≡ the drained stream's answer
+  )
+
   /** q195 — EVENT-TIME TIMERS (`transformWithState` +
     * `TimeMode.EventTime`): gap-based sessions closed by the ENGINE's
     * callback when the watermark passes "last event + 15 min", not by
@@ -1124,5 +1179,5 @@ object EventWindows {
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
-      transformWithStateTotals, stateStoreRead, sessionTimers)
+      transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead)
 }

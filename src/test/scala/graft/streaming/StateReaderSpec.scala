@@ -47,4 +47,24 @@ class StateReaderSpec extends AnyFunSuite {
     assert(meta.head.getAs[Int]("numPartitions") == 4,
       "state partition count should match the scoped stream-partitions conf")
   }
+
+  test("q199: tws metadata declares the named state variable; state read = batch agg") {
+    import org.apache.spark.sql.functions.col
+    val state = SparkEntry.queries("q199_tws_state_read")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = SparkEntry.queries("q189_transform_with_state")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state === want, "cold state read diverged from the drained stream's answer")
+    val scratchRoot = new java.io.File(
+      graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, "x")).getParentFile
+    val chk = Option(scratchRoot.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("tws_read_chk_"))
+      .maxBy(_.lastModified)
+    val props = spark.read.format("state-metadata").load(chk.getAbsolutePath)
+      .where(col("operatorName") === "transformWithStateExec")
+      .head().getAs[String]("operatorProperties")
+    assert(props.contains("\"stateName\":\"totals\"") &&
+      props.contains("\"stateVariableType\":\"ValueState\""),
+      s"metadata does not declare the named state variable: $props")
+  }
 }
