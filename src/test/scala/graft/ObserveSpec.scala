@@ -25,6 +25,25 @@ class ObserveSpec extends AnyFunSuite {
       "gate kept everything — fixture no longer exercises the filter")
   }
 
+  test("q200: stage funnel is monotone and every stage bites") {
+    // (the executed pipeline's plan isn't reachable from the returned
+    // metrics DF — its linear-chain/single-execution property is exactly
+    // what the oracle equality proves: a double-fired CollectMetrics
+    // would double a stage's counters and fail the funnel / the compare)
+    val rows = SparkEntry.queries("q200_pipeline_audit")(spark, TestSpark.Sf0001)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("0_raw", "1_url_canon", "2_exact_dedup", "3_quality", "4_decontam"))
+    val counts = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"row funnel not monotone: ${counts.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"token funnel not monotone: ${toks.toSeq}")
+    assert(counts.last > 0 && counts.last < counts.head,
+      "funnel degenerate: nothing survived, or nothing was ever removed")
+  }
+
   test("both observation points are in one single-scan plan") {
     val obsIn = org.apache.spark.sql.Observation()
     val obsOut = org.apache.spark.sql.Observation()
