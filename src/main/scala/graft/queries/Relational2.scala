@@ -1242,10 +1242,79 @@ object Relational2 {
             FROM c""")
   )
 
+  /** q201 — AQE SKEW-JOIN: the ENGINE's runtime cure for the q128
+    * problem (a join key with a hot value), completing the pair: q128
+    * is the MANUAL salt — schema intrusion, a fixed fan-out chosen at
+    * write time — while AQE watches the ACTUAL map output sizes at the
+    * shuffle boundary and SPLITS oversized partitions at runtime,
+    * duplicating the matching build side, with zero query rewrite. The
+    * skew is synthesized closed-form (90 % of events collapse onto one
+    * key — the q123 reconstruction move; the natural event_type key is
+    * near-uniform, which is exactly why production skew surprises
+    * people: it lives in DERIVED keys like "unattributed bucket" or
+    * "default tenant"). Thresholds are lowered per-query (`newSession`
+    * isolation, q92/q128 discipline) so the hot partition qualifies at
+    * test scale — at 100 TB the DEFAULTS (256 MB) do the same job. The
+    * cure must be invisible to semantics — full closed-form oracle —
+    * and `SkewSpec` pins the runtime marker (`skew=true` on the
+    * executed sort-merge join) plus row-equality against the same join
+    * under default planning.
+    *
+    * Two engine preconditions this query documents (probed, not
+    * guessed): (1) the skewed side's shuffle must feed the JOIN
+    * directly — an aggregate between shuffle and join defeats
+    * `OptimizeSkewedJoin`'s pattern (partitions can't be replayed
+    * through an agg), which is why the dim here is an independent
+    * range, not a groupBy of the fact; (2) split units are MAP-OUTPUT
+    * groups, so a single-mapper stage (one local parquet file = one
+    * scan task) can never be split — the `repartition(8)` stands in
+    * for the thousands of scan tasks a real fact table has; (3) a
+    * DISTINCT aggregate above the join makes the join's output
+    * partitioning load-bearing and forecloses the split — the rollup
+    * here uses plain count/sum for exactly that reason.
+    */
+  val aqeSkewJoin = Q(
+    "q201_aqe_skew_join",
+    (s, d) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // fixed-size fixture (~400k fact rows at every sf): the demo
+      // targets the MECHANISM, so its cost should not scale with the
+      // corpus; the 1-row count collect is metadata-plane
+      val nEvents = Tables.events(iso, d).count()
+      val mult = math.max(1L, math.ceil(400000.0 / nEvents).toLong)
+      val fact = Tables.events(iso, d)
+        .select(col("event_id"),
+          explode(expr(s"sequence(0L, ${mult - 1}L)")).as("rep"))
+        .select((col("event_id") * mult + col("rep")).as("rid"))
+        .select(col("rid"),
+          expr("CASE WHEN rid % 10 < 9 THEN 0 ELSE rid % 1000 END").as("k"))
+        .repartition(8)
+      val dim = iso.range(1000).select(col("id").as("k"),
+        concat(lit("seg_"), (col("id") % 7).cast("string")).as("seg"))
+      fact.join(dim, Seq("k"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+    },
+    Some("""WITH m AS (SELECT CAST(ceil(400000.0 / count(*)) AS BIGINT) AS mult
+                       FROM events),
+                 reps AS (SELECT unnest(generate_series(0, (SELECT mult FROM m) - 1)) AS rep),
+                 fk AS (SELECT CASE WHEN rid % 10 < 9 THEN 0 ELSE rid % 1000 END AS k
+                        FROM (SELECT e.event_id * (SELECT mult FROM m) + r.rep AS rid
+                              FROM events e CROSS JOIN reps r)),
+                 dim AS (SELECT k, 'seg_' || CAST(k % 7 AS VARCHAR) AS seg
+                         FROM (SELECT unnest(generate_series(0, 999)) AS k))
+            SELECT seg, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum
+            FROM fk JOIN dim USING (k) GROUP BY seg""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
-    collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast)
+    collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin)
 }

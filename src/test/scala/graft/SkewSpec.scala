@@ -11,6 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q201: AQE splits the hot-key partition; rows equal the default-planned join") {
+    val df = SparkEntry.queries("q201_aqe_skew_join")(spark, TestSpark.Sf0001)
+    val aqe = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the join skewed at test scale:\n${plan.take(3000)}")
+    // same logical join under default planning (broadcast allowed, no
+    // forced thresholds) — the runtime cure must not change a row
+    val nEvents = graft.Tables.events(spark, TestSpark.Sf0001).count()
+    val mult = math.max(1L, math.ceil(400000.0 / nEvents).toLong)
+    val fact = graft.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), explode(expr(s"sequence(0L, ${mult - 1}L)")).as("rep"))
+      .select((col("event_id") * mult + col("rep")).as("rid"))
+      .select(expr("CASE WHEN rid % 10 < 9 THEN 0 ELSE rid % 1000 END").as("k"))
+    val dim = spark.range(1000).select(col("id").as("k"),
+      concat(lit("seg_"), (col("id") % 7).cast("string")).as("seg"))
+    val plain = fact.join(dim, Seq("k")).groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")).collect()
+    assert(aqe.map(_.toSeq).toSet === plain.map(_.toSeq).toSet,
+      "runtime skew cure changed the join's answer")
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true)") {
     val restore = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
