@@ -803,6 +803,115 @@ object EventWindows {
     transformWithStateTotals.oracle // state read cold ≡ the drained stream's answer
   )
 
+  /** q202 — JOIN-STATE READER: the state-reader trilogy's third leg
+    * (q191 read aggregation state, q199 read named transformWithState
+    * state; this reads STREAM-STREAM JOIN state via `joinSide=left`).
+    * The q74 interval self-join is drained into a fresh checkpoint; the
+    * symmetric hash join buffers EVERY input row — matched or not —
+    * until the watermark proves no future partner can arrive, and that
+    * buffer is the #1 state-size question in production ("why is my
+    * join state 2 TB?" — answer: your interval horizon × your input
+    * rate, row by row, and now you can SELECT it). The reader exposes
+    * the per-side buffer exactly as stored: join key + the side's input
+    * row, already column-PRUNED to what the join needs (val_a never
+    * reaches state — visible proof pruning extends into state). The
+    * metadata lists the four internal stores (two per side:
+    * keyToNumValues + keyWithIndexToValue — `StateReaderSpec` pins
+    * them).
+    *
+    * Determinism: a left row is evictable once the watermark passes
+    * `ts_a + 5 min` (its furthest match window), so after the final
+    * watermark (max ts − 10 min) the retained set is rows with
+    * `ts_a ≳ max − 15 min`; both sides apply the guarded closed
+    * predicate `ts_a > max(ts) − 15 min + 1 s` (q61 discipline + q182's
+    * ms guard), which the engine-retained set provably contains.
+    */
+  val joinStateRead = Q(
+    "q202_join_state_read",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val chk = graft.sources.Sources.scratchLeaf(d, s"join_state_chk_$runId")
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "10 minutes")
+        val a = src.select(col("user_id"), col("event_id").as("id_a"),
+          col("ts").as("ts_a"), col("value").as("val_a"))
+        val b = src.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+          col("ts").as("ts_b"), col("value").as("val_b"))
+        val q = a.join(b,
+            col("user_id") === col("user_b") &&
+              col("id_a") < col("id_b") &&
+              col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+          .select(col("user_id"), col("id_a"), col("id_b"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 15 MINUTES") + expr("INTERVAL 1 SECOND"))
+          .as("retained_after"))
+      s.read.format("statestore").option("joinSide", "left").load(chk)
+        .select(col("value.user_id").as("user_id"),
+          col("value.id_a").as("id_a"), col("value.ts_a").as("ts_a"))
+        .crossJoin(cutoff)
+        .where(col("ts_a") > col("retained_after"))
+        .select("user_id", "id_a", "ts_a")
+    },
+    Some("""SELECT user_id, event_id AS id_a, ts AS ts_a
+            FROM events
+            WHERE ts > (SELECT max(ts) - INTERVAL '15 minutes' + INTERVAL '1 second'
+                        FROM events)""")
+  )
+
+  /** q203 — WATERMARK-BOUNDED DEDUP (`dropDuplicatesWithinWatermark`):
+    * the retransmission problem. Real pipelines re-deliver the same
+    * logical record with a DIFFERENT event time (client retry a minute
+    * later); plain `dropDuplicates(key)` (q64's machinery) dedups it
+    * only by keeping EVERY key's state forever — unbounded on an
+    * unbounded stream — while including the timestamp in the key fails
+    * to dedup at all (the copies differ). `dropDuplicatesWithinWatermark`
+    * is the streaming-correct middle: same-key rows arriving within the
+    * watermark delay dedup even though their event times differ, and a
+    * key's state drops once the watermark passes — bounded state, the
+    * only production-viable contract. The stream is the events source
+    * UNIONED with its own +1 min retransmission (closed-form synth);
+    * the output projects the columns identical across copies, so WHICH
+    * copy wins (arrival order — engine-internal) is invisible and the
+    * oracle is simply the original table.
+    */
+  val streamDedupWithinWatermark = Q(
+    "q203_stream_dedup_within_wm",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_dwm_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        val retransmit = src.withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+        val q = src.unionAll(retransmit)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "event_type", "value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    },
+    Some("SELECT event_id, event_type, value FROM events")
+  )
+
   /** q195 — EVENT-TIME TIMERS (`transformWithState` +
     * `TimeMode.EventTime`): gap-based sessions closed by the ENGINE's
     * callback when the watermark passes "last event + 15 min", not by
@@ -1179,5 +1288,6 @@ object EventWindows {
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
-      transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead)
+      transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
+      joinStateRead, streamDedupWithinWatermark)
 }

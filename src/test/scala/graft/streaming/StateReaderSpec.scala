@@ -48,6 +48,23 @@ class StateReaderSpec extends AnyFunSuite {
       "state partition count should match the scoped stream-partitions conf")
   }
 
+  test("q202: join checkpoint lists the four symmetric-hash-join stores") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("q202_join_state_read")(spark, TestSpark.Sf0001).collect()
+    val scratchRoot = new java.io.File(
+      graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, "x")).getParentFile
+    val chk = Option(scratchRoot.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("join_state_chk_"))
+      .maxBy(_.lastModified)
+    val stores = spark.read.format("state-metadata").load(chk.getAbsolutePath)
+      .where(col("operatorName") === "symmetricHashJoin")
+      .collect().map(_.getAs[String]("stateStoreName")).sorted
+    assert(stores.toSeq === Seq(
+      "left-keyToNumValues", "left-keyWithIndexToValue",
+      "right-keyToNumValues", "right-keyWithIndexToValue"),
+      s"unexpected join store layout: ${stores.toSeq}")
+  }
+
   test("q199: tws metadata declares the named state variable; state read = batch agg") {
     import org.apache.spark.sql.functions.col
     val state = SparkEntry.queries("q199_tws_state_read")(spark, TestSpark.Sf0001)
