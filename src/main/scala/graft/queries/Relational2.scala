@@ -1311,10 +1311,61 @@ object Relational2 {
             FROM fk JOIN dim USING (k) GROUP BY seg""")
   )
 
+  /** q204 — SQL UDFs (`CREATE FUNCTION … RETURN expr`, Spark 4): the
+    * extensibility tier BETWEEN built-ins and q20's Scala UDFs. A Scala
+    * UDF is a black box — Catalyst can't see through it, so codegen
+    * stops, null-propagation is manual, and nothing relocates through
+    * it; a SQL UDF is a NAMED, CATALOGED expression that the analyzer
+    * INLINES into the plan, so the optimizer treats it exactly like
+    * hand-written SQL (whole-stage codegen, constant folding, pushdown
+    * through it all still apply — `SqlUdfSpec` pins "no ScalaUDF node
+    * anywhere"). That makes it the right home for shared BUSINESS
+    * definitions — here the corpus's token-count and quality-score
+    * rules, declared once and reused by name in a grouped report (the
+    * rule-duplication q52/q86 solve with shared Scala fragments, solved
+    * at the SQL surface). Aggregates avoid cross-engine double-sum
+    * hazards by reporting order statistics (min/max) and a threshold
+    * count instead of a mean (dsum discipline by construction).
+    */
+  val sqlUdf = Q(
+    "q204_sql_udf",
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_udf")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION tok_count(text STRING)
+               RETURNS BIGINT RETURN size(split(text, ' '))""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION doc_quality(n_tokens BIGINT, stop_hits BIGINT)
+               RETURNS DOUBLE
+               RETURN CASE WHEN n_tokens < 20 THEN 0.0
+                           ELSE 1.0 - CAST(stop_hits AS DOUBLE) / n_tokens END""")
+      s.sql("""SELECT lang,
+                      count(*) AS n_docs,
+                      CAST(sum(CASE WHEN doc_quality(tok_count(text),
+                               size(filter(split(text, ' '), w -> w IN ('the', 'a')))) >= 0.7
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                      min(doc_quality(tok_count(text),
+                          size(filter(split(text, ' '), w -> w IN ('the', 'a'))))) AS min_q,
+                      max(doc_quality(tok_count(text),
+                          size(filter(split(text, ' '), w -> w IN ('the', 'a'))))) AS max_q
+               FROM docs_udf GROUP BY lang""")
+    },
+    Some("""WITH q AS (
+              SELECT lang,
+                     CASE WHEN len(string_split(text, ' ')) < 20 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                               w -> w IN ('the', 'a'))) AS DOUBLE)
+                                     / len(string_split(text, ' ')) END AS quality
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                   min(quality) AS min_q, max(quality) AS max_q
+            FROM q GROUP BY lang""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
-    collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin)
+    collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
+    sqlUdf)
 }
