@@ -994,6 +994,53 @@ object EventWindows {
                    (SELECT max(ts) - INTERVAL '1 hour' - INTERVAL '1 second' FROM events)""")
   )
 
+  /** q205 — NATIVE STREAMING SESSION WINDOWS: `session_window` under a
+    * watermark in append mode — the ENGINE-OWNED leg of the
+    * sessionization triangle (q36 batch native; q47 custom
+    * flatMapGroupsWithState; q195 custom timers; this one lets the
+    * streaming engine both MERGE the windows and EXPIRE the state).
+    * The state story differs from q195's in kind: session_window state
+    * is merging-window state the engine maintains (sessions merge when
+    * their [ts, ts+gap) extents overlap), evicted and EMITTED when the
+    * watermark passes a session's end — no user state machine at all.
+    * Emitted set = sessions the final watermark sealed; both sides
+    * apply q195's guarded closed predicate (`last + 15 min ≤ max(ts) −
+    * 1 h − 1 s`, spelled on the window: `window.end ≤ cutoff + gap`
+    * since end = last + gap), so the three session implementations and
+    * the one gaps-and-islands oracle must all agree row-for-row.
+    */
+  val streamSessionWindow = Q(
+    "q205_stream_session_window",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_sessw_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_last"),
+            count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_start"), col("session_last"),
+            col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 SECOND"))
+          .as("sealed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(col("session_last") + expr("INTERVAL 15 MINUTES") <= col("sealed_before"))
+        .select("user_id", "session_start", "session_last", "n", "sum_value")
+    },
+    sessionTimers.oracle // the native engine path ≡ the timer state machine
+  )
+
   /** q47 — the same sessionization as q36 through CUSTOM state:
     * `flatMapGroupsWithState` (graft.streaming.Sessionize) instead of the
     * built-in session_window — the escape hatch for session semantics the
@@ -1289,5 +1336,5 @@ object EventWindows {
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
-      joinStateRead, streamDedupWithinWatermark)
+      joinStateRead, streamDedupWithinWatermark, streamSessionWindow)
 }

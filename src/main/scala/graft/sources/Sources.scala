@@ -125,6 +125,44 @@ object Sources {
     Some("SELECT doc_id, lang, source, n_chars, text FROM documents")
   )
 
+  /** q206 — HIDDEN FILE-METADATA COLUMNS (`_metadata.file_path` /
+    * `row_index`): row-level LINEAGE without writing lineage. Every
+    * debugging session on a 100 TB lake eventually asks "which FILE did
+    * this bad row come from?", and the answer is a hidden struct the
+    * scan can attach to every row for free — no schema change, no
+    * bookkeeping column maintained at write time. The fixture writes a
+    * lang-partitioned store (q67's layout), reads it back selecting
+    * `_metadata`, and reports per-source-FILE row counts and row-index
+    * extents, keyed deterministically by the partition directory parsed
+    * out of the file path (file NAMES carry random task UUIDs — the
+    * path's partition segment is the stable part, which is exactly how
+    * an incident writeup names a bad shard). `row_index` is the row's
+    * ordinal INSIDE its file, so max(row_index) = file rows − 1 pins
+    * the column's semantics in the oracle (each lang = one task = one
+    * file here; a multi-file partition would group by file_path).
+    */
+  val fileMetadataLineage = Q(
+    "q206_file_metadata",
+    (s, d) => {
+      val out = leaf(d, "metadata_docs")
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1).as("shard"),
+          col("_metadata.row_index").as("row_index"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("row_index")) + 1).as("rows_by_index"),
+          min(col("row_index")).as("first_index"))
+    },
+    Some("""SELECT lang AS shard, count(*) AS n_rows,
+                   count(*) AS rows_by_index,
+                   CAST(0 AS BIGINT) AS first_index
+            FROM documents GROUP BY lang""")
+  )
+
   /** q67 — Hive-style PARTITIONED write + partition-PRUNED read: the
     * documents table written `partitionBy("lang")`, read back with a
     * lang predicate. At 100 TB partition layout is the first line of
@@ -1129,5 +1167,5 @@ object Sources {
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
-      dynamicPartitionOverwrite, xmlRoundTrip)
+      dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage)
 }
