@@ -1361,11 +1361,96 @@ object Relational2 {
             FROM q GROUP BY lang""")
   )
 
+  /** q207 — MAP higher-order functions (`map_from_entries` /
+    * `map_zip_with` / `map_filter` / `map_entries`): the per-entity
+    * feature-map shape every ML pipeline carries (user → {event_type →
+    * stats}) manipulated WITHOUT exploding back to rows — at 100 TB an
+    * explode-transform-reaggregate of a map column pays two extra
+    * shuffles; the map HOFs run inside the row, inside codegen. Per
+    * user: counts and exact cents are zipped into one map
+    * (`map_zip_with`), thinned to the "busy" types (`map_filter` —
+    * entries with n ≥ 2), and serialized by SORTED key for comparison
+    * (map iteration order is engine-internal — LIST/ARRAY gotcha
+    * applied to maps: `array_sort(map_entries(…))` then join, and the
+    * serialized values are all integers, never doubles, so cross-engine
+    * number formatting can't drift). DuckDB has no map_zip_with — the
+    * oracle derives the same strings from the grouped relation
+    * directly, which is the point: the HOFs must equal the relational
+    * ground truth. Empty maps serialize as '' on both sides (FILTER +
+    * coalesce), keeping every user present.
+    */
+  val mapFunctions = Q(
+    "q207_map_functions",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      g.groupBy("user_id")
+        .agg(
+          map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m_n"),
+          map_from_entries(collect_list(struct(col("event_type"), col("cents")))).as("m_c"))
+        .select(col("user_id"), expr(
+          """array_join(
+               transform(
+                 array_sort(map_entries(
+                   map_filter(
+                     map_zip_with(m_n, m_c, (k, n, c) -> concat(n, '/', c)),
+                     (k, v) -> CAST(split(v, '/')[0] AS BIGINT) >= 2))),
+                 e -> concat(e.key, '=', e.value)), ',')""").as("busy_types"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_type, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id,
+                   coalesce(string_agg(event_type || '=' || n || '/' || cents, ','
+                                       ORDER BY event_type)
+                            FILTER (WHERE n >= 2), '') AS busy_types
+            FROM g GROUP BY user_id""")
+  )
+
+  /** q209 — JOIN-STRATEGY HINTS: the optimizer override surface
+    * (the BROADCAST / MERGE / SHUFFLE_HASH hint comments), run as one query
+    * executing the SAME dimension join under all three strategies and
+    * proving they agree. Hints matter at 100 TB precisely because the
+    * optimizer's size estimates sometimes don't: a dim that statistics
+    * call "big" (post-filter it isn't) misses its broadcast; a build
+    * side that stats call "small" (skewed it isn't) OOMs a hash join —
+    * the hint is the operator's manual override, and the CONTRACT is
+    * that it changes the plan, never the rows. Each leg aggregates its
+    * join result (strategy, rows, exact revenue) so the union is
+    * 3 rows; the oracle computes one plain join and replicates it per
+    * strategy label. `JoinHintSpec` pins each hint to its physical
+    * operator (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin).
+    */
+  val joinHints = Q(
+    "q209_join_hints",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_h")
+      Tables.customer(s, d).createOrReplaceTempView("customer_h")
+      def leg(hint: String) =
+        s.sql(s"""SELECT /*+ $hint(c) */ '$hint' AS strategy,
+                         count(*) AS n_orders,
+                         ${Q.sqlSum2("o.o_totalprice")} AS revenue
+                  FROM orders_h o JOIN customer_h c ON o.o_custkey = c.c_custkey
+                  WHERE c.c_mktsegment = 'BUILDING'""")
+      leg("BROADCAST").unionAll(leg("MERGE")).unionAll(leg("SHUFFLE_HASH"))
+    },
+    Some(s"""WITH j AS (
+               SELECT count(*) AS n_orders, ${Q.sqlSum2("o.o_totalprice")} AS revenue
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = 'BUILDING')
+             SELECT 'BROADCAST' AS strategy, n_orders, revenue FROM j
+             UNION ALL SELECT 'MERGE', n_orders, revenue FROM j
+             UNION ALL SELECT 'SHUFFLE_HASH', n_orders, revenue FROM j""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
-    sqlUdf)
+    sqlUdf, mapFunctions, joinHints)
 }

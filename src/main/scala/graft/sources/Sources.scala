@@ -163,6 +163,42 @@ object Sources {
             FROM documents GROUP BY lang""")
   )
 
+  /** q208 — PARQUET COMPRESSION-CODEC MATRIX: the same documents slice
+    * written under five codecs (zstd / snappy / gzip / lz4 /
+    * uncompressed) and read back with an IN-QUERY exactness audit — at
+    * 100 TB the codec choice is a first-order cost knob (zstd routinely
+    * halves snappy's footprint at comparable scan speed; storage bills
+    * and shuffle/network both scale with it), and the non-negotiable
+    * contract this query pins is that the knob is INVISIBLE to readers:
+    * every codec round-trips byte-exactly (checked per codec via an
+    * anti-join row diff folded into a boolean column the oracle expects
+    * TRUE — the q172/q173 in-query-audit discipline). `CodecSpec`
+    * additionally orders the on-disk footprints (compressed beats
+    * uncompressed; the codecs really engaged) — file bytes are
+    * layout-dependent, so sizes stay OUT of the oracle-checked output.
+    */
+  val codecMatrix = Q(
+    "q208_parquet_codecs",
+    (s, d) => {
+      val src = Tables.documents(s, d).select("doc_id", "lang", "text")
+      Seq("zstd", "snappy", "gzip", "lz4", "uncompressed").map { codec =>
+        val out = leaf(d, s"codec_$codec")
+        src.write.mode(SaveMode.Overwrite)
+          .option("compression", codec).parquet(out)
+        val back = s.read.schema(src.schema).parquet(out)
+        val diffs = src.exceptAll(back).unionAll(back.exceptAll(src))
+          .agg(count(lit(1)).as("n_diff"))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diffs)
+          .select(lit(codec).as("codec"), col("n_rows"),
+            (col("n_diff") === 0L).as("exact_roundtrip"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""SELECT codec, (SELECT count(*) FROM documents) AS n_rows,
+                   TRUE AS exact_roundtrip
+            FROM (SELECT unnest(['zstd', 'snappy', 'gzip', 'lz4', 'uncompressed']) AS codec)""")
+  )
+
   /** q67 — Hive-style PARTITIONED write + partition-PRUNED read: the
     * documents table written `partitionBy("lang")`, read back with a
     * lang predicate. At 100 TB partition layout is the first line of
@@ -1167,5 +1203,5 @@ object Sources {
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
-      dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage)
+      dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix)
 }
