@@ -1446,11 +1446,99 @@ object Relational2 {
              UNION ALL SELECT 'SHUFFLE_HASH', n_orders, revenue FROM j""")
   )
 
+  /** q210 — CALENDAR WINDOWS: monthly rollups via `date_trunc`, the
+    * bucketing `window()` structurally cannot do — fixed-duration
+    * windows don't know February from July, and a "30-day month"
+    * mis-buckets every month boundary thereafter. Reporting pipelines
+    * are calendar-first (bills, SLAs, dashboards all cut at month
+    * boundaries), so the engine must bucket by the calendar and
+    * normalize by TRUE month length (`last_day` — 28/29/30/31), which
+    * is also the classic subtle bug this query pins: a per-day rate
+    * computed with /30 instead of the real length misstates February
+    * by 7 %. Division order is identical on both engines (exact decimal
+    * revenue cast to double, divided by the true day count), so the
+    * rate column is bit-exact. One map-side-combined aggregation —
+    * calendar bucketing changes the key function, not the plan.
+    */
+  val calendarWindows = Q(
+    "q210_calendar_windows",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("revenue"))
+        .select(col("month"),
+          dayofmonth(last_day(col("month"))).cast("long").as("days_in_month"),
+          col("n_orders"), col("revenue"),
+          (col("revenue") / dayofmonth(last_day(col("month"))).cast("double"))
+            .as("revenue_per_day")),
+    Some(s"""WITH m AS (
+               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                      count(*) AS n_orders,
+                      ${sqlSum2("o_totalprice")} AS revenue
+               FROM orders GROUP BY 1)
+             SELECT month,
+                    CAST(date_part('day', last_day(month)) AS BIGINT) AS days_in_month,
+                    n_orders, revenue,
+                    revenue / CAST(date_part('day', last_day(month)) AS DOUBLE)
+                      AS revenue_per_day
+             FROM m""")
+  )
+
+  /** q211 — CACHED RELATION REUSE (`persist` / `unpersist`): one
+    * filtered dimension pinned in executor storage and consumed by TWO
+    * report cuts — the BI-layer shape where a dashboard's dozen queries
+    * share the same hot dim and re-deriving it per query re-pays the
+    * scan+filter each time; `persist` trades memory for that repeat
+    * work (and `CacheSpec` pins that the second consumer really reads
+    * `InMemoryTableScan`, not the parquet). The discipline this query
+    * also demonstrates is the LIFECYCLE: the cache is released in the
+    * same scope that took it (the round-9 ADVICE class — an
+    * unpersisted cache is a storage-memory leak across a 200-query
+    * bench), which forces the bounded result collect before unpersist
+    * (two aggregates over ≤ 30 group rows — metadata-plane, the q172
+    * collect class). Caching must be invisible to results: closed-form
+    * oracle over the same two cuts.
+    */
+  val cachedDim = Q(
+    "q211_cached_dim",
+    (s, d) => {
+      import s.implicits._
+      val dim = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_nationkey")
+        .persist()
+      try {
+        val joined = Tables.orders(s, d)
+          .join(dim, col("o_custkey") === col("c_custkey"))
+        def cut(tag: String, key: org.apache.spark.sql.Column) =
+          joined.groupBy(key.as("key"))
+            .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("revenue"))
+            .select(lit(tag).as("cut"), col("key"), col("n_orders"), col("revenue"))
+        val rows = cut("by_nation", col("c_nationkey").cast("string"))
+          .unionAll(cut("by_priority", col("o_orderpriority")))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        rows.toSeq.toDF("cut", "key", "n_orders", "revenue")
+      } finally { dim.unpersist(); () }
+    },
+    Some(s"""WITH j AS (
+               SELECT o.o_totalprice, o.o_orderpriority, c.c_nationkey
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = 'BUILDING')
+             SELECT 'by_nation' AS cut, CAST(c_nationkey AS VARCHAR) AS key,
+                    count(*) AS n_orders, ${sqlSum2("o_totalprice")} AS revenue
+             FROM j GROUP BY 2
+             UNION ALL
+             SELECT 'by_priority', o_orderpriority,
+                    count(*), ${sqlSum2("o_totalprice")}
+             FROM j GROUP BY 2""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
-    sqlUdf, mapFunctions, joinHints)
+    sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim)
 }
