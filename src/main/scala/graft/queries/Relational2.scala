@@ -1534,11 +1534,57 @@ object Relational2 {
              FROM j GROUP BY 2""")
   )
 
+  /** q212 — ORDERED-SET AGGREGATES (`WITHIN GROUP`): `percentile_disc`
+    * and `listagg`, the two SQL:2016 ordered-set shapes Spark gained in
+    * 4.0. `percentile_disc` returns an ACTUAL data value (smallest
+    * value whose cume_dist ≥ p) where q40's percentile_cont
+    * interpolates — the difference that matters when the column is a
+    * latency you want to point at a real request, or a categorical
+    * code where interpolation is meaningless. DuckDB's quantile_disc
+    * uses a different index formula (floor((n−1)·p) — diverges from
+    * the SQL-standard definition whenever n·p lands between the two),
+    * so the oracle REPLAYS the standard definition literally: min
+    * value with cume_dist ≥ p via a window + FILTER — the engine
+    * feature checked against its own spec text, not another engine's
+    * reading of it. `listagg DISTINCT … WITHIN GROUP` rosters each
+    * type's active users-per-day list deterministically (explicit
+    * order, distinct, bounded group). One shuffle each, map-side
+    * partials for the percentiles.
+    */
+  val orderedSetAggs = Q(
+    "q212_ordered_set_aggs",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_osa")
+      s.sql("""SELECT event_type,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+                      percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc,
+                      listagg(DISTINCT CAST(user_id % 7 AS STRING), ',')
+                        WITHIN GROUP (ORDER BY CAST(user_id % 7 AS STRING)) AS cohort_roster
+               FROM events_osa GROUP BY event_type""")
+    },
+    Some("""WITH r AS (
+              SELECT event_type, value,
+                     cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+              FROM events),
+            p AS (
+              SELECT event_type,
+                     min(value) FILTER (WHERE cd >= 0.5) AS p50_disc,
+                     min(value) FILTER (WHERE cd >= 0.9) AS p90_disc
+              FROM r GROUP BY event_type),
+            l AS (
+              SELECT event_type,
+                     string_agg(DISTINCT CAST(user_id % 7 AS VARCHAR), ','
+                                ORDER BY CAST(user_id % 7 AS VARCHAR)) AS cohort_roster
+              FROM events GROUP BY event_type)
+            SELECT p.event_type, p.p50_disc, p.p90_disc, l.cohort_roster
+            FROM p JOIN l USING (event_type)""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
-    sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim)
+    sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs)
 }
