@@ -1580,11 +1580,285 @@ object Relational2 {
             FROM p JOIN l USING (event_type)""")
   )
 
+  /** q213 — LINEAR-REGRESSION AGGREGATES (`regr_slope` / `regr_intercept` /
+    * `regr_r2` / `regr_count` / `regr_avgx` / `regr_avgy`): the SQL:2003
+    * bivariate family, fitting a per-group least-squares trend in ONE
+    * aggregation pass — the 100 TB shape for "is this metric drifting per
+    * segment" where collecting points to a driver-side fitter is a
+    * non-starter and a window-based fit would force a per-group sort.
+    * All six are algebraic (sums of x, y, x², xy) so Spark computes them
+    * with map-side partials and a single shuffle on the group key —
+    * exactly q53's stats-agg plan shape. x is an exact integer day offset
+    * (`datediff` from a pinned epoch, cast to double) so both engines
+    * regress over bit-identical inputs; the one-pass moment algorithms
+    * still differ (Welford vs sum-of-squares), so outputs are rounded
+    * (slope/r2/avg to 6, intercept to 4 — its magnitude is the y scale,
+    * the q53 discipline scaled per column). `regr_count` pins the
+    * pair-exclusion rule (rows where either side is NULL drop out).
+    */
+  val regrTrend = Q(
+    "q213_regr_trend",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_regr")
+      s.sql("""WITH e AS (SELECT event_type, value,
+                            CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS DOUBLE) AS x
+                          FROM events_regr)
+               SELECT event_type,
+                      round(regr_slope(value, x), 6) AS slope,
+                      round(regr_intercept(value, x), 4) AS icept,
+                      round(regr_r2(value, x), 6) AS r2,
+                      regr_count(value, x) AS n,
+                      round(regr_avgx(value, x), 6) AS avgx,
+                      round(regr_avgy(value, x), 6) AS avgy
+               FROM e GROUP BY event_type""")
+    },
+    Some("""WITH e AS (SELECT event_type, value,
+                         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+                       FROM events)
+            SELECT event_type,
+                   round(regr_slope(value, x), 6) AS slope,
+                   round(regr_intercept(value, x), 4) AS icept,
+                   round(regr_r2(value, x), 6) AS r2,
+                   CAST(regr_count(value, x) AS BIGINT) AS n,
+                   round(regr_avgx(value, x), 6) AS avgx,
+                   round(regr_avgy(value, x), 6) AS avgy
+            FROM e GROUP BY event_type""")
+  )
+
+  /** q214 — DISTRIBUTION-DRIFT AUDIT (population stability index): the
+    * dataset-versioning gate a training pipeline runs before accepting a
+    * new crawl slice — histogram the metric in the incumbent window and
+    * the candidate window under ONE shared binning, then score the shift
+    * as PSI = Σ (pₐ−p_b)·ln(pₐ/p_b). Binning is explicit integer floor
+    * arithmetic with literal constants (not `width_bucket`, whose
+    * lo/hi/step float internals the two engines may associate
+    * differently) so bucket membership is bit-exact on both sides; the
+    * ε-smoothed shares ((n+0.5)/(N+0.5·k), Laplace) keep empty-on-one-
+    * side buckets finite — the production guard, since a brand-new value
+    * range appearing only in the candidate is exactly what PSI must
+    * flag, not NaN on. Two shuffles total: one groupBy over the derived
+    * bucket (map-side combined), one 10-row window for the total — the
+    * per-row pass never materializes more than k = 10 bucket rows, so
+    * the same query audits a 100 TB slice with the heavy lifting in the
+    * first aggregate. The empty-OVER() single-partition window is over
+    * those 10 rows only (metadata-plane, the q172 class).
+    */
+  val psiDrift = Q(
+    "q214_psi_drift",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_psi")
+      s.sql("""WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                      THEN 'a' ELSE 'b' END AS half,
+                                 CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket
+                          FROM events_psi),
+               c AS (SELECT bucket,
+                            count(*) FILTER (WHERE half = 'a') AS na,
+                            count(*) FILTER (WHERE half = 'b') AS nb
+                     FROM b GROUP BY bucket),
+               t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
+               s AS (SELECT bucket, na, nb,
+                            (na + 0.5) / (ta + 0.5 * nbuckets) AS pa,
+                            (nb + 0.5) / (tb + 0.5 * nbuckets) AS pb
+                     FROM c CROSS JOIN t)
+               SELECT bucket, na, nb,
+                      round((pa - pb) * ln(pa / pb), 6) AS contrib,
+                      round(sum((pa - pb) * ln(pa / pb)) OVER (), 6) AS psi_total
+               FROM s""")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                   THEN 'a' ELSE 'b' END AS half,
+                              CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket
+                       FROM events),
+            c AS (SELECT bucket,
+                         count(*) FILTER (WHERE half = 'a') AS na,
+                         count(*) FILTER (WHERE half = 'b') AS nb
+                  FROM b GROUP BY bucket),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
+            s AS (SELECT bucket, na, nb,
+                         (na + 0.5) / (ta + 0.5 * nbuckets) AS pa,
+                         (nb + 0.5) / (tb + 0.5 * nbuckets) AS pb
+                  FROM c CROSS JOIN t)
+            SELECT bucket, na, nb,
+                   round((pa - pb) * ln(pa / pb), 6) AS contrib,
+                   round(sum((pa - pb) * ln(pa / pb)) OVER (), 6) AS psi_total
+            FROM s""")
+  )
+
+  /** q215 — 2-D SKYLINE (Pareto front): parts no other part beats on
+    * BOTH price and size — the multi-objective shortlist shape (cheapest
+    * tradeoff curve, best quality-vs-cost corpus slice). The naive
+    * formulation is an O(n²) dominance anti-join — the oracle runs
+    * exactly that (NOT EXISTS) as ground truth — but the engine plan is
+    * the O(n log n) sort-based algorithm: collapse to per-price minimum
+    * size (one map-side-combined groupBy — the only pass over the full
+    * data), then a running strict-prefix minimum over the DISTINCT-price
+    * table ordered by price (rows frame ending at -1 = strictly
+    * cheaper, since each row is a distinct price), and a part survives
+    * iff it holds its price group's min size AND that min undercuts
+    * every cheaper group's. Same-price-same-size duplicates all survive
+    * (dominance requires a strict edge), which the `=` on group-min
+    * preserves. The single-partition window runs over distinct prices
+    * only — cardinality ≪ rows at 100 TB (and the sort could be
+    * range-partitioned with a carried-prefix pass, the q98 two-phase
+    * discipline, if the price domain itself ever got huge). Join back
+    * is on the exact double read from parquet — both sides the same
+    * column, so equality is bit-safe.
+    */
+  val skyline = Q(
+    "q215_skyline",
+    (s, d) => {
+      val part = Tables.part(s, d)
+      val pg = part.groupBy("p_retailprice").agg(min(col("p_size")).as("min_size"))
+      val w = Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pm = pg.withColumn("prev_min", min(col("min_size")).over(w))
+      part.join(pm, "p_retailprice")
+        .where(col("p_size") === col("min_size") &&
+          (col("prev_min").isNull || col("min_size") < col("prev_min")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    },
+    Some("""SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+                AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""")
+  )
+
+  /** q216 — BITWISE AGGREGATES (`bit_or` / `bit_and` / `bit_xor`): the
+    * bitmask-rollup shape — per-row capability flags folded to a
+    * per-group mask in one pass. `bit_or` is the "any row set this bit"
+    * union (which user cohorts ever touched this event type), `bit_and`
+    * the "every row agrees" intersection (seeded with a constant base
+    * mask so the invariant bits survive), `bit_xor` the parity
+    * fingerprint (the content-audit trick: XOR of per-row hashes detects
+    * a changed row without ordering). All three are commutative +
+    * associative, so they combine map-side and shuffle 8 bytes per
+    * group — the cheapest possible 100 TB rollup, and the reason flag
+    * sets beat exploded boolean columns at scale. Shift derives the
+    * bit position from data (`1 << user_id % 7`); both engines compute
+    * it in exact integer arithmetic, cast BIGINT to pin one output type.
+    */
+  val bitMasks = Q(
+    "q216_bit_masks",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_bits")
+      s.sql("""SELECT event_type,
+                      CAST(bit_or(shiftleft(1, CAST(user_id % 7 AS INT))) AS BIGINT) AS mask_any,
+                      CAST(bit_and(3 | shiftleft(1, CAST(user_id % 7 AS INT))) AS BIGINT) AS mask_all,
+                      CAST(bit_xor(shiftleft(1, CAST(user_id % 7 AS INT))) AS BIGINT) AS mask_parity
+               FROM events_bits GROUP BY event_type""")
+    },
+    Some("""SELECT event_type,
+                   CAST(bit_or(1 << CAST(user_id % 7 AS INT)) AS BIGINT) AS mask_any,
+                   CAST(bit_and(3 | (1 << CAST(user_id % 7 AS INT))) AS BIGINT) AS mask_all,
+                   CAST(bit_xor(1 << CAST(user_id % 7 AS INT)) AS BIGINT) AS mask_parity
+            FROM events GROUP BY event_type""")
+  )
+
+  /** q217 — DETERMINISTIC MODE: the most frequent value per group —
+    * the categorical summary statistic (dominant quantity per return
+    * class, dominant event type per user cohort) that percentiles
+    * can't express. Spark's `mode(expr, true)` pins tie-breaking to the
+    * LOWEST value among equally-frequent candidates — without that flag
+    * the result is whichever candidate the merge order surfaces, i.e.
+    * nondeterministic across partitionings, unacceptable in a verified
+    * pipeline. DuckDB's `mode` documents no tie rule, so the oracle
+    * replays the deterministic definition relationally: count per
+    * (group, value), keep the max count, take the MIN value among the
+    * argmax set — the engine feature checked against its spec, not
+    * another engine's tie-break accident (the q212 discipline). Mode is
+    * holistic (needs the full per-group value histogram), so the plan is
+    * a two-level aggregate — count by (group, value) with map-side
+    * combine, then argmax per group — never a per-group sort.
+    */
+  val modeAgg = Q(
+    "q217_mode",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_mode")
+      Tables.events(s, d).createOrReplaceTempView("events_mode")
+      s.sql("""SELECT 'qty_by_flag' AS family, l_returnflag AS grp,
+                      CAST(mode(l_quantity, true) AS STRING) AS mode_val
+               FROM lineitem_mode GROUP BY l_returnflag
+               UNION ALL
+               SELECT 'type_by_cohort', CAST(user_id % 10 AS STRING),
+                      mode(event_type, true)
+               FROM events_mode GROUP BY user_id % 10""")
+    },
+    Some("""WITH c1 AS (SELECT l_returnflag AS grp, l_quantity AS v, count(*) AS n
+                        FROM lineitem GROUP BY 1, 2),
+            r1 AS (SELECT grp, v, n, max(n) OVER (PARTITION BY grp) AS mx FROM c1),
+            m1 AS (SELECT grp, min(v) AS mode_v FROM r1 WHERE n = mx GROUP BY grp),
+            c2 AS (SELECT CAST(user_id % 10 AS VARCHAR) AS grp, event_type AS v,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+            r2 AS (SELECT grp, v, n, max(n) OVER (PARTITION BY grp) AS mx FROM c2),
+            m2 AS (SELECT grp, min(v) AS mode_v FROM r2 WHERE n = mx GROUP BY grp)
+            SELECT 'qty_by_flag' AS family, grp, CAST(mode_v AS VARCHAR) AS mode_val FROM m1
+            UNION ALL
+            SELECT 'type_by_cohort', grp, mode_v FROM m2""")
+  )
+
+  /** q218 — GRID-BUCKETED RADIUS JOIN: all (customer, supplier) pairs
+    * within euclidean distance r in a derived 2-D coordinate space —
+    * the spatial-join shape (geo proximity, embedding-2D UMAP
+    * neighborhoods) whose naive form is the O(n·m) cross join the
+    * oracle runs as ground truth. The engine plan is the classic grid
+    * decomposition: cell side = r, so any pair within r lands in the
+    * same or an adjacent cell — replicate the SMALL side into its 3×3
+    * neighborhood (9 rows each, the bounded dual of exploding the big
+    * side), broadcast it, and equi-join on the cell key; only
+    * co-cell candidates pay the exact distance test. Each customer
+    * lives in exactly ONE cell and the 9 replicas carry distinct cell
+    * keys, so no pair can match twice — no dedup pass. Coordinates and
+    * the distance test are exact integer arithmetic (dist² ≤ r², no
+    * sqrt), so the boundary is bit-exact on both engines. At 100 TB the
+    * cross join is impossible and this plan is O(n · local density)
+    * with zero shuffle on the big side (broadcast hash join —
+    * `PlanSpec`-gated).
+    */
+  val gridRadiusJoin = Q(
+    "q218_grid_radius_join",
+    (s, d) => {
+      val r2 = 1600L // r = 40, cell side = 40
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey"),
+        (col("c_custkey") * 37 % 1000).as("cx"),
+        (col("c_custkey") * 91 % 1000).as("cy"))
+        .withColumn("cellx", expr("CAST(cx AS BIGINT) div 40"))
+        .withColumn("celly", expr("CAST(cy AS BIGINT) div 40"))
+      val supp = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 53 % 1000).as("sx"),
+        (col("s_suppkey") * 17 % 1000).as("sy"))
+        .withColumn("off", explode(expr(
+          "array(-1L, 0L, 1L)")))
+        .withColumn("offy", explode(expr("array(-1L, 0L, 1L)")))
+        .withColumn("cellx", expr("CAST(sx AS BIGINT) div 40") + col("off"))
+        .withColumn("celly", expr("CAST(sy AS BIGINT) div 40") + col("offy"))
+        .drop("off", "offy")
+      cust.join(broadcast(supp), Seq("cellx", "celly"))
+        .withColumn("dist2",
+          (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+            (col("cy") - col("sy")) * (col("cy") - col("sy")))
+        .where(col("dist2") <= r2)
+        .select("c_custkey", "s_suppkey", "dist2")
+    },
+    Some("""SELECT c_custkey, s_suppkey,
+                   (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+            FROM (SELECT c_custkey, c_custkey * 37 % 1000 AS cx,
+                         c_custkey * 91 % 1000 AS cy FROM customer),
+                 (SELECT s_suppkey, s_suppkey * 53 % 1000 AS sx,
+                         s_suppkey * 17 % 1000 AS sy FROM supplier)
+            WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 1600""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
-    sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs)
+    sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
+    regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin)
 }

@@ -414,6 +414,30 @@ class PlanSpec extends AnyFunSuite {
       "string JSON re-parse crept into the variant path")
   }
 
+  test("q213/q216: regression and bitmask aggregates combine map-side (partial)") {
+    // both families are algebraic — the shuffle must carry per-group
+    // moments / masks, never rows
+    for (q <- Seq("q213_regr_trend", "q216_bit_masks")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
+        s"$q lost its two-phase aggregate: ${p.take(1200)}")
+    }
+  }
+
+  test("q215: skyline is the sort-based plan — window over distinct prices, no n² join") {
+    val p = plan("q215_skyline")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"skyline regressed to a dominance product: ${p.take(1200)}")
+  }
+
+  test("q218: grid radius join broadcasts the replicated small side (no big-side shuffle)") {
+    val p = plan("q218_grid_radius_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"radius join shuffled the big side: ${p.take(1500)}")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
