@@ -1199,9 +1199,61 @@ object Sources {
             UNION ALL SELECT 'ins', 1, 1, 'live', ci FROM c""")
   )
 
+  /** q219 — BUCKETED TABLE WRITE + BUCKET-PRUNED POINT READ: the third
+    * leg of the data-skipping family (q67 partition pruning by a LOW-
+    * cardinality column, q169/q183 file-stat skipping by sort order /
+    * membership) — hash-bucketing handles the HIGH-cardinality key that
+    * partitioning can't (a dir per customer would be millions of tiny
+    * dirs) and does double duty as a persisted physical DISTRIBUTION.
+    * `bucketBy(8, o_custkey)` + `saveAsTable` records the layout in the
+    * catalog; an equality/IN read on the bucket column then opens ONLY
+    * the buckets the needles hash to (`SelectedBucketsCount: k out of 8`
+    * in the scan — `BucketSpec`-gated), and a groupBy on the bucket key
+    * consumes the write-time hash distribution with ZERO exchange (also
+    * gated): at 100 TB that is the difference between a full shuffle per
+    * aggregation and none, amortized over every consumer of the table —
+    * the same economics as q92's co-located join, here persisted in the
+    * catalog instead of re-derived per query. The store is written once
+    * per (JVM, sf dir) into per-JVM scratch and registered under a
+    * dir-keyed table name (the `leaf` contract); re-registration is
+    * guarded by a catalog lookup, so Bench's repeated passes read, not
+    * rewrite. Needle keys exist at every sf (low custkeys are dense).
+    */
+  private[graft] val BucketNeedles = Seq(7L, 42L)
+
+  private[graft] def bucketStore(s: SparkSession, d: String): String = {
+    val tbl = "orders_bucketed_" + java.lang.Integer.toHexString(d.hashCode)
+    if (!s.catalog.tableExists(tbl)) {
+      Tables.orders(s, d)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", leaf(d, "orders_bucketed"))
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  val bucketPrunedRead = Q(
+    "q219_bucket_pruned_read",
+    (s, d) => {
+      val tbl = bucketStore(s, d)
+      s.table(tbl)
+        .where(col("o_custkey").isin(BucketNeedles: _*))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.dsum2(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""SELECT o_custkey, count(*) AS n_orders,
+                    ${Q.sqlSum2("o_totalprice")} AS revenue
+             FROM orders
+             WHERE o_custkey IN (${BucketNeedles.mkString(", ")})
+             GROUP BY o_custkey""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
-      dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix)
+      dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
+      bucketPrunedRead)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** q219 contract — bucketing must actually BUY both of its promises at
+  * read time, not just write 8 files:
+  *   (a) bucket pruning: the IN-needle scan opens only the buckets the
+  *       needles hash to (`SelectedBucketsCount: k out of 8`, k ≤ 2 —
+  *       the plain-parquet counterfactual has no such line);
+  *   (b) distribution reuse: a groupBy on the bucket column consumes the
+  *       write-time hash layout with ZERO exchange in the executed plan
+  *       — the persisted-shuffle economics that justify the layout;
+  *   (c) correctness independence: the bucketed read equals the plain
+  *       parquet filter row-for-row.
+  */
+class BucketSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  private lazy val df = SparkEntry.queries("q219_bucket_pruned_read")(spark, d)
+  private lazy val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+
+  test("q219: scan reads only the needle buckets") {
+    val sel = plan.linesIterator.find(_.contains("SelectedBucketsCount"))
+    assert(sel.isDefined, s"no bucket pruning in plan: ${plan.take(1500)}")
+    val k = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(sel.get).map(_.group(1).toInt)
+    assert(k.exists(n => n >= 1 && n <= 2), s"expected <=2 of 8 buckets: ${sel.get}")
+  }
+
+  test("q219: groupBy on the bucket key plans zero exchanges") {
+    assert(!plan.contains("Exchange"),
+      s"bucketed distribution not reused: ${plan.take(1500)}")
+  }
+
+  test("q219: plain parquet counterfactual has no bucket pruning, same rows") {
+    val flat = Tables.orders(spark, d)
+      .where(col("o_custkey").isin(sources.Sources.BucketNeedles: _*))
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        Q.dsum2(col("o_totalprice")).as("revenue"))
+    assert(!flat.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"))
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+  }
+}
