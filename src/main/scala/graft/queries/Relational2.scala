@@ -1853,6 +1853,87 @@ object Relational2 {
             WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 1600""")
   )
 
+  /** q221 — GROUPING / GROUPING_ID disambiguation: the rollup-consumer
+    * correctness detail q13/q38 leave open — in a rollup result, a NULL
+    * group column is ambiguous between "this row is a subtotal" and
+    * "the data value itself was NULL", and any dashboard that renders
+    * subtotal rows by `IS NULL` silently merges the two. `grouping(col)`
+    * (1 = aggregated-away) and `grouping_id(...)` (the bit vector over
+    * all rollup columns) are the engine's disambiguators; here the
+    * orderstatus column is REWRITTEN to carry a genuine data NULL
+    * ('P' → NULL on both sides) so the fixture contains both kinds of
+    * NULL in one result and only grouping() separates them. The labeled
+    * projection (`total` / `subtotal` / `detail`) is what a consumer
+    * actually branches on. Same one-pass expanded aggregate as q13 —
+    * grouping flags are free metadata riding the rollup, no extra pass.
+    */
+  val groupingIdQ = Q(
+    "q221_grouping_id",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gid")
+      s.sql("""WITH o AS (SELECT o_orderpriority,
+                            CASE WHEN o_orderstatus = 'P' THEN NULL
+                                 ELSE o_orderstatus END AS status
+                          FROM orders_gid)
+               SELECT o_orderpriority, status,
+                      CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                      CAST(grouping(status) AS BIGINT) AS g_status,
+                      CAST(grouping_id(o_orderpriority, status) AS BIGINT) AS gid,
+                      CASE WHEN grouping_id(o_orderpriority, status) = 3 THEN 'total'
+                           WHEN grouping(status) = 1 THEN 'subtotal'
+                           ELSE 'detail' END AS row_kind,
+                      count(*) AS n
+               FROM o GROUP BY ROLLUP(o_orderpriority, status)""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority,
+                         CASE WHEN o_orderstatus = 'P' THEN NULL
+                              ELSE o_orderstatus END AS status
+                       FROM orders)
+            SELECT o_orderpriority, status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                   CAST(grouping(status) AS BIGINT) AS g_status,
+                   CAST(grouping_id(o_orderpriority, status) AS BIGINT) AS gid,
+                   CASE WHEN grouping_id(o_orderpriority, status) = 3 THEN 'total'
+                        WHEN grouping(status) = 1 THEN 'subtotal'
+                        ELSE 'detail' END AS row_kind,
+                   count(*) AS n
+            FROM o GROUP BY ROLLUP(o_orderpriority, status)""")
+  )
+
+  /** q222 — ARGMAX AGGREGATES (`max_by` / `min_by`): "which row holds
+    * the extreme", the lookup q89's struct-min keeper idiom expresses
+    * manually — here as the first-class aggregate, one pass, map-side
+    * combined, no window and no self-join back (the two shapes this
+    * replaces, both of which re-shuffle or re-scan at 100 TB). The
+    * ordering key is deliberately a STRUCT with the row key as
+    * tie-breaker: bare `max_by(k, price)` is nondeterministic whenever
+    * two rows tie on price — the same merge-order trap q217's mode flag
+    * exists for — and struct comparison is lexicographic in BOTH
+    * engines (the q89 portability fact), so `max_by(k, (price, k))`
+    * pins a unique winner. DuckDB's `arg_max` doesn't take struct
+    * ordering keys, so the oracle replays the definition through the
+    * portable struct-extremum (q89's `max(struct_pack(...))` fact) and
+    * extracts the key field — the same deterministic winner.
+    */
+  val argmaxAgg = Q(
+    "q222_argmax",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_argmax")
+      s.sql("""SELECT o_orderpriority,
+                      max_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS top_order,
+                      min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS bottom_order,
+                      max(o_totalprice) AS top_price
+               FROM orders_argmax GROUP BY o_orderpriority""")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority,
+                         max(struct_pack(p := o_totalprice, k := o_orderkey)) AS mx,
+                         min(struct_pack(p := o_totalprice, k := o_orderkey)) AS mn,
+                         max(o_totalprice) AS top_price
+                       FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, mx.k AS top_order, mn.k AS bottom_order, top_price
+            FROM m""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -1860,5 +1941,6 @@ object Relational2 {
     madOutliers, quarantine, quarantineCsv, scd2, variantExtract, variantShred,
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
-    regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin)
+    regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
+    groupingIdQ, argmaxAgg)
 }

@@ -1250,10 +1250,64 @@ object Sources {
              GROUP BY o_custkey""")
   )
 
+  /** q220 — SORT-MERGE-BUCKET JOIN (two co-bucketed tables, ZERO
+    * exchanges end-to-end): the completion of q219's persisted-layout
+    * story. Both fact and dimension are bucketed on the join key with
+    * the SAME bucket count, so the join consumes both write-time
+    * distributions directly — no shuffle on EITHER side — and the
+    * downstream per-custkey aggregation rides the same distribution
+    * (HashPartitioning(custkey) satisfies the finer (custkey, segment)
+    * clustering), so the WHOLE plan runs without a single Exchange
+    * (`BucketSpec`-gated). This is the nightly-joined-tables contract
+    * every warehouse runs: pay the distribution once at write time,
+    * amortize it over every subsequent join — at 100 TB the difference
+    * between re-shuffling both tables per query and none. The fact side
+    * is q219's store (shared, catalog-guarded); the row filter keeps the
+    * verified output bounded without disturbing the bucket layout.
+    */
+  private[graft] def custBucketStore(s: SparkSession, d: String): String = {
+    val tbl = "customer_bucketed_" + java.lang.Integer.toHexString(d.hashCode)
+    if (!s.catalog.tableExists(tbl)) {
+      Tables.customer(s, d)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", leaf(d, "customer_bucketed"))
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  val smbJoin = Q(
+    "q220_smb_join",
+    (s0, d) => {
+      // Session-conf isolation (q92 discipline): the dim is tiny at test
+      // scale so the planner would broadcast it — which also avoids a
+      // shuffle, but the contract under test is the SORT-MERGE-BUCKET
+      // path both sides ride at 100 TB, where neither table broadcasts.
+      // Both the static and the AQE runtime broadcast thresholds are
+      // disabled so the demonstrated plan is the at-scale plan.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = s.table(bucketStore(s, d))
+      val dim = s.table(custBucketStore(s, d))
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .where(col("c_custkey") % 50 === 0)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.dsum2(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+                    ${Q.sqlSum2("o_totalprice")} AS revenue
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_custkey % 50 = 0
+             GROUP BY c_custkey, c_mktsegment""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
-      bucketPrunedRead)
+      bucketPrunedRead, smbJoin)
 }

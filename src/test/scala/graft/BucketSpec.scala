@@ -34,6 +34,15 @@ class BucketSpec extends AnyFunSuite {
       s"bucketed distribution not reused: ${plan.take(1500)}")
   }
 
+  test("q220: co-bucketed join is sort-merge with zero exchanges end-to-end") {
+    val j = SparkEntry.queries("q220_smb_join")(spark, d)
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange"),
+      s"co-bucketed join paid a shuffle/broadcast: ${p.take(1500)}")
+  }
+
   test("q219: plain parquet counterfactual has no bucket pruning, same rows") {
     val flat = Tables.orders(spark, d)
       .where(col("o_custkey").isin(sources.Sources.BucketNeedles: _*))
