@@ -1330,11 +1330,164 @@ object EventWindows {
             SELECT event_type, day, n, ewma, anomaly FROM walk""")
   )
 
+  /** q223 — `transformWithState` MAP STATE: the third named-state
+    * primitive (q189 ValueState, q195 ListState) — per-user totals
+    * keyed by EVENT TYPE inside one `MapState[String, (n, cents)]`
+    * ([[graft.streaming.TypeTotals]]). The map shape is the per-entity
+    * feature dictionary: keying the operator by (user, type) instead
+    * would compute the same totals but lose the per-user view —
+    * `keys()` iteration yields the user's distinct-type count in the
+    * same pass, which this query carries as `n_types` to prove the map
+    * is really iterated, not just point-updated. RocksDB stores each
+    * map entry as its own composite-keyed row (an update touches one
+    * entry, never a reserialized whole-map blob — why MapState beats
+    * ValueState[Map] as dictionaries grow). Per-batch emission carries
+    * totals-so-far per touched (user, type); n and n_types are both
+    * monotone, so `max(struct(...))` per key is the batching-
+    * independent final answer (q189's discipline). Oracle: the batch
+    * (user, type) aggregate joined to the per-user distinct-type count.
+    */
+  val transformWithMapState = Q(
+    "q223_tws_mapstate",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_twsm_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[(Long, String, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.TypeTotals(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "event_type", "n", "cents", "n_types")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("n"), col("cents"))).as("b"),
+          max(col("n_types")).as("n_types"))
+        .select(col("user_id"), col("event_type"), col("b.n").as("n"),
+          (col("b.cents") / 100.0).as("sum_value"), col("n_types"))
+    },
+    Some(s"""WITH pt AS (SELECT user_id, event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           ${sqlSum2("value")} AS sum_value
+                         FROM events GROUP BY 1, 2),
+             ut AS (SELECT user_id,
+                           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+                    FROM events GROUP BY 1)
+             SELECT pt.user_id, pt.event_type, pt.n, pt.sum_value, ut.n_types
+             FROM pt JOIN ut ON pt.user_id = ut.user_id""")
+  )
+
+  /** q224 — watermarked stream-stream FULL OUTER interval join: the
+    * completion of the join-type family (q74 inner, q182 left outer) —
+    * "every view↔purchase attribution pair, every orphaned view, AND
+    * every orphaned purchase" in one bounded-state streaming query.
+    * Full outer exercises BOTH sides' expiry machinery at once: a
+    * matched pair emits the moment both rows arrive; an unmatched view
+    * waits until the watermark proves no purchase in [ts_view,
+    * ts_view+6h] can arrive; an unmatched purchase waits until the
+    * watermark proves no view in [ts_buy−6h, ts_buy] can arrive — the
+    * right-side expiry path q182's left outer never executes.
+    *
+    * Determinism (q182's closed predicate, applied PER SIDE): a result
+    * row with a left part is decided once ts_view < cutoff; a
+    * right-only row once ts_buy < cutoff (cutoff = min of both sides'
+    * max ts − watermark − window − 1 s guard). The filter runs on the
+    * raw nullable columns BEFORE the sentinel coalesce, and the batch
+    * oracle applies the identical per-side predicate to a batch FULL
+    * JOIN — streaming and batch agree row-for-row. Both sentinel
+    * substitutions (−1 / epoch) exist because NULL keys and NULL
+    * timestamps are compare-hazards (NaT ≠ NaT).
+    *
+    * Scale shape identical to q74/q182: one shuffle per side on
+    * user_id, state bounded by the 7 h horizon per side, never history.
+    */
+  val streamFullOuterJoin = Q(
+    "q224_stream_full_outer",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_foj_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+        val views = src.where(col("event_type") === "view")
+          .select(col("user_id").as("user_v"), col("event_id").as("view_id"),
+            col("ts").as("ts_view"))
+        val buys = src.where(col("event_type") === "purchase")
+          .select(col("user_id").as("user_b"), col("event_id").as("purchase_id"),
+            col("ts").as("ts_buy"))
+        val q = views.join(buys,
+            col("user_v") === col("user_b") &&
+              col("ts_buy") >= col("ts_view") &&
+              col("ts_buy") <= col("ts_view") + expr("INTERVAL 6 HOURS"),
+            "fullOuter")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cutoff = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type").agg(max(col("ts")).as("mx"))
+        .agg((min(col("mx")) - expr("INTERVAL 7 HOURS") -
+          expr("INTERVAL 1 SECOND")).as("closed_before"))
+      s.table(name)
+        .crossJoin(cutoff)
+        .where(when(col("view_id").isNotNull,
+            col("ts_view") < col("closed_before"))
+          .otherwise(col("ts_buy") < col("closed_before")))
+        .select(coalesce(col("user_v"), col("user_b")).as("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(col("ts_view"),
+            to_timestamp(lit("1970-01-01 00:00:00"))).as("ts_view"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("ts_buy"),
+            to_timestamp(lit("1970-01-01 00:00:00"))).as("ts_buy"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'view'),
+            b AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            cut AS (SELECT min(mx) - INTERVAL '7 hours' - INTERVAL '1 second'
+                           AS closed_before
+                    FROM (SELECT max(ts) AS mx FROM v
+                          UNION ALL SELECT max(ts) FROM b) t)
+            SELECT coalesce(v.user_id, b.user_id) AS user_id,
+                   CAST(coalesce(v.event_id, -1) AS BIGINT) AS view_id,
+                   coalesce(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_view,
+                   CAST(coalesce(b.event_id, -1) AS BIGINT) AS purchase_id,
+                   coalesce(b.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_buy
+            FROM v FULL JOIN b
+              ON b.user_id = v.user_id
+             AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '6 hours'
+            CROSS JOIN cut
+            WHERE CASE WHEN v.event_id IS NOT NULL
+                       THEN v.ts < closed_before
+                       ELSE b.ts < closed_before END""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
-      joinStateRead, streamDedupWithinWatermark, streamSessionWindow)
+      joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
+      transformWithMapState, streamFullOuterJoin)
 }

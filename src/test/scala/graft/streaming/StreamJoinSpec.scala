@@ -89,6 +89,59 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q224: full-outer join emits BOTH sides' never-matched rows once, after expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDS().toDF("user", "vts").withWatermark("vts", "1 minute")
+    val b = buys.toDS().toDF("buser", "bts").withWatermark("bts", "1 minute")
+    val joined = v.join(b,
+      col("user") === col("buser") &&
+        col("bts") >= col("vts") &&
+        col("bts") <= col("vts") + expr("INTERVAL 5 MINUTES"),
+      "fullOuter")
+    val name = "sfoj_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1 converts; user 2 views and never buys; user 3 buys with
+      // no view — the right-side expiry path left outer never runs
+      views.addData((1L, ts(10)), (2L, ts(20)))
+      buys.addData((1L, ts(100)), (3L, ts(50)))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      assert(early.count(r => !r.isNullAt(0) && r.getLong(0) == 1L) === 1,
+        "matched pair not emitted")
+      assert(!early.exists(r => !r.isNullAt(0) && r.getLong(0) == 2L) &&
+        !early.exists(r => !r.isNullAt(2) && r.getLong(2) == 3L),
+        "an unmatched row emitted before the watermark could decide it")
+
+      // advance both event clocks past every horizon
+      views.addData((9L, ts(10000)))
+      buys.addData((9L, ts(10000)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      val orphanView = rows.filter(r => !r.isNullAt(0) && r.getLong(0) == 2L)
+      val orphanBuy = rows.filter(r => !r.isNullAt(2) && r.getLong(2) == 3L)
+      assert(orphanView.length === 1, s"expected one orphan view, got ${orphanView.length}")
+      assert(orphanView.head.isNullAt(orphanView.head.fieldIndex("buser")),
+        "orphan view carries a non-null right side")
+      assert(orphanBuy.length === 1, s"expected one orphan purchase, got ${orphanBuy.length}")
+      assert(orphanBuy.head.isNullAt(orphanBuy.head.fieldIndex("user")),
+        "orphan purchase carries a non-null left side")
+
+      // exactly once: further advances must not re-emit either orphan
+      views.addData((9L, ts(20000)))
+      buys.addData((9L, ts(20000)))
+      q.processAllAvailable()
+      val again = spark.table(name).collect()
+      assert(again.count(r => !r.isNullAt(0) && r.getLong(0) == 2L) === 1 &&
+        again.count(r => !r.isNullAt(2) && r.getLong(2) == 3L) === 1,
+        "an expired orphan re-emitted on a later watermark advance")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed events across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

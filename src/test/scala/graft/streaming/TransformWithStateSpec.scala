@@ -50,4 +50,41 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(all.count(_._1 == 2L) === 1, "absent key re-emitted in batch 2")
     } finally q.stop()
   }
+
+  test("q223: MapState entries persist per type and keys() sees the whole map") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TypeTotals(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "event_type", "n", "cents", "n_types")
+    val name = "twsm_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "view", 0.10), (1L, "view", 0.20), (1L, "click", 5.00))
+      q.processAllAvailable()
+      val b1 = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(b1 === Set((1L, "view", 2L, 30L, 2L), (1L, "click", 1L, 500L, 2L)),
+        s"batch-1 map state wrong: $b1")
+      // batch 2: "view" continues from its OWN entry, "click" untouched
+      // (must not emit), a new type grows the map — n_types sees all 3
+      input.addData((1L, "view", 0.05), (1L, "purchase", 7.00))
+      q.processAllAvailable()
+      val all = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(all.contains((1L, "view", 3L, 35L, 3L)),
+        s"per-type entry did not persist across batches: ${all.toSet}")
+      assert(all.contains((1L, "purchase", 1L, 700L, 3L)))
+      assert(all.count(t => t._2 == "click") === 1,
+        "untouched map entry re-emitted in batch 2")
+    } finally q.stop()
+  }
 }
