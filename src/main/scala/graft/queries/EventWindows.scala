@@ -1482,6 +1482,79 @@ object EventWindows {
                        ELSE b.ts < closed_before END""")
   )
 
+  /** q225 — `transformWithState` INITIAL-STATE BOOTSTRAP: the
+    * warm-start hook (`StatefulProcessorWithInitialState`,
+    * [[graft.streaming.BootstrapTotals]]) that seeds each key's named
+    * state from a BATCH dataset before the first micro-batch — the
+    * migration path every production stateful pipeline eventually
+    * needs: cut over from batch-computed history (or rebuild a
+    * checkpoint an old job format can't carry) WITHOUT replaying
+    * history through the stream. At 100 TB/day that's the difference
+    * between a cutover that re-streams months of events and one that
+    * joins a history table once: the engine co-partitions the
+    * initial-state dataset with the stream by key, a distributed
+    * join-shaped seeding pass, never a driver loop.
+    *
+    * Fixture: history = events before Jan 16 aggregated in batch to
+    * (n, cents); stream = only the remainder (ts ≥ cutoff, filtered at
+    * the source). The processor accumulates cent-exactly on top of the
+    * seed, so the warm-started stream must be BIT-EQUAL to having
+    * streamed everything — the oracle is the full-history per-user
+    * aggregate, restricted to users with a post-cutoff event (Update
+    * mode emits only keys that receive input; seeded-but-silent keys
+    * stay in state, which is the point of a warm start). Monotone n →
+    * `max(struct(...))` batching-independence (q189 discipline).
+    */
+  val transformWithInitialState = Q(
+    "q225_tws_initial_state",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val cutoff = "2024-01-16 00:00:00"
+      val history = Tables.events(s, d)
+        .where(col("ts") < lit(cutoff).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("cents"))
+        .as[(Long, Long, Long)]
+        .map(t => (t._1, (t._2, t._3)))
+        .groupByKey(_._1)
+        .mapValues(_._2)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_twsi_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .where(col("ts") >= lit(cutoff).cast("timestamp"))
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.BootstrapTotals(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            history)
+          .toDF("user_id", "n", "sum_value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum_value"))).as("b"))
+        .select(col("user_id"), col("b.n").as("n"), col("b.sum_value").as("sum_value"))
+    },
+    Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                    ${sqlSum2("value")} AS sum_value
+             FROM events
+             WHERE user_id IN (SELECT user_id FROM events
+                               WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             GROUP BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -1489,5 +1562,5 @@ object EventWindows {
       streamChainedWindows, streamRocksDb, cogroupReconcile,
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
-      transformWithMapState, streamFullOuterJoin)
+      transformWithMapState, streamFullOuterJoin, transformWithInitialState)
 }

@@ -1304,10 +1304,64 @@ object Sources {
              GROUP BY c_custkey, c_mktsegment""")
   )
 
+  /** q226 — ANALYZE TABLE + CATALOG STATISTICS: the cost-based
+    * optimizer's food. `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS` runs one distributed aggregation pass and persists
+    * table-level (row count, size) and column-level (min / max /
+    * null count / approx NDV) statistics into the catalog entry;
+    * with `spark.sql.cbo.enabled` the optimizer then costs join
+    * orders and broadcast decisions from these numbers instead of
+    * raw file sizes (`CboSpec` pins `optimizedPlan.stats.rowCount`
+    * equal to the exact count once analyzed — the estimate the
+    * planner actually consumes). At 100 TB stats are the difference
+    * between a plan chosen from evidence and one chosen from a
+    * 1-file-size heuristic: a filtered dim misses its broadcast, a
+    * build side OOMs — q209's manual hints exist precisely for
+    * engines flying blind; ANALYZE is how this one sees. The query
+    * reads the stats BACK through `DESCRIBE EXTENDED` (the catalog
+    * is the source of truth, not the computation) and verifies the
+    * exact stats against ground truth: row count and min/max/nulls
+    * must EQUAL the data's (the oracle recomputes them); approx NDV
+    * is HLL-based, so it rides as a ±10 % band folded to a boolean
+    * (q172 discipline). Bounded metadata-plane collects only.
+    */
+  val analyzeStats = Q(
+    "q226_analyze_stats",
+    (s, d) => {
+      import s.implicits._
+      val tbl = bucketStore(s, d)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      val tblDesc = s.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      val rows = "(\\d+) rows".r.findFirstMatchIn(tblDesc("Statistics"))
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"no row count in catalog stats: ${tblDesc("Statistics")}"))
+      val colDesc = s.sql(s"DESCRIBE TABLE EXTENDED $tbl o_custkey").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      val exactNdv = Tables.orders(s, d)
+        .select(countDistinct(col("o_custkey"))).as[Long].head()
+      val ndv = colDesc("distinct_count").toLong
+      val ndvOk = if (math.abs(ndv - exactNdv) <= 0.1 * exactNdv) 1L else 0L
+      Seq(
+        ("row_count", rows),
+        ("custkey_min", colDesc("min").toLong),
+        ("custkey_max", colDesc("max").toLong),
+        ("custkey_nulls", colDesc("num_nulls").toLong),
+        ("ndv_within_10pct", ndvOk)
+      ).toDF("stat", "value")
+    },
+    Some("""SELECT 'row_count' AS stat, count(*) AS value FROM orders
+            UNION ALL SELECT 'custkey_min', min(o_custkey) FROM orders
+            UNION ALL SELECT 'custkey_max', max(o_custkey) FROM orders
+            UNION ALL SELECT 'custkey_nulls',
+              CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+            UNION ALL SELECT 'ndv_within_10pct', 1""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
-      bucketPrunedRead, smbJoin)
+      bucketPrunedRead, smbJoin, analyzeStats)
 }

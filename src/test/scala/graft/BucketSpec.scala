@@ -43,6 +43,25 @@ class BucketSpec extends AnyFunSuite {
       s"co-bucketed join paid a shuffle/broadcast: ${p.take(1500)}")
   }
 
+  test("q226: CBO consumes the analyzed row count as its cardinality estimate") {
+    SparkEntry.queries("q226_analyze_stats")(spark, d).collect()
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    val tbl = sources.Sources.bucketStore(s, d)
+    val exact = spark.table(tbl).count()
+    // plan statistics read SQLConf from the thread's ACTIVE session —
+    // the cbo flag must be active when .stats is computed, not just
+    // when the plan was resolved
+    val prev = org.apache.spark.sql.classic.SparkSession.getActiveSession
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    try {
+      val rc = s.table(tbl).queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(exact)),
+        s"optimizer cardinality $rc != analyzed exact count $exact")
+    } finally prev.foreach(org.apache.spark.sql.classic.SparkSession.setActiveSession)
+  }
+
   test("q219: plain parquet counterfactual has no bucket pruning, same rows") {
     val flat = Tables.orders(spark, d)
       .where(col("o_custkey").isin(sources.Sources.BucketNeedles: _*))
