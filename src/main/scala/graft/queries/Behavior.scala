@@ -333,6 +333,63 @@ object Behavior {
             FROM seq""")
   )
 
+  /** q227 — PEAK CONCURRENCY (interval sweep-line): the occupancy
+    * question every capacity dashboard asks — "how many 10-minute
+    * activity intervals were simultaneously open, at peak, per event
+    * type" — answered by the classic sweep: explode each interval to a
+    * (+1 at start, −1 at end) delta pair, order by time within the
+    * type, running-sum the deltas, take the max (and the FIRST instant
+    * it was reached, which pins determinism). The tie rule is explicit
+    * in the ordering key (t, delta): an interval ending at instant t
+    * frees its slot BEFORE one starting at t takes it (−1 sorts first)
+    * — without it, peak is off by the coincidence count. Both engines
+    * use the default RANGE frame, so rows tied on the full ordering
+    * key are peers sharing one cumulative value — deterministic
+    * regardless of physical row order. Scale shape: the sweep is 2
+    * rows per event, one per-type window (types are few and balanced
+    * here; a hot type would take the q98 two-phase range-partition
+    * form), one map-side-combined aggregate — never an interval
+    * self-join, which is the O(n²) trap this op exists to avoid.
+    */
+  val peakConcurrency = Q(
+    "q227_peak_concurrency",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_sweep")
+      s.sql("""WITH deltas AS (
+                 SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta
+                 FROM events_sweep
+                 UNION ALL
+                 SELECT event_type, ts + INTERVAL 10 MINUTES, CAST(-1 AS BIGINT)
+                 FROM events_sweep),
+               run AS (SELECT event_type, t,
+                         sum(delta) OVER (PARTITION BY event_type
+                                          ORDER BY t, delta) AS cur
+                       FROM deltas),
+               pk AS (SELECT event_type, t, cur,
+                        max(cur) OVER (PARTITION BY event_type) AS peak
+                      FROM run)
+               SELECT event_type, max(cur) AS peak,
+                      min(CASE WHEN cur = peak THEN t END) AS first_peak_t
+               FROM pk GROUP BY event_type""")
+    },
+    Some("""WITH deltas AS (
+              SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta FROM events
+              UNION ALL
+              SELECT event_type, ts + INTERVAL '10 minutes', CAST(-1 AS BIGINT)
+              FROM events),
+            run AS (SELECT event_type, t,
+                      sum(delta) OVER (PARTITION BY event_type
+                                       ORDER BY t, delta) AS cur
+                    FROM deltas),
+            pk AS (SELECT event_type, t, cur,
+                     max(cur) OVER (PARTITION BY event_type) AS peak
+                   FROM run)
+            SELECT event_type, CAST(max(cur) AS BIGINT) AS peak,
+                   min(CASE WHEN cur = peak THEN t END) AS first_peak_t
+            FROM pk GROUP BY event_type""")
+  )
+
   val all: Seq[Q] =
-    Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch)
+    Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
+      peakConcurrency)
 }

@@ -1934,6 +1934,51 @@ object Relational2 {
             FROM m""")
   )
 
+  /** q228 — HIGHER STATISTICAL MOMENTS (`skewness` / `kurtosis`):
+    * completes q53's moment family (mean/variance/corr/covar) with the
+    * third and fourth — the distribution-shape summary a quality
+    * pipeline reads before trusting a mean (a skewed latency or
+    * heavy-tailed score distribution invalidates ±σ reasoning). Both
+    * are algebraic over the first four power sums, so the plan is the
+    * same two-phase map-side-partial aggregate as every moment before
+    * them. The DEFINITION is the checked thing (q212/q217 discipline):
+    * Spark computes POPULATION moments (skew = √n·M₃/M₂^1.5, kurt =
+    * n·M₄/M₂² − 3, excess), while DuckDB's builtins are
+    * bias-corrected SAMPLE statistics — numerically different answers
+    * on the same data — so the oracle replays Spark's spec literally
+    * as a two-pass centered-sum computation (no `pow`: literal
+    * multiplication chains, the portable form). Rounded to 6 (the one-
+    * pass-vs-two-pass low-bit difference, q53's rule).
+    */
+  val higherMoments = Q(
+    "q228_higher_moments",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"),
+          round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt_price")),
+    Some("""WITH m AS (SELECT l_returnflag g, avg(l_quantity) mu_q,
+                              avg(l_extendedprice) mu_p
+                       FROM lineitem GROUP BY 1),
+            s AS (SELECT l.l_returnflag g, count(*) n,
+                    sum((l_quantity-mu_q)*(l_quantity-mu_q)) q2,
+                    sum((l_quantity-mu_q)*(l_quantity-mu_q)*(l_quantity-mu_q)) q3,
+                    sum((l_quantity-mu_q)*(l_quantity-mu_q)*(l_quantity-mu_q)*(l_quantity-mu_q)) q4,
+                    sum((l_extendedprice-mu_p)*(l_extendedprice-mu_p)) p2,
+                    sum((l_extendedprice-mu_p)*(l_extendedprice-mu_p)*(l_extendedprice-mu_p)) p3,
+                    sum((l_extendedprice-mu_p)*(l_extendedprice-mu_p)*(l_extendedprice-mu_p)*(l_extendedprice-mu_p)) p4
+                  FROM lineitem l JOIN m ON l.l_returnflag = m.g GROUP BY 1)
+            SELECT g AS l_returnflag,
+                   round(sqrt(n)*q3/(q2*sqrt(q2)), 6) AS skew_qty,
+                   round(n*q4/(q2*q2) - 3.0, 6) AS kurt_qty,
+                   round(sqrt(n)*p3/(p2*sqrt(p2)), 6) AS skew_price,
+                   round(n*p4/(p2*p2) - 3.0, 6) AS kurt_price
+            FROM s""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -1942,5 +1987,5 @@ object Relational2 {
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
-    groupingIdQ, argmaxAgg)
+    groupingIdQ, argmaxAgg, higherMoments)
 }
