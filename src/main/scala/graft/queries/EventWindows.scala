@@ -1555,6 +1555,64 @@ object EventWindows {
              GROUP BY user_id""")
   )
 
+  /** q231 — DYNAMIC-GAP SESSION WINDOWS: `session_window` with a
+    * PER-ROW gap expression — the capability fixed-gap sessionization
+    * (q36/q205) can't express and real products need: different event
+    * kinds imply different "still here" horizons (a view goes stale in
+    * 10 minutes, anything else holds the session 30). The engine
+    * semantics under test: each row spans [ts, ts+gap(row)), and
+    * chain-overlapping spans MERGE — session end is the max member
+    * end, so one long-gap event can bridge two bursts a fixed gap
+    * would split. The oracle replays exactly that closure as
+    * gaps-and-islands with a running max-end window (new session iff
+    * ts ≥ max end of ALL predecessors — prefix max, not lag: an
+    * earlier long-gap row must bridge across an intervening short one;
+    * ties on (ts, end) are outcome-invariant since a tied predecessor's
+    * end > ts always extends). Plan shape: one shuffle on user_id,
+    * per-user merge inside the native operator — the same q36 contract
+    * with the gap function moved from a constant to the data.
+    */
+  val dynamicSessionGap = Q(
+    "q231_dynamic_session_gap",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          session_window(col("ts"),
+            when(col("event_type") === "view", "10 minutes")
+              .otherwise("30 minutes")),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"), col("sum_value"))
+    },
+    Some(s"""WITH g AS (SELECT user_id, ts, value,
+                          CASE WHEN event_type = 'view'
+                               THEN INTERVAL '10 minutes'
+                               ELSE INTERVAL '30 minutes' END AS gap
+                        FROM events),
+             x AS (SELECT user_id, ts, value, ts + gap AS end_t,
+                     max(ts + gap) OVER (PARTITION BY user_id
+                                         ORDER BY ts, ts + gap
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+                   FROM g),
+             f AS (SELECT user_id, ts, value, end_t,
+                     CASE WHEN prev_max IS NULL OR ts >= prev_max
+                          THEN 1 ELSE 0 END AS new_s
+                   FROM x),
+             sid AS (SELECT user_id, ts, value, end_t,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, end_t
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sess
+                     FROM f),
+             agg AS (SELECT user_id, sess, min(ts) AS s_start,
+                       max(end_t) AS s_end, count(*) AS n,
+                       ${sqlSum2("value")} AS sum_value
+                     FROM sid GROUP BY 1, 2)
+             SELECT user_id, s_start, s_end, n, sum_value FROM agg""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -1562,5 +1620,6 @@ object EventWindows {
       streamChainedWindows, streamRocksDb, cogroupReconcile,
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
-      transformWithMapState, streamFullOuterJoin, transformWithInitialState)
+      transformWithMapState, streamFullOuterJoin, transformWithInitialState,
+      dynamicSessionGap)
 }

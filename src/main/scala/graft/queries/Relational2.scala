@@ -1979,6 +1979,52 @@ object Relational2 {
             FROM s""")
   )
 
+  /** q230 — WEIGHTED MEDIAN (cumulative-weight scan): the quantile the
+    * builtin percentile family (q40 cont, q49 approx, q212 disc)
+    * cannot express — each row counts with a WEIGHT, the shape of
+    * every token-weighted corpus statistic ("the median document BY
+    * TOKEN MASS", which a plain median over documents badly misstates
+    * when lengths are skewed). Definition: smallest v whose cumulative
+    * weight reaches half the total — computed distributedly as a
+    * per-group value-ordered running weight sum (ROWS frame) against a
+    * per-group total, then `min(v)` over qualifying rows: no collect,
+    * no per-group sort beyond the window's, and ties on (v, wt) can't
+    * change the answer (the boundary row's v is the same v whatever
+    * the intra-tie order — why the frame is safe despite ROWS). Both
+    * engines run the IDENTICAL formula — integer weights, exact
+    * cumulative sums, `cw·2 ≥ tw` in integers — so the oracle is
+    * bit-exact with no rounding at all.
+    */
+  val weightedMedian = Q(
+    "q230_weighted_median",
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_wm")
+      s.sql("""WITH w AS (SELECT source, n_chars AS v,
+                            CAST(1 + doc_id % 5 AS BIGINT) AS wt
+                          FROM documents_wm),
+               c AS (SELECT source, v, wt,
+                       sum(wt) OVER (PARTITION BY source ORDER BY v, wt
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw,
+                       sum(wt) OVER (PARTITION BY source) AS tw
+                     FROM w)
+               SELECT source, min(v) AS wmedian
+               FROM c WHERE cw * 2 >= tw GROUP BY source""")
+    },
+    Some("""WITH w AS (SELECT source, n_chars AS v,
+                         CAST(1 + doc_id % 5 AS BIGINT) AS wt
+                       FROM documents),
+            c AS (SELECT source, v, wt,
+                    sum(wt) OVER (PARTITION BY source ORDER BY v, wt
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cw,
+                    sum(wt) OVER (PARTITION BY source) AS tw
+                  FROM w)
+            SELECT source, min(v) AS wmedian
+            FROM c WHERE CAST(cw AS BIGINT) * 2 >= CAST(tw AS BIGINT)
+            GROUP BY source""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -1987,5 +2033,5 @@ object Relational2 {
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
-    groupingIdQ, argmaxAgg, higherMoments)
+    groupingIdQ, argmaxAgg, higherMoments, weightedMedian)
 }

@@ -247,5 +247,45 @@ object Sampling {
                AND sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) > 0""")
   )
 
-  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix, splitLeakage)
+  /** q229 — CONSISTENT BOTTOM-K SAMPLE: the k documents per source with
+    * the SMALLEST content hash — the distributed sampling primitive
+    * that beats RNG sampling on every production axis: deterministic
+    * (rerun-stable, partitioning-independent — the q79 requirement,
+    * extended from split assignment to subset selection), MERGEABLE
+    * (bottom-k of a union = bottom-k of each part's bottom-k, so
+    * per-shard samples combine without re-reading anything — the same
+    * algebra as q173's sketch store), and CONSISTENT across dataset
+    * versions (a doc's hash never changes, so two snapshots' samples
+    * overlap maximally — diffing the samples approximates diffing the
+    * corpora, the audit trick RNG samples can't do). Hashing content
+    * (id|text) rather than id alone means an edited doc leaves the
+    * sample deterministically — version drift is VISIBLE in the k·|src|
+    * rows. Plan shape is q11's: row_number + filter plans a
+    * `WindowGroupLimit` below the window, so every map task forwards at
+    * most k rows per source to the shuffle — O(sources·k) through the
+    * exchange at 100 TB, never the corpus (`PlanSpec`-gated).
+    */
+  val consistentSample = Q(
+    "q229_consistent_sample",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("hv", "doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))).as("hv"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 16)
+        .select(col("source"), col("doc_id"), col("hv"), col("rk").cast("long").as("rk"))
+    },
+    Some("""WITH h AS (SELECT source, doc_id,
+                         md5(CAST(doc_id AS VARCHAR) || '|' || text) AS hv
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY hv, doc_id) AS rk
+                  FROM h)
+            SELECT source, doc_id, hv, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 16""")
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
+    splitLeakage, consistentSample)
 }

@@ -414,6 +414,12 @@ class PlanSpec extends AnyFunSuite {
       "string JSON re-parse crept into the variant path")
   }
 
+  test("q229: bottom-k sample plans a WindowGroupLimit (q11's pushdown)") {
+    val p = plan("q229_consistent_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"sample shuffles the corpus instead of O(sources·k): ${p.take(1500)}")
+  }
+
   test("q213/q216: regression and bitmask aggregates combine map-side (partial)") {
     // both families are algebraic — the shuffle must carry per-group
     // moments / masks, never rows
