@@ -2025,6 +2025,38 @@ object Relational2 {
             GROUP BY source""")
   )
 
+  /** q232 — SQL `TRANSFORM` (external script pipe): rows streamed
+    * through an ARBITRARY external process (`ScriptTransformationExec`
+    * — here `tr a-z A-Z`) and parsed back under a declared schema — the
+    * engine's escape hatch to tools that will never be JVM functions
+    * (legacy scorers, C++ tokenizers, vendored binaries), Hive's
+    * TRANSFORM contract without Hive. Semantics under test: the engine
+    * tab-serializes the projected columns to the child's stdin, one
+    * process per TASK (not per row — the pipe amortizes fork cost over
+    * the partition, which is what makes this usable at 100 TB), and
+    * deserializes stdout rows under the AS schema. The script here is
+    * order-preserving 1:1, and the downstream aggregate is
+    * order-insensitive anyway — the shape an external scorer must have
+    * to be replayable. Oracle replays the uppercase in SQL; the count
+    * pins row-for-row delivery through the pipe (no dropped/duplicated
+    * rows across process boundaries).
+    */
+  val scriptTransform = Q(
+    "q232_script_transform",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_st")
+      s.sql("""WITH piped AS (
+                 SELECT TRANSFORM (event_type)
+                   USING 'tr a-z A-Z'
+                   AS (upper_type STRING)
+                 FROM events_st)
+               SELECT upper_type, count(*) AS n
+               FROM piped GROUP BY upper_type""")
+    },
+    Some("""SELECT upper(event_type) AS upper_type, count(*) AS n
+            FROM events GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2033,5 +2065,5 @@ object Relational2 {
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
-    groupingIdQ, argmaxAgg, higherMoments, weightedMedian)
+    groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform)
 }

@@ -414,6 +414,18 @@ class PlanSpec extends AnyFunSuite {
       "string JSON re-parse crept into the variant path")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the other AQE leg (q201 gates the skew SPLIT): 32 configured
+    // shuffle partitions over tiny data must collapse into few real
+    // post-shuffle partitions — at 100 TB the same mechanism right-sizes
+    // every stage to the data that actually arrived, not the static conf
+    val df = SparkEntry.queries("q03_group_agg")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"no runtime partition coalescing in final plan: ${p.take(1500)}")
+  }
+
   test("q229: bottom-k sample plans a WindowGroupLimit (q11's pushdown)") {
     val p = plan("q229_consistent_sample")
     assert(p.contains("WindowGroupLimit"),
