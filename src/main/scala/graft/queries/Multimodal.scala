@@ -1161,7 +1161,89 @@ object Multimodal {
              FROM nfm n LEFT JOIN perseg p USING (doc_id)""")
   )
 
+  /** q233 — SPECTRAL FEATURE EXTRACTION (Goertzel DFT bins over real
+    * WAV payloads): the step after q108's decode / q145's resample /
+    * q167's VAD in an audio ML pipeline — FREQUENCY-domain features
+    * from the decoded samples. Each doc synthesizes a pure sine tone
+    * (500·(1+id%4) Hz, bin-aligned at 8 kHz / 800 samples, amplitude
+    * 8000), goes through the REAL `javax.sound.sampled` WAV
+    * encode→decode round trip, and the decoded PCM is scored with the
+    * Goertzel recurrence at the four candidate frequencies — O(n) per
+    * bin, the right tool when a pipeline probes known bins (DTMF,
+    * pilot tones, band energy) and a full FFT is 10× the work for 4
+    * numbers. Dominant bin = argmax power; `concentrated` asserts the
+    * sine's bin carries >100× the energy of the other three summed —
+    * for a bin-aligned pure tone the margin is orders of magnitude, so
+    * the claim is deterministic despite double arithmetic. The oracle
+    * is the GENERATOR's closed form (q77/q108 discipline, moved up a
+    * level: not the samples but the physics — a tone at f must be
+    * detected AT f, through a real codec, for every doc): expected
+    * dominant frequency and TRUE, recomputed from the id rule alone.
+    * Scale shape: both stages fused `mapPartitions`, payloads never
+    * shuffle, narrow (id, freq, flag) projection out.
+    */
+  val spectralBands = Q(
+    "q233_spectral_bands",
+    (s, d) => {
+      import s.implicits._
+      val fmt = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val format = fmt()
+          it.map { id =>
+            val hz = 500.0 * (1 + (id % 4))
+            val samples = Array.tabulate(800)(i =>
+              math.round(8000.0 * math.sin(2.0 * math.Pi * hz * i / 8000.0)).toShort)
+            val pcm = new Array[Byte](samples.length * 2)
+            var i = 0
+            while (i < samples.length) {
+              pcm(2 * i) = (samples(i) & 0xff).toByte
+              pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), format, samples.length.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }
+      encoded.mapPartitions { it =>
+        val freqs = Array(500.0, 1000.0, 1500.0, 2000.0)
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val samples = Array.tabulate(n) { i =>
+            (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          }
+          // Goertzel power at each candidate bin
+          val power = freqs.map { f =>
+            val coeff = 2.0 * math.cos(2.0 * math.Pi * f / 8000.0)
+            var s1 = 0.0; var s2 = 0.0
+            var i = 0
+            while (i < n) {
+              val s0 = samples(i) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            s1 * s1 + s2 * s2 - coeff * s1 * s2
+          }
+          val dom = power.indices.maxBy(power)
+          val rest = power.indices.filter(_ != dom).map(power).sum
+          (id, (500L * (dom + 1)), power(dom) > 100.0 * rest)
+        }
+      }.toDF("doc_id", "dominant_hz", "concentrated")
+    },
+    Some("""SELECT doc_id,
+                   CAST(500 * (1 + doc_id % 4) AS BIGINT) AS dominant_hz,
+                   TRUE AS concentrated
+            FROM documents""")
+  )
+
   val all: Seq[Q] =
     Seq(mediaFeatures, frameSample, pngDecode, jpegDecode, wavAudio, gifVideo, binaryFiles,
-      wavResample, ahashDedup, vadSegments)
+      wavResample, ahashDedup, vadSegments, spectralBands)
 }
