@@ -2057,6 +2057,51 @@ object Relational2 {
             FROM events GROUP BY 1""")
   )
 
+  /** q234 — TIMESTAMP_NTZ vs session-local TIMESTAMP: the two timestamp
+    * SEMANTICS Spark 3.4+ carries and every multi-region 100 TB
+    * deployment eventually trips over. `TIMESTAMP` (LTZ) stores an
+    * instant and renders it through the SESSION time zone — the same
+    * stored microseconds answer `hour()` differently in UTC and
+    * New York, so a report moved between clusters silently shifts.
+    * `TIMESTAMP_NTZ` stores the WALL-CLOCK fields themselves —
+    * renders identically everywhere. The fixture proves both halves
+    * end-to-end through parquet (NTZ persists as
+    * isAdjustedToUTC=false and reads back as NTZ): a UTC session
+    * writes (ts, ts AS NTZ, hour-in-UTC); a New-York session reads the
+    * SAME file and re-extracts hours — the LTZ hour must shift by
+    * exactly the January NY offset (−5, no DST ambiguity in the data's
+    * month) on EVERY row, the NTZ hour must equal the UTC hour on
+    * every row. Folded to per-type `bool_and` flags (q172 discipline);
+    * the session-tz isolation is `newSession` per leg (q92). Hour
+    * extraction is a narrow projection — the semantics change the
+    * rendering function, never the plan.
+    */
+  val timestampNtz = Q(
+    "q234_timestamp_ntz",
+    (s0, d) => {
+      val store = graft.sources.Sources.scratchLeaf(d, "ntz_store")
+      val sUtc = s0.newSession()
+      sUtc.conf.set("spark.sql.session.timeZone", "UTC")
+      Tables.events(sUtc, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("ts").cast("timestamp_ntz").as("tsn"),
+          hour(col("ts")).as("h_utc"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val sNy = s0.newSession()
+      sNy.conf.set("spark.sql.session.timeZone", "America/New_York")
+      sNy.read.parquet(store)
+        .select(col("event_type"), col("h_utc"),
+          hour(col("ts")).as("h_ny"), hour(col("tsn")).as("h_ntz"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          every((col("h_ny") - col("h_utc") + 24) % 24 === 19).as("ltz_shifts"),
+          every(col("h_ntz") === col("h_utc")).as("ntz_invariant"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   TRUE AS ltz_shifts, TRUE AS ntz_invariant
+            FROM events GROUP BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2065,5 +2110,6 @@ object Relational2 {
     collatedGroup, lateralTopK, nullSafeJoin, unionByNameDrift, tryCast, aqeSkewJoin,
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
-    groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform)
+    groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
+    timestampNtz)
 }

@@ -1358,10 +1358,67 @@ object Sources {
             UNION ALL SELECT 'ndv_within_10pct', 1""")
   )
 
+  /** q235 — COLUMN DEFAULT VALUES (SQL:2011 DDL surface): a cataloged
+    * parquet table whose `tag` column declares `DEFAULT 'legacy'`, fed
+    * by the two INSERT shapes the feature exists for — an INSERT that
+    * OMITS the column (the old producer that predates the schema
+    * change; the engine fills the default at WRITE time, so readers
+    * never reconcile) and an INSERT that names it via the `DEFAULT`
+    * keyword explicitly. This is the write-side dual of q102's
+    * mergeSchema (which backfills NULL at READ time for files written
+    * before a column existed): defaults move the backfill to the
+    * writer, so the stored files are self-contained — at 100 TB the
+    * difference between every reader patching old files forever and a
+    * one-time write-path rule. The catalog is the source of truth for
+    * the default expression; the read-back must show it applied
+    * per-row. Dir-keyed table name + loud drop-first registration
+    * (the q219 catalog contract); oracle reconstructs the
+    * post-insert state in closed form from the source table.
+    */
+  val columnDefaults = Q(
+    "q235_column_defaults",
+    (s, d) => {
+      val tbl = "orders_defaults_" + java.lang.Integer.toHexString(d.hashCode)
+      val loc = leaf(d, "orders_defaults")
+      // external-table re-registration: DROP leaves the LOCATION's files,
+      // and the INSERTs below append — a re-execution in the same JVM
+      // (bench reps) must start from an empty store or rows double
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val locPath = new org.apache.hadoop.fs.Path(loc)
+      val fs = locPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(locPath) && !fs.delete(locPath, true))
+        sys.error(s"could not reset defaults store at $loc")
+      s.sql(s"""CREATE TABLE $tbl (
+                  o_orderkey BIGINT, o_totalprice DOUBLE,
+                  tag STRING DEFAULT 'legacy')
+                USING parquet LOCATION '$loc'""")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cd")
+      // old producer: omits the defaulted column entirely
+      s.sql(s"""INSERT INTO $tbl (o_orderkey, o_totalprice)
+                SELECT o_orderkey, o_totalprice FROM orders_cd
+                WHERE o_orderkey % 3 = 0""")
+      // new producer: names it, explicitly asking for the default
+      s.sql(s"""INSERT INTO $tbl (o_orderkey, o_totalprice, tag)
+                SELECT o_orderkey, o_totalprice, DEFAULT FROM orders_cd
+                WHERE o_orderkey % 3 = 1""")
+      // and a producer that sets a real value
+      s.sql(s"""INSERT INTO $tbl (o_orderkey, o_totalprice, tag)
+                SELECT o_orderkey, o_totalprice, 'fresh' FROM orders_cd
+                WHERE o_orderkey % 3 = 2""")
+      s.table(tbl)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), Q.dsum2(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'fresh'
+                         ELSE 'legacy' END AS tag,
+                    count(*) AS n, ${Q.sqlSum2("o_totalprice")} AS revenue
+             FROM orders GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
-      bucketPrunedRead, smbJoin, analyzeStats)
+      bucketPrunedRead, smbJoin, analyzeStats, columnDefaults)
 }
