@@ -2102,6 +2102,65 @@ object Relational2 {
             FROM events GROUP BY event_type""")
   )
 
+  /** q236 — INTERSECT ALL (multiplicity-preserving intersection): the
+    * last uncovered multi-set operator (q16 has the DISTINCT set pair,
+    * q55 EXCEPT ALL). Bag semantics: a key appearing a times on the
+    * left and b on the right survives min(a,b) times — the contract
+    * that matters when rows ARE the quantity ("how many F-orders does
+    * each customer have that are MATCHED one-to-one by an O-order"),
+    * where the DISTINCT variant collapses exactly the information
+    * asked for. The engine plans it as a counted aggregate + generate
+    * (never a pairwise join); the registered result re-groups the bag
+    * to (key, multiplicity) — which also makes the min(a,b) law
+    * directly visible to the oracle, spelled as the law itself:
+    * LEAST of the two per-key counts.
+    */
+  val intersectAll = Q(
+    "q236_intersect_all",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val f = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val op = o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      f.intersectAll(op)
+        .groupBy("custkey").agg(count(lit(1)).as("n_matched"))
+    },
+    Some("""WITH f AS (SELECT o_custkey k, count(*) a FROM orders
+                       WHERE o_orderstatus = 'F' GROUP BY 1),
+            o AS (SELECT o_custkey k, count(*) b FROM orders
+                  WHERE o_orderstatus = 'O' GROUP BY 1)
+            SELECT f.k AS custkey, CAST(least(f.a, o.b) AS BIGINT) AS n_matched
+            FROM f JOIN o ON f.k = o.k""")
+  )
+
+  /** q237 — MULTI-AGGREGATE PIVOT: q39's pivot with ONE measure per
+    * cell is the textbook case; real report matrices carry several
+    * (orders AND revenue per status) and the engine's column-naming
+    * contract — `{pivotValue}_{aggAlias}` — is exactly what a consumer
+    * schema-binds against, so it's the thing to pin. One pass, one
+    * shuffle: the pivot is a grouped aggregate over (row key) with
+    * per-pivot-value conditional aggregates — the same plan as writing
+    * six FILTER aggregates by hand, which is precisely how the oracle
+    * spells it (names matched column-for-column). Explicit pivot
+    * values as always (an unlisted-values pivot needs a distinct-scan
+    * pre-pass — the 100 TB surprise the explicit list avoids).
+    */
+  val pivotMulti = Q(
+    "q237_pivot_multi",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("rev")),
+    Some(s"""SELECT o_orderpriority,
+                    count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+                    ${sqlSum2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F_rev",
+                    count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+                    ${sqlSum2("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O_rev",
+                    count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+                    ${sqlSum2("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P_rev"
+             FROM orders GROUP BY o_orderpriority""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2111,5 +2170,5 @@ object Relational2 {
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
-    timestampNtz)
+    timestampNtz, intersectAll, pivotMulti)
 }
