@@ -76,5 +76,67 @@ object MapReduceQueries {
     wordCount.oracle
   )
 
-  val all: Seq[Q] = Seq(wordCount, charByLang, wordCountCombine)
+  /** q238 — ENGINE-ENFORCED SECONDARY SORT (`flatMapSortedGroups`): the
+    * typed grouped-map API where the ENGINE hands the reduce function
+    * its group PRE-SORTED by declared sort expressions — the
+    * "value-ordered reduce" the reference's within-partition sort phase
+    * (`MapReduceFramework.cpp:150-154`) exists to enable, here with the
+    * ordering as part of the operator contract instead of a
+    * caller-beware convention (the repo's other whole-group reducers
+    * document iterator order as UNSPECIFIED and must be
+    * order-insensitive — `OrderingContractSpec`; this is the API for
+    * the reducers that genuinely need sequential order). The engine
+    * sorts each group DURING the shuffle (sort-based aggregation path —
+    * no per-group buffering, no `it.toArray.sortBy` inside user code),
+    * so a group larger than memory still streams: the 100 TB contract
+    * that a hand-rolled sort inside `flatMapGroups` breaks first. The
+    * computation — longest strictly-increasing run of `value` in
+    * (ts, event_id) arrival order per user — is a genuine sequential
+    * recurrence: O(1) state over a one-pass ordered stream, the shape
+    * that cannot be map-side-combined and so justifies the sorted-group
+    * API. Oracle: the gaps-and-islands replay (break flags → run ids →
+    * run lengths → max) over the identical total order.
+    */
+  val secondarySort = Q(
+    "q238_secondary_sort",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+        .as[(Long, Double, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (user, it) =>
+          var n = 0L; var run = 0L; var best = 0L
+          var prev = Double.NaN
+          it.foreach { r =>
+            n += 1
+            run = if (run > 0 && r._2 > prev) run + 1 else 1
+            if (run > best) best = run
+            prev = r._2
+          }
+          Iterator((user, n, best))
+        }
+        .toDF("user_id", "n_events", "longest_run")
+    },
+    Some("""WITH o AS (SELECT user_id, value, ts, event_id,
+                         lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS pv
+                       FROM events),
+            f AS (SELECT user_id, ts, event_id,
+                    CASE WHEN pv IS NULL OR value <= pv THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            g AS (SELECT user_id,
+                    sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run_id
+                  FROM f),
+            r AS (SELECT user_id, run_id, count(*) AS len FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+                   CAST(max(len) AS BIGINT) AS longest_run
+            FROM r GROUP BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(wordCount, charByLang, wordCountCombine, secondarySort)
 }
