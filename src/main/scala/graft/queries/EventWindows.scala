@@ -1613,6 +1613,109 @@ object EventWindows {
              SELECT user_id, s_start, s_end, n, sum_value FROM agg""")
   )
 
+  /** q239 — LOCF imputation (last observation carried forward): the
+    * time-series repair q66's zero-fill cannot express — a missing
+    * reading means "unchanged since the last one", not zero (sensor
+    * state, account balances, feature snapshots feeding a model).
+    * Here only `purchase` events carry an observed value; every other
+    * event row is imputed with the user's most recent purchase value.
+    * Engine surface: `last(col, ignoreNulls = true)` over a running
+    * ROWS frame — the one window shape whose null-skipping the frame
+    * family (q15/q54/q58) never exercises. Ordering is pinned to
+    * (ts, event_id) so the carried value is deterministic under ties.
+    *
+    * Scale: one shuffle on user_id; the running frame streams each
+    * partition in sort order with O(1) state per user (the engine keeps
+    * only the last non-null seen), so a user's history never buffers.
+    * Output is the per-user repair audit (observed / carried / still-
+    * missing counts + filled mass), not the 100 TB row stream.
+    */
+  val locfImpute = Q(
+    "q239_locf_impute",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("obs", when(col("event_type") === "purchase", col("value")))
+        .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(col("obs")).as("n_obs"),
+          count(when(col("obs").isNull && col("filled").isNotNull, 1)).as("n_carried"),
+          count(when(col("filled").isNull, 1)).as("n_leading"),
+          dsum2(col("filled")).as("sum_filled"))
+    },
+    Some(s"""WITH f AS (
+               SELECT user_id,
+                      CASE WHEN event_type = 'purchase' THEN value END AS obs,
+                      last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+               FROM events)
+             SELECT user_id,
+                    count(obs) AS n_obs,
+                    count(CASE WHEN obs IS NULL AND filled IS NOT NULL THEN 1 END) AS n_carried,
+                    count(CASE WHEN filled IS NULL THEN 1 END) AS n_leading,
+                    ${sqlSum2("filled")} AS sum_filled
+             FROM f GROUP BY user_id""")
+  )
+
+  /** q241 — lag-k AUTOCORRELATION of a daily series: the seasonality /
+    * momentum diagnostic (acf1 = day-over-day persistence, acf7 = weekly
+    * cycle) every forecasting pipeline computes before model choice.
+    * Two-level plan: exact daily totals per event_type (decimal-summed,
+    * q03 discipline — both engines aggregate to the IDENTICAL doubles,
+    * so the correlation inputs match bit-for-bit), then a GAP-GUARDED
+    * lag — `lag(v, k)` is only a k-DAY lag when the calendar is dense,
+    * so the lagged value is nulled unless `lag(day, k) = day - k days`;
+    * `corr` skips null pairs in both engines, making the statistic
+    * day-exact whatever the density. Rounded to 6 decimals: corr's
+    * final division is the one non-associative step, and its last-bit
+    * drift is ~1e-15 on identical inputs.
+    *
+    * Scale: the daily rollup is the only data-sized shuffle; the window
+    * + corr run over one row per (type, day) — thousands of rows per
+    * decade, driver-free, broadcast-free.
+    */
+  val autocorr = Q(
+    "q241_autocorr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(dsum2(col("value")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("v1",
+          when(lag(col("day"), 1).over(w) === col("day") - expr("INTERVAL 1 DAY"),
+            lag(col("v"), 1).over(w)))
+        .withColumn("v7",
+          when(lag(col("day"), 7).over(w) === col("day") - expr("INTERVAL 7 DAY"),
+            lag(col("v"), 7).over(w)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(corr(col("v"), col("v1")), 6).as("acf1"),
+          round(corr(col("v"), col("v7")), 6).as("acf7"))
+    },
+    Some(s"""WITH daily AS (
+               SELECT event_type, date_trunc('day', ts) AS day,
+                      ${sqlSum2("value")} AS v
+               FROM events GROUP BY 1, 2),
+             lagged AS (
+               SELECT event_type, v,
+                      CASE WHEN lag(day, 1) OVER w = day - INTERVAL '1 day'
+                           THEN lag(v, 1) OVER w END AS v1,
+                      CASE WHEN lag(day, 7) OVER w = day - INTERVAL '7 days'
+                           THEN lag(v, 7) OVER w END AS v7
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day))
+             SELECT event_type, count(*) AS n_days,
+                    round(corr(v, v1), 6) AS acf1,
+                    round(corr(v, v7), 6) AS acf7
+             FROM lagged GROUP BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -1621,5 +1724,5 @@ object EventWindows {
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
-      dynamicSessionGap)
+      dynamicSessionGap, locfImpute, autocorr)
 }

@@ -2161,6 +2161,59 @@ object Relational2 {
              FROM orders GROUP BY o_orderpriority""")
   )
 
+  /** q240 — K-ANONYMITY release: the privacy-preserving publication
+    * operator (the aggregate-release counterpart of q97's PII redaction
+    * and q155's GDPR delete). Quasi-identifier cells
+    * (c_nationkey, c_mktsegment) with fewer than k = 10 members are
+    * SUPPRESSED — both QI columns generalized to '*' — so no published
+    * row describes a group an attacker could narrow below k; cells at or
+    * above k release their true values. The output is the released
+    * aggregate (cell → member count + balance mass) plus the residual
+    * `anonymous` audit bit: the pooled '*' cell can itself still be
+    * under k, and a real release gate checks exactly that before
+    * publishing.
+    *
+    * Scale: two-phase, not a window — cell sizes are a tiny aggregate
+    * (|QI| cells, here 125) broadcast back onto the fact table, so the
+    * only data-sized shuffles are the two aggregations; a
+    * `count over (partition by QI)` window would shuffle-sort the full
+    * table to learn 125 numbers.
+    */
+  val kAnonymity = Q(
+    "q240_k_anonymity",
+    (s, d) => {
+      val k = 10
+      val cust = Tables.customer(s, d)
+      val cells = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cell_n"))
+      cust.join(broadcast(cells), Seq("c_nationkey", "c_mktsegment"))
+        .select(
+          when(col("cell_n") >= k, col("c_nationkey").cast("string"))
+            .otherwise(lit("*")).as("nat_rel"),
+          when(col("cell_n") >= k, col("c_mktsegment"))
+            .otherwise(lit("*")).as("seg_rel"),
+          col("c_acctbal"))
+        .groupBy("nat_rel", "seg_rel")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
+        .withColumn("anonymous", col("n") >= k)
+    },
+    Some(s"""WITH cells AS (
+               SELECT c_nationkey, c_mktsegment, count(*) AS cell_n
+               FROM customer GROUP BY 1, 2),
+             released AS (
+               SELECT CASE WHEN cell_n >= 10 THEN CAST(c.c_nationkey AS VARCHAR)
+                           ELSE '*' END AS nat_rel,
+                      CASE WHEN cell_n >= 10 THEN c.c_mktsegment
+                           ELSE '*' END AS seg_rel,
+                      c.c_acctbal
+               FROM customer c
+               JOIN cells USING (c_nationkey, c_mktsegment))
+             SELECT nat_rel, seg_rel, count(*) AS n,
+                    ${sqlSum2("c_acctbal")} AS sum_bal,
+                    count(*) >= 10 AS anonymous
+             FROM released GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2170,5 +2223,5 @@ object Relational2 {
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
-    timestampNtz, intersectAll, pivotMulti)
+    timestampNtz, intersectAll, pivotMulti, kAnonymity)
 }
