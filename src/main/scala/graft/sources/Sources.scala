@@ -1032,6 +1032,67 @@ object Sources {
             GROUP BY lang""")
   )
 
+  /** q242 — DSv2 AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`,
+    * complete): ungrouped COUNT/MIN(id)/MAX(id)/SUM(id) over a
+    * filter-narrowed read of the docgen connector are answered by the
+    * SOURCE in closed form from its range bounds — the plan's scan node
+    * is a one-partition, one-row `DocGenAggScan` and NO aggregate work
+    * (and no row generation) remains above it. This is the connector
+    * capability behind "count a 100 TB table from parquet footers /
+    * manifest min-max in milliseconds": the aggregate travels to the
+    * metadata instead of the data traveling to the aggregate.
+    * `DocGenSourceSpec` gates the executed plan (DocGenAggScan present,
+    * no hash/sort aggregate above it) and proves the answer equals the
+    * unpushed twin's. Oracle replays the generator range in DuckDB.
+    */
+  val docgenAggPushdown = Q(
+    "q242_v2_agg_pushdown",
+    (s, _) =>
+      s.read.format("graft.sources.docgen")
+        .option("rows", "1000000").option("slices", "8").load()
+        .where(col("id") >= 250000 && col("id") < 750000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("sum_id")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n, min(id) AS min_id,
+                   max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
+            FROM range(0, 1000000) t(id)
+            WHERE id >= 250000 AND id < 750000""")
+  )
+
+  /** q243 — DSv2 LIMIT + TOP-N PUSHDOWN (`SupportsPushDownLimit` /
+    * `SupportsPushDownTopN`): the "peek" queries every exploration
+    * session runs — `LIMIT n` (fully pushed: the source plans [lo, lo+n)
+    * and Spark drops its own Limit) and `ORDER BY id DESC LIMIT n`
+    * (partially pushed: the source generates only the LAST n ids and
+    * Spark re-sorts those n rows). Without these interfaces both shapes
+    * scan the full million-row table to keep ≤7 rows; with them, row
+    * generation is proportional to the answer — the difference between
+    * "head a 100 TB table" being free or being a job. Both legs ride one
+    * union; the leg tag keeps the contract visible in the output.
+    */
+  val docgenTopNPushdown = Q(
+    "q243_v2_topn_pushdown",
+    (s, _) => {
+      def src = s.read.format("graft.sources.docgen")
+        .option("rows", "1000000").option("slices", "8").load()
+      val limited = src.where(col("id") >= 100).limit(7)
+        .withColumn("leg", lit("limit7"))
+      val topDesc = src.orderBy(col("id").desc).limit(5)
+        .withColumn("leg", lit("top5_desc"))
+      limited.unionByName(topDesc)
+        .select(col("leg"), col("id"), col("lang"), col("tokens"))
+    },
+    Some("""WITH gen AS (
+              SELECT id, ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                     (id * 2654435761) % 997 AS tokens
+              FROM range(0, 1000000) t(id))
+            SELECT 'limit7' AS leg, id, lang, tokens FROM gen
+            WHERE id >= 100 AND id < 107
+            UNION ALL
+            SELECT 'top5_desc' AS leg, id, lang, tokens FROM gen
+            WHERE id >= 999995""")
+  )
+
   /** q166 — CUSTOM STREAMING SOURCE: the docgen connector read through
     * Structured Streaming (`MICRO_BATCH_READ`), draining 100k generated
     * rows in 8 admission-controlled micro-batches of 12 500
@@ -1420,5 +1481,6 @@ object Sources {
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
-      bucketPrunedRead, smbJoin, analyzeStats, columnDefaults)
+      bucketPrunedRead, smbJoin, analyzeStats, columnDefaults,
+      docgenAggPushdown, docgenTopNPushdown)
 }

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform, aggregate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -41,7 +41,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     exactly, which `DocGenSourceSpec` proves differentially;
   *   - `planInputPartitions` — the range splits into `slices` even
   *     chunks, one [[PartitionReader]] each: distributed parallelism is
-  *     planned by the source, not inherited from a parent RDD.
+  *     planned by the source, not inherited from a parent RDD;
+  *   - `SupportsPushDownLimit` / `SupportsPushDownTopN` — LIMIT and
+  *     ORDER-BY-id-LIMIT narrow the planned range to answer-sized
+  *     (q243): "head the table" never scans the table;
+  *   - `SupportsPushDownAggregates` (complete) — ungrouped COUNT /
+  *     MIN(id) / MAX(id) / SUM(id) answered in closed form from range
+  *     metadata by a one-row [[DocGenAggScan]] (q242) — the parquet-
+  *     footer-count class of optimization, as a connector contract.
   *
   * Everything after `build()` is immutable and serializable; each reader
   * is a pure counter, so the source also demonstrates the zero-state
@@ -90,12 +97,17 @@ class DocGenTable(rows: Long, slices: Int, rowsPerBatch: Long)
 class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = DocGen.Schema
+  private var partiallyPushed = false
+  private var aggTags: Option[Array[String]] = None
 
   private def long(v: Any): Option[Long] = v match {
     case n: Long => Some(n)
@@ -129,8 +141,123 @@ class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DocGenScan(lo, math.max(lo, hi), slices, rowsPerBatch, required)
+  /** LIMIT pushdown: LIMIT n over an ordered generator is satisfiable by
+    * the FIRST n rows of the (already filter-narrowed) range, so the
+    * range shrinks to [lo, lo+n) before partition planning — at 100 TB,
+    * "show me a few rows" stops costing a table scan. Fully pushed
+    * (`isPartiallyPushed = false`): Spark drops its own Limit, so the
+    * contract is exact-row-count, which the range arithmetic guarantees.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    partiallyPushed = false
+    true
+  }
+
+  /** Top-N pushdown (ORDER BY id ASC|DESC LIMIT n): the generator emits
+    * ids in ascending order, so the top-N rows are exactly the first
+    * (ASC) or last (DESC) n of the range — the scan narrows to that
+    * window and generates n rows instead of the table. Reported
+    * PARTIALLY pushed: the n survivors may span several planned
+    * partitions (and DESC rows still come out ascending), so Spark keeps
+    * its Sort+Limit — now over n rows, not the corpus. Row generation,
+    * not the final sort, is the 100 TB cost being deleted.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onId = orders.length == 1 && (orders(0).expression() match {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+      case _                 => false
+    })
+    if (!onId) false
+    else {
+      if (orders(0).direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + limit)
+      else lo = math.max(lo, hi - limit)
+      partiallyPushed = true
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = partiallyPushed
+
+  /** Aggregate pushdown: ungrouped COUNT / MIN(id) / MAX(id) / SUM(id)
+    * are answerable in CLOSED FORM from the narrowed range bounds — the
+    * connector-side equivalent of a parquet footer count or a manifest's
+    * min/max, where "aggregate the table" costs O(1) metadata instead of
+    * a scan. Complete pushdown (the scan emits the final one-row
+    * answer), so the plan has NO aggregate work left above the scan;
+    * Spark requires complete-pushdown scans to be single-partition,
+    * which [[DocGenAggScan]] plans.
+    */
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+      case _                 => false
+    }
+
+  private def aggTag(f: aggregate.AggregateFunc): Option[String] = f match {
+    case _: aggregate.CountStar                          => Some("count_star")
+    case c: aggregate.Count if !c.isDistinct && isId(c.column) => Some("count_star")
+    case m: aggregate.Min if isId(m.column)              => Some("min_id")
+    case m: aggregate.Max if isId(m.column)              => Some("max_id")
+    case s: aggregate.Sum if !s.isDistinct && isId(s.column) => Some("sum_id")
+    case _                                               => None
+  }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(aggTag(_).isDefined)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggTags = Some(agg.aggregateExpressions.map(f => aggTag(f).get))
+      true
+    }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new DocGenAggScan(lo, math.max(lo, hi), tags)
+    case None       => new DocGenScan(lo, math.max(lo, hi), slices, rowsPerBatch, required)
+  }
+}
+
+/** One-partition, one-row scan serving a completely-pushed aggregation
+  * from the range bounds — no document row is ever generated. SUM uses
+  * the arithmetic-series closed form (exact in Long for the generator's
+  * ranges; id sums overflow 64 bits only past ~4.3e9 rows, far above the
+  * `rows` option's intended use). Empty range → SQL semantics: COUNT 0,
+  * MIN/MAX/SUM null.
+  */
+class DocGenAggScan(lo: Long, hi: Long, tags: Array[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(tags.zipWithIndex.map {
+    case (t, i) => StructField(s"${t}_$i", LongType, nullable = t != "count_star")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DocGenAggScan range=[$lo,$hi) agg=[${tags.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenAggPartition(lo, hi, tags))
+  override def createReaderFactory(): PartitionReaderFactory = new DocGenAggReaderFactory
+}
+
+case class DocGenAggPartition(lo: Long, hi: Long, tags: Array[String])
+    extends InputPartition
+
+class DocGenAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val first = !emitted; emitted = true; first }
+      override def get(): InternalRow = {
+        val n = part.hi - part.lo
+        new GenericInternalRow(part.tags.map[Any] {
+          case "count_star" => n
+          case "min_id"     => if (n > 0) part.lo else null
+          case "max_id"     => if (n > 0) part.hi - 1 else null
+          case "sum_id"     => if (n > 0) (part.lo + part.hi - 1) * n / 2 else null
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class DocGenScan(lo: Long, hi: Long, slices: Int, rowsPerBatch: Long, schema: StructType)

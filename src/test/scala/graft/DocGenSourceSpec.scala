@@ -67,6 +67,48 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(ids.nonEmpty && ids.forall(i => i % 5 == 0 && i < 50))
   }
 
+  test("q242: complete aggregate pushdown answers from range metadata") {
+    val agg = read().where(col("id") >= 100 && col("id") < 300)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // the scan IS the aggregate: closed-form one-row answer, and no
+    // aggregate operator survives above it
+    assert(plan.contains("DocGenAggScan range=[100,300) agg=[count_star,min_id,max_id,sum_id]"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    val r = agg.collect().head
+    // differential: the unpushed computation over generated rows
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Long]("min_id") == 100L)
+    assert(r.getAs[Long]("max_id") == 299L)
+    assert(r.getAs[Long]("sum_id") == (100L to 299L).sum)
+  }
+
+  test("q242: empty-range aggregate keeps SQL semantics (count 0, min/sum null)") {
+    val r = read().where(col("id") < 0)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), sum(col("id")).as("sm"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("q243: LIMIT is fully pushed — range narrows, Limit operator gone") {
+    val lim = read().where(col("id") >= 100).limit(7)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenScan range=[100,107)"), plan)
+    assert(!plan.contains("Limit") && !plan.contains("TakeOrdered"), plan)
+    assert(lim.collect().map(_.getAs[Long]("id")).sorted.toSeq == (100L to 106L))
+  }
+
+  test("q243: ORDER BY id DESC LIMIT n generates only the last n ids") {
+    val top = read().orderBy(col("id").desc).limit(5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenScan range=[995,1000)"), plan)
+    // partially pushed: Spark still sorts the n survivors
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(top.collect().map(_.getAs[Long]("id")).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+  }
+
   test("partition planning honors slices and drops empty ranges") {
     assert(read(rows = 1000, slices = 8).rdd.getNumPartitions == 8)
     // narrowed range of 3 rows over 8 slices: only non-empty chunks plan
