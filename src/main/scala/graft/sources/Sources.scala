@@ -1093,6 +1093,83 @@ object Sources {
             WHERE id >= 999995""")
   )
 
+  /** q244 — DSv2 REPORTED PARTITIONING (`SupportsReportPartitioning` +
+    * `HasPartitionKey`): the docgen connector read in its lang-partitioned
+    * layout (`partitionBy=lang` — one planned partition per language,
+    * each carrying its key), with the layout reported to Catalyst as
+    * `KeyGroupedPartitioning(identity(lang))`. Under
+    * `spark.sql.sources.v2.bucketing.enabled`, groupBy(lang) plans BOTH
+    * aggregation phases inside the scan stage — ZERO exchanges in the
+    * executed plan (`DocGenSourceSpec` gates it). This is the "layout as
+    * metadata" contract Iceberg/Delta tables ship: at 100 TB the data is
+    * already clustered on disk, and re-shuffling it per query is the
+    * single largest avoidable cost. Oracle replays the generator range.
+    */
+  val docgenKeyGroupedAgg = Q(
+    "q244_v2_keygrouped_agg",
+    (s, _) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.read.format("graft.sources.docgen")
+        .option("rows", "1000000").option("partitionBy", "lang").load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("tokens")).as("sum_tokens"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM (SELECT id,
+                         ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                         (id * 2654435761) % 997 AS tokens
+                  FROM range(0, 1000000) t(id))
+            GROUP BY lang""")
+  )
+
+  /** q245 — STORAGE-PARTITIONED JOIN: two lang-partitioned docgen reads
+    * (1M- and 500k-row generations of the same layout), each aggregated
+    * per lang IN ITS SCAN STAGE, then joined on lang — and the executed
+    * plan contains NOT ONE Exchange: the planner proves co-partitioning
+    * from the two scans' reported `KeyGroupedPartitioning` and feeds the
+    * SortMergeJoin directly (partition-local sorts of 5 rows). The
+    * no-bucket-tables twin of q220's SMB join: there the layout came
+    * from a bucketed WRITE the engine did earlier; here it is connector
+    * metadata about data that never moved at all — the join class
+    * (fact×fact on the partition key) that at 100 TB either shuffles
+    * both sides per query or costs nothing. `DocGenSourceSpec` gates
+    * zero exchanges differentially against the unreported twin.
+    */
+  val docgenSpjJoin = Q(
+    "q245_v2_spj",
+    (s, _) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def read(rows: Long) = s2.read.format("graft.sources.docgen")
+        .option("rows", rows.toString).option("partitionBy", "lang").load()
+      val a = read(1000000L).groupBy("lang")
+        .agg(count(lit(1)).as("n_a"), sum(col("tokens")).as("tok_a"))
+      val b = read(500000L).groupBy("lang")
+        .agg(count(lit(1)).as("n_b"), min(col("id")).as("min_b"), max(col("id")).as("max_b"))
+      a.join(b, Seq("lang"))
+    },
+    Some("""WITH gen_a AS (
+              SELECT ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang,
+                     (id * 2654435761) % 997 AS tokens
+              FROM range(0, 1000000) t(id)),
+            gen_b AS (
+              SELECT id, ['en','de','fr','es','it'][CAST(id % 5 AS INT) + 1] AS lang
+              FROM range(0, 500000) t(id)),
+            a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_a,
+                         CAST(sum(tokens) AS BIGINT) AS tok_a
+                  FROM gen_a GROUP BY lang),
+            b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_b,
+                         min(id) AS min_b, max(id) AS max_b
+                  FROM gen_b GROUP BY lang)
+            SELECT a.lang, n_a, tok_a, n_b, min_b, max_b
+            FROM a JOIN b USING (lang)""")
+  )
+
   /** q166 — CUSTOM STREAMING SOURCE: the docgen connector read through
     * Structured Streaming (`MICRO_BATCH_READ`), draining 100k generated
     * rows in 8 admission-controlled micro-batches of 12 500
@@ -1482,5 +1559,5 @@ object Sources {
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
       bucketPrunedRead, smbJoin, analyzeStats, columnDefaults,
-      docgenAggPushdown, docgenTopNPushdown)
+      docgenAggPushdown, docgenTopNPushdown, docgenKeyGroupedAgg, docgenSpjJoin)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform, aggregate}
-import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{HasPartitionKey, _}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,20 +81,21 @@ class DefaultSource extends TableProvider {
     new DocGenTable(
       properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("rowsPerBatch", "25000").toLong)
+      properties.getOrDefault("rowsPerBatch", "25000").toLong,
+      properties.getOrDefault("partitionBy", "") == "lang")
 }
 
-class DocGenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+class DocGenTable(rows: Long, slices: Int, rowsPerBatch: Long, byLang: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"docgen(rows=$rows)"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, slices, rowsPerBatch)
+    new DocGenScanBuilder(rows, slices, rowsPerBatch, byLang)
 }
 
-class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long, byLang: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -213,8 +214,68 @@ class DocGenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     }
 
   override def build(): Scan = aggTags match {
-    case Some(tags) => new DocGenAggScan(lo, math.max(lo, hi), tags)
-    case None       => new DocGenScan(lo, math.max(lo, hi), slices, rowsPerBatch, required)
+    case Some(tags)      => new DocGenAggScan(lo, math.max(lo, hi), tags)
+    case None if byLang  => new DocGenLangScan(lo, math.max(lo, hi), required)
+    case None            => new DocGenScan(lo, math.max(lo, hi), slices, rowsPerBatch, required)
+  }
+}
+
+/** Lang-partitioned scan (`.option("partitionBy", "lang")`): one planned
+  * partition per language (ids ≡ i mod 5), each carrying its key via
+  * [[HasPartitionKey]], with the layout REPORTED to Catalyst as
+  * `KeyGroupedPartitioning(identity(lang))` through
+  * [[SupportsReportPartitioning]]. Under
+  * `spark.sql.sources.v2.bucketing.enabled`, Spark's planner treats the
+  * scan output as already clustered by `lang`: aggregations on lang run
+  * both phases in the scan stage with NO shuffle, and two such scans
+  * joined on lang-prefixed keys co-partition into a storage-partitioned
+  * join with NO exchange on either side — the Iceberg/Delta "layout as
+  * metadata" contract (q244/q245), the difference between re-shuffling
+  * 100 TB per query and never shuffling it at all.
+  */
+class DocGenLangScan(lo: Long, hi: Long, schema: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  private def langParts: Array[DocGenLangPartition] =
+    (0 until DocGen.Langs.length).map { i =>
+      // first id >= lo with id % 5 == i
+      val start = lo + ((i - lo) % 5 + 5) % 5
+      DocGenLangPartition(i, start, hi, schema.fieldNames)
+    }.filter(p => p.start < p.end).toArray
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("lang")),
+      langParts.length)
+  override def description(): String =
+    s"DocGenLangScan range=[$lo,$hi) cols=[${schema.fieldNames.mkString(",")}] keyGrouped=lang"
+  override def planInputPartitions(): Array[InputPartition] = langParts.toArray
+  override def createReaderFactory(): PartitionReaderFactory = new DocGenLangReaderFactory
+}
+
+case class DocGenLangPartition(langIdx: Int, start: Long, end: Long, cols: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](DocGen.lang(langIdx.toLong)))
+}
+
+class DocGenLangReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenLangPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 5
+      override def next(): Boolean = { id += 5; id < part.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(part.cols.map[Any] {
+          case "id"     => id
+          case "lang"   => DocGen.lang(id)
+          case "tokens" => DocGen.tokens(id)
+          case "score"  => DocGen.score(id)
+        })
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -109,6 +109,54 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(top.collect().map(_.getAs[Long]("id")).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
   }
 
+  private def langSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
+
+  private def langRead(s: org.apache.spark.sql.SparkSession, rows: Long) =
+    s.read.format("graft.sources.docgen")
+      .option("rows", rows.toString).option("partitionBy", "lang").load()
+
+  test("q244: lang-partitioned read generates exactly the plain read's rows") {
+    val s2 = langSession
+    val byLang = langRead(s2, 1000).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val plain = read(1000).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(byLang.toSeq == plain.toSeq)
+  }
+
+  test("q244: reported KeyGroupedPartitioning makes groupBy(lang) exchange-free") {
+    val s2 = langSession
+    val agg = langRead(s2, 1000).groupBy("lang").agg(count(lit(1)).as("n"))
+    agg.collect() // AQE: final plan only exists after execution
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenLangScan"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // differential: without the reported layout the same aggregation shuffles
+    val unreported = read(1000).groupBy("lang").agg(count(lit(1)).as("n"))
+    unreported.collect()
+    assert(unreported.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("q245: co-partitioned scans join with zero exchanges (storage-partitioned join)") {
+    val s2 = langSession
+    val a = langRead(s2, 2000).groupBy("lang").agg(sum(col("tokens")).as("tok_a"))
+    val b = langRead(s2, 1000).groupBy("lang").agg(min(col("id")).as("min_b"))
+    val j = a.join(b, Seq("lang"))
+    val rows = j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(rows.length == 5)
+    // min id per lang in [0, 1000): lang i holds ids ≡ i (mod 5) → min is i's
+    // first id, i.e. the langIdx itself reordered by lang name
+    val minByLang = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("min_b")).toMap
+    val expected = (0 until 5).map(i => graft.sources.docgen.DocGen.Langs(i) -> i.toLong).toMap
+    assert(minByLang == expected.map { case (k, v) => k -> v })
+  }
+
   test("partition planning honors slices and drops empty ranges") {
     assert(read(rows = 1000, slices = 8).rdd.getNumPartitions == 8)
     // narrowed range of 3 rows over 8 slices: only non-empty chunks plan
