@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.Q.{dsum2, sqlSum2}
+import graft.Q.{dsum2, sqlSum2, sqlSum4}
 import graft.functions.TextFns
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2214,6 +2214,90 @@ object Relational2 {
              FROM released GROUP BY 1, 2""")
   )
 
+  /** q246 — SQL PIPE SYNTAX (`|>`): Spark 4's linear query form — each
+    * stage consumes the previous stage's relation, so transformations
+    * read top-to-bottom like the DataFrame API but stay pure SQL
+    * (`FROM … |> WHERE … |> EXTEND … |> AGGREGATE … GROUP BY …`).
+    * Exercised stages: WHERE (pre-agg), EXTEND with a LATERAL column
+    * alias (the second EXTEND references the first's `tax` — resolution
+    * within the growing row, SQL:2023's lateral alias rule), AGGREGATE
+    * with GROUP BY, post-aggregate WHERE (the HAVING position), ORDER
+    * BY. Pipe stages are pure parser surface: Catalyst sees the SAME
+    * logical plan as the classic form, so every optimization
+    * (pushdown, partial agg) applies unchanged — the oracle IS the
+    * classic spelling.
+    */
+  val sqlPipe = Q(
+    "q246_sql_pipe",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(s"""FROM orders_v
+                |> WHERE o_orderstatus <> 'P'
+                |> EXTEND o_totalprice * 0.1 AS tax
+                |> EXTEND tax * 0.5 AS half_tax
+                |> AGGREGATE count(*) AS n, ${sqlSum4("tax")} AS sum_tax,
+                     ${sqlSum4("half_tax")} AS sum_half
+                   GROUP BY o_orderpriority, o_orderstatus
+                |> WHERE n > 5
+                |> ORDER BY o_orderpriority, o_orderstatus""")
+    },
+    Some(s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                    ${sqlSum4("o_totalprice * 0.1")} AS sum_tax,
+                    ${sqlSum4("o_totalprice * 0.1 * 0.5")} AS sum_half
+             FROM orders
+             WHERE o_orderstatus <> 'P'
+             GROUP BY o_orderpriority, o_orderstatus
+             HAVING count(*) > 5""")
+  )
+
+  /** q247 — NOT IN three-valued logic: the SQL-semantics trap every
+    * migration hits once. Three legs over the same intent ("orders whose
+    * customer is not in the BUILDING segment"): (1) `NOT IN` against a
+    * null-free subquery — behaves like an anti join; (2) `NOT IN`
+    * against the SAME subquery with one NULL poisoned in — `x NOT IN
+    * (…, NULL)` is never TRUE (x <> NULL is UNKNOWN), so the leg is
+    * provably EMPTY; (3) `NOT EXISTS` — the null-immune spelling that
+    * keeps the anti-join answer regardless. The count triple is the
+    * whole lesson in one row each. Scale note: a nullable NOT IN forces
+    * Spark to plan a NULL-AWARE anti join (BroadcastNestedLoopJoin —
+    * the subquery must broadcast whole), while NOT EXISTS plans a hash
+    * anti join that shuffles and scales; semantics and plan both say
+    * "spell it NOT EXISTS".
+    */
+  val notInNulls = Q(
+    "q247_not_in_nulls",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT 'not_in_clean' AS leg, count(*) AS n FROM orders_v
+               WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING')
+               UNION ALL
+               SELECT 'not_in_null_poisoned', count(*) FROM orders_v
+               WHERE o_custkey NOT IN
+                 (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END
+                  FROM customer_v WHERE c_mktsegment = 'BUILDING')
+               UNION ALL
+               SELECT 'not_exists', count(*) FROM orders_v o
+               WHERE NOT EXISTS
+                 (SELECT 1 FROM customer_v c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""")
+    },
+    Some("""SELECT 'not_in_clean' AS leg, count(*) AS n FROM orders
+            WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            UNION ALL
+            SELECT 'not_in_null_poisoned', count(*) FROM orders
+            WHERE o_custkey NOT IN
+              (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END
+               FROM customer WHERE c_mktsegment = 'BUILDING')
+            UNION ALL
+            SELECT 'not_exists', count(*) FROM orders o
+            WHERE NOT EXISTS
+              (SELECT 1 FROM customer c
+               WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2223,5 +2307,5 @@ object Relational2 {
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
-    timestampNtz, intersectAll, pivotMulti, kAnonymity)
+    timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls)
 }
