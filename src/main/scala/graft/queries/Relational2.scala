@@ -2298,6 +2298,124 @@ object Relational2 {
                WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""")
   )
 
+  /** Decimal-exact portable moments (q03/dsum2 discipline lifted to
+    * avg/stddev): mean = exact decimal sum ÷ count, sd = sqrt(E[x²]−µ²)
+    * with x² summed at scale 4 — every step is the same IEEE op sequence
+    * in Spark and DuckDB, so iterated comparisons on the results can
+    * never diverge. x² at scale 4 is exact: the double's half-ulp error
+    * (≤3e-5 at the table's magnitudes) is under the 5e-5 decimal-grid
+    * boundary, so both engines' double→decimal casts recover the true
+    * 4-decimal value.
+    */
+  private def muExpr(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+
+  /** sd is QUANTIZED to a 1e-4 grid with the portable floor(x+0.5) idiom:
+    * the exact decimal sum of squares exceeds 2^53 units at this table's
+    * magnitudes, so the two engines' decimal→double casts can differ by
+    * an ulp (observed 4e-10 in sd) — below the grid step by 5 orders,
+    * so both engines snap to the SAME double and the iteration state
+    * (which feeds the next pass's filter bounds) stays bit-identical.
+    */
+  private def sdExpr(x: String) =
+    s"""floor(sqrt(CAST(SUM(CAST($x * $x AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+                   - (${muExpr(x)}) * (${muExpr(x)})) * 10000 + 0.5) / 10000.0"""
+
+  /** q248 — SQL SCRIPTING (`BEGIN … END`, Spark 4): procedural control
+    * flow executed by the ENGINE — DECLARE'd variables, a compound
+    * `SET (mu, sd, n) = (subquery)`, and a WHILE loop — no driver-side
+    * Scala steering the iteration. The workload is iterated σ-TRIMMING
+    * (each pass recomputes mean/stddev over rows within the PREVIOUS
+    * pass's µ±σ — the classic robust-statistics clean-up): 4 passes,
+    * seeded with (0, 1e15) so pass 1 sees every row. Each pass is one
+    * distributed aggregate; the script is orchestration, not data
+    * path — exactly how a 100 TB deployment should use scripting.
+    * Oracle unrolls the loop as 4 CTE layers over the same
+    * decimal-exact moment expressions, so even the doubles match
+    * bit-for-bit.
+    */
+  val sqlScripting = Q(
+    "q248_sql_scripting",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(s"""BEGIN
+                  DECLARE mu DOUBLE DEFAULT 0.0;
+                  DECLARE sd DOUBLE DEFAULT 1e15;
+                  DECLARE n BIGINT DEFAULT 0;
+                  DECLARE i INT DEFAULT 0;
+                  WHILE i < 4 DO
+                    SET (mu, sd, n) =
+                      (SELECT ${muExpr("o_totalprice")}, ${sdExpr("o_totalprice")}, count(*)
+                       FROM orders_v
+                       WHERE o_totalprice BETWEEN mu - sd AND mu + sd);
+                    SET i = i + 1;
+                  END WHILE;
+                  SELECT i AS iters, n AS n_kept, mu, sd;
+                END""")
+    },
+    Some(s"""WITH s1 AS (SELECT ${muExpr("o_totalprice")} AS mu, ${sdExpr("o_totalprice")} AS sd,
+                                count(*) AS n FROM orders),
+                  f2 AS (SELECT o_totalprice FROM orders, s1
+                         WHERE o_totalprice BETWEEN s1.mu - s1.sd AND s1.mu + s1.sd),
+                  s2 AS (SELECT ${muExpr("o_totalprice")} AS mu, ${sdExpr("o_totalprice")} AS sd,
+                                count(*) AS n FROM f2),
+                  f3 AS (SELECT o_totalprice FROM orders, s2
+                         WHERE o_totalprice BETWEEN s2.mu - s2.sd AND s2.mu + s2.sd),
+                  s3 AS (SELECT ${muExpr("o_totalprice")} AS mu, ${sdExpr("o_totalprice")} AS sd,
+                                count(*) AS n FROM f3),
+                  f4 AS (SELECT o_totalprice FROM orders, s3
+                         WHERE o_totalprice BETWEEN s3.mu - s3.sd AND s3.mu + s3.sd),
+                  s4 AS (SELECT ${muExpr("o_totalprice")} AS mu, ${sdExpr("o_totalprice")} AS sd,
+                                count(*) AS n FROM f4)
+             SELECT 4 AS iters, n AS n_kept, mu, sd FROM s4""")
+  )
+
+  /** q249 — PARAMETERIZED SQL + SESSION VARIABLES: the two injection-safe
+    * ways a value enters a query. Leg 1 binds NAMED PARAMETER MARKERS
+    * (`:status`, `:floor`) through `spark.sql(text, args)` — typed
+    * literals substituted by the PARSER, the API that kills
+    * string-concatenated SQL. Leg 2 DECLAREs a session variable, SETs it
+    * from a scalar subquery (the F-segment average price — decimal-exact
+    * so the threshold is the same double in the oracle), and reads it
+    * from a second statement: state that lives in the SESSION, the
+    * multi-statement dependency pattern (compute a threshold once, use
+    * it everywhere) without a driver round-trip of the value through
+    * Scala. Oracle inlines the parameters and recomputes the variable as
+    * a scalar subquery.
+    */
+  val parameterizedSql = Q(
+    "q249_parameterized_sql",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      val leg1 = s.sql(
+        s"""SELECT 'param' AS leg, o_orderpriority AS k, count(*) AS n,
+                   ${sqlSum2("o_totalprice")} AS rev
+            FROM orders_v
+            WHERE o_orderstatus = :status AND o_totalprice > :floor
+            GROUP BY o_orderpriority""",
+        Map("status" -> "F", "floor" -> 100000))
+      s.sql("DECLARE OR REPLACE VARIABLE f_avg_price DOUBLE")
+      s.sql(s"""SET VAR f_avg_price =
+                (SELECT ${muExpr("o_totalprice")} FROM orders_v WHERE o_orderstatus = 'F')""")
+      val leg2 = s.sql(
+        s"""SELECT 'session_var' AS leg, 'ALL' AS k, count(*) AS n,
+                   ${sqlSum2("o_totalprice")} AS rev
+            FROM orders_v WHERE o_totalprice > f_avg_price""")
+      leg1.unionByName(leg2)
+    },
+    Some(s"""SELECT 'param' AS leg, o_orderpriority AS k, count(*) AS n,
+                    ${sqlSum2("o_totalprice")} AS rev
+             FROM orders
+             WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+             GROUP BY o_orderpriority
+             UNION ALL
+             SELECT 'session_var' AS leg, 'ALL' AS k, count(*) AS n,
+                    ${sqlSum2("o_totalprice")} AS rev
+             FROM orders
+             WHERE o_totalprice > (SELECT ${muExpr("o_totalprice")} FROM orders
+                                   WHERE o_orderstatus = 'F')""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2307,5 +2425,6 @@ object Relational2 {
     sqlUdf, mapFunctions, joinHints, calendarWindows, cachedDim, orderedSetAggs,
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
-    timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls)
+    timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
+    sqlScripting, parameterizedSql)
 }
