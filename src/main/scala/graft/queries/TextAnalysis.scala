@@ -1704,10 +1704,42 @@ object TextAnalysis {
     }
   )
 
+  /** q250 — CHARACTER-ENTROPY quality signal via the native
+    * [[graft.functions.CharEntropy]] expression (the 6th codegen'd
+    * expression, `functions/CharEntropy.scala`): Shannon entropy in bits
+    * of each document's codepoint distribution — the corpus screen that
+    * catches what q31's length/stopword heuristics miss (keyboard mash,
+    * base64 blobs, repeated-char padding all score far from the
+    * 3.7–4.3-bit band natural prose occupies in this corpus). Per-row
+    * O(len) histogram INSIDE whole-stage codegen — no explode, no
+    * shuffle, payload never leaves its partition; the relational replay
+    * (explode → per-(doc,char) counts → log2 fold) exists only as the
+    * DuckDB oracle, where it shuffles `total_chars` rows to prove the
+    * value this expression computes in place. The flag compares the
+    * ROUNDED value on both sides, so boundary rows cannot disagree.
+    */
+  val charEntropy = Q(
+    "q250_char_entropy",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(graft.functions.CharEntropy(col("text")), 6).as("entropy_bits"))
+        .withColumn("low_entropy", col("entropy_bits") < 4.0),
+    Some("""WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+            counts AS (
+              SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+            ent AS (
+              SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+              FROM counts GROUP BY doc_id)
+            SELECT d.doc_id, d.lang, e.entropy_bits, e.entropy_bits < 4.0 AS low_entropy
+            FROM documents d JOIN ent e USING (doc_id)""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
       qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
-      langMixture)
+      langMixture, charEntropy)
 }
