@@ -1613,6 +1613,64 @@ object EventWindows {
              SELECT user_id, s_start, s_end, n, sum_value FROM agg""")
   )
 
+  /** q251 — `transformWithState` LIST STATE: the per-user "3 most
+    * recent purchases" tracker ([[graft.streaming.RecentPurchases]]) —
+    * the third state shape of the family (ValueState q189, MapState
+    * q223), kept O(k) per key by REWRITING the list as top-k each batch
+    * instead of appending history. Two named state variables share the
+    * key (the bounded list + a ValueState counter). The merge sorts on
+    * the total order (ts, event_id) before truncating, so intra-batch
+    * arrival order — which the engine does not specify — cannot change
+    * the answer; the final row per key is `max(struct(n, …))` over the
+    * Update-mode emissions (q189's batching-independence discipline).
+    * Oracle: the batch top-3-recency replay (row_number over ts DESC).
+    */
+  val transformWithListState = Q(
+    "q251_tws_liststate",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_tws_list_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RecentPurchases(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_purch", "last3")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_purch"), col("last3"))).as("b"))
+        .select(col("user_id"), col("b.n_purch").as("n_purch"), col("b.last3").as("last3"))
+    },
+    Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, event_id,
+                              row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM p),
+                 l AS (SELECT user_id,
+                              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last3
+                       FROM r WHERE rn <= 3 GROUP BY user_id),
+                 n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+                       FROM p GROUP BY user_id)
+            SELECT n.user_id, n.n_purch, l.last3 FROM n JOIN l USING (user_id)""")
+  )
+
   /** q239 — LOCF imputation (last observation carried forward): the
     * time-series repair q66's zero-fill cannot express — a missing
     * reading means "unchanged since the last one", not zero (sensor
@@ -1724,5 +1782,5 @@ object EventWindows {
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
-      dynamicSessionGap, locfImpute, autocorr)
+      dynamicSessionGap, locfImpute, autocorr, transformWithListState)
 }

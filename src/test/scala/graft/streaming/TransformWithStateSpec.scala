@@ -51,6 +51,47 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q251: ListState stays top-k across batches — old entries evicted, not appended") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Long, Long)] // (user, tsMicros, event_id)
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RecentPurchases(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_purch", "last3")
+    val name = "twsl_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      // batch 1: two purchases → list holds both, newest first
+      input.addData((1L, 100L, 11L), (1L, 200L, 12L))
+      q.processAllAvailable()
+      val b1 = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(b1 === Set((1L, 2L, "12,11")), s"batch-1 list wrong: $b1")
+      // batch 2: two MORE purchases, one newer, one older than everything —
+      // the top-3 window slides: 14 (ts 400) and 12, 11 survive; ts-50 never enters
+      input.addData((1L, 400L, 14L), (1L, 50L, 10L))
+      q.processAllAvailable()
+      val last = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .maxBy(_._2)
+      assert(last === ((1L, 4L, "14,12,11")),
+        s"cross-batch truncation wrong (append-only state would show 4 ids): $last")
+      // batch 3: a newer purchase evicts the OLDEST stored entry (11)
+      input.addData((1L, 500L, 15L))
+      q.processAllAvailable()
+      val fin = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .maxBy(_._2)
+      assert(fin === ((1L, 5L, "15,14,12")), s"eviction across batches wrong: $fin")
+    } finally q.stop()
+  }
+
   test("q223: MapState entries persist per type and keys() sees the whole map") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
