@@ -481,6 +481,42 @@ object Sources {
              WHERE event_id IN (${BloomNeedles.mkString(", ")})""")
   )
 
+  /** q252 — HILBERT-CURVE CLUSTERED PRUNED READ: q169's end-to-end
+    * data-skipping pipeline with the clustering key swapped from the
+    * Morton code to the native [[graft.functions.HilbertIndex]]
+    * expression — the layout Delta Lake's liquid clustering moved to,
+    * because the Hilbert curve's defining property (consecutive
+    * positions are ALWAYS adjacent cells; Morton takes O(2^k)-cell
+    * jumps at quadrant seams) means a contiguous curve segment — one
+    * file under `repartitionByRange(hval)` — covers a tighter (x, y)
+    * rectangle, so the same min/max envelope sidecar prunes at least
+    * as well on BOTH dimensions. The sidecar build, the
+    * envelope-intersection prune, the prune-all empty-relation path and
+    * the residual filter are all q169's machinery, reused verbatim via
+    * the `clusterBy` hook — only the curve changed, which is exactly
+    * the operational claim (re-clustering a table is a layout swap, not
+    * a reader change). Correctness never depends on the curve: the
+    * residual filter re-applies the full predicate and the oracle is
+    * the plain filter over the source table. `HilbertSpec` proves the
+    * adjacency property on the whole order-6 curve (and exhibits the
+    * Morton seam jump it fixes), round-trips xy2d/d2xy, pins
+    * interpreted ≡ codegen, and gates the file economics: the Hilbert
+    * prune reads a strict subset of the files written.
+    */
+  val hilbertPrunedRead = Q(
+    "q252_hilbert_pruned_read",
+    (s, d) => zorderPruned(s, d, tag = "hilbert_store",
+      clusterBy = df => df
+        .withColumn("zval",
+          graft.functions.HilbertIndex(col("user_id"), col("vbin")))
+        .repartitionByRange(ZPruneFiles, col("zval"))
+        .sortWithinPartitions("zval"))._3,
+    Some(s"""SELECT event_id, user_id, CAST(floor("value") AS BIGINT) AS vbin, "value"
+             FROM events
+             WHERE user_id BETWEEN ${ZPredU._1} AND ${ZPredU._2}
+               AND CAST(floor("value") AS BIGINT) BETWEEN ${ZPredV._1} AND ${ZPredV._2}""")
+  )
+
   /** q185 — DYNAMIC PARTITION OVERWRITE: the lakehouse restatement op
     * the suite's other writes don't cover. A day-partitioned store
     * absorbs a CORRECTION BATCH (one day's rows restated — the
@@ -1556,7 +1592,7 @@ object Sources {
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
-      deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup,
+      deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup, hilbertPrunedRead,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
       bucketPrunedRead, smbJoin, analyzeStats, columnDefaults,
       docgenAggPushdown, docgenTopNPushdown, docgenKeyGroupedAgg, docgenSpjJoin)
