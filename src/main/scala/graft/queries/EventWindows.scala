@@ -1671,6 +1671,145 @@ object EventWindows {
             SELECT n.user_id, n.n_purch, l.last3 FROM n JOIN l USING (user_id)""")
   )
 
+  /** q253 — `transformWithState` STATE TTL ([[graft.streaming.TtlTotals]]):
+    * the state-hygiene primitive for UNBOUNDED key spaces. Every keyed
+    * stateful operator in this suite so far keeps a key's state until a
+    * timer fires (q195) or forever (q189/q223/q251) — but production key
+    * spaces (user ids, device ids, session tokens) grow without bound
+    * and mostly never return, so "forever" is a slow OOM at 10^9 keys.
+    * `TTLConfig(ttl)` under `TimeMode.ProcessingTime` expires an idle
+    * key's state with NO per-key timer, no tombstone traffic, no
+    * processor involvement: the engine filters expired values at read
+    * and reclaims them in maintenance — O(0) per live key, which is the
+    * difference between timers and TTL at fleet scale. The registered
+    * run uses a 1-hour TTL that nothing in a single drain can outlive
+    * (oracle = plain per-user click totals, cent-exact longs);
+    * `TtlStateSpec` proves the two behaviors the oracle can't see:
+    * an idle key's state really expires (restart-from-zero after
+    * sleeping past a short TTL) and an active key's state really
+    * persists (continuation across batches under a long TTL).
+    *
+    * Engine quirk this run designs around: TTL forces
+    * `TimeMode.ProcessingTime`, whose `shouldRunAnotherBatch` is
+    * unconditionally true (TransformWithStateExecBase — the engine
+    * keeps scheduling batches to re-evaluate wall-clock expiry), so an
+    * `AvailableNow` drain NEVER terminates and `processAllAvailable`
+    * never sees quiescence. The run therefore polls the sink until
+    * every click user has emitted — the one batch with data does all
+    * the work — then stops the query explicitly.
+    */
+  val transformWithTtlState = Q(
+    "q253_tws_ttl",
+    (s0, d) => {
+      // transformWithState REQUIRES the RocksDB provider (multiple
+      // column families); checkpoint file checksums are disabled here
+      // because their async-close future has deadlocked RocksDB
+      // snapshot uploads under rapid tiny batches in this environment
+      // (ChecksumCancellableFSDataOutputStream.close never completing)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_tws_ttl_" + java.util.UUID.randomUUID().toString.take(8)
+      // completion target for the poll: one emission per click user
+      val expectedUsers = Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .select("user_id").distinct().count()
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.TtlTotals(3600000L),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_click", "cents")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.isActive && System.nanoTime() < deadline &&
+            s.table(name).select("user_id").distinct().count() < expectedUsers)
+            Thread.sleep(100)
+        } finally {
+          q.stop()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_click"), col("cents"))).as("b"))
+        .select(col("user_id"), col("b.n_click").as("n_click"),
+          col("b.cents").as("cents"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_click,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'click' GROUP BY user_id""")
+  )
+
+  /** q254 — watermarked stream-stream LEFT SEMI interval join: the
+    * conversion FLAG the join-type family still lacked (inner q74 emits
+    * one row PER matching purchase — a view with 3 conversions
+    * triplicates; left outer q182 and full outer q224 add null-padded
+    * rows). Semi answers the question funnels actually ask — "did this
+    * view convert within 6 h at all?" — emitting each matched view
+    * EXACTLY ONCE however many purchases land in its window, with no
+    * post-hoc distinct (which on an inner join's output would be a
+    * second full shuffle of the multiplied stream). Engine semantics: a
+    * left row emits the first time a match is seen and is marked in
+    * state so later matches can't re-emit; unmatched views never emit
+    * and their state is dropped once the watermark closes their
+    * interval — state stays bounded on both sides by the same
+    * watermark + time-range arithmetic as q74. Oracle: the EXISTS
+    * correlated subquery over the batch table — the textbook semi-join
+    * spelling. `StreamJoinSpec` pins the exactly-once emission against
+    * a double-match fixture and the never-matched row's silence.
+    */
+  val streamSemiJoin = Q(
+    "q254_stream_semi_join",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_semi_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        def src = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+        val views = src.where(col("event_type") === "view")
+          .select(col("user_id").as("user_v"), col("event_id").as("view_id"),
+            col("ts").as("ts_view"))
+        val buys = src.where(col("event_type") === "purchase")
+          .select(col("user_id").as("user_b"), col("ts").as("ts_buy"))
+        val q = views.join(buys,
+            col("user_v") === col("user_b") &&
+              col("ts_buy") >= col("ts_view") &&
+              col("ts_buy") <= col("ts_view") + expr("INTERVAL 6 HOURS"),
+            "left_semi")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .select(col("user_v").as("user_id"), col("view_id"), col("ts_view"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, v.ts AS ts_view
+            FROM events v
+            WHERE v.event_type = 'view'
+              AND EXISTS (SELECT 1 FROM events b
+                          WHERE b.event_type = 'purchase'
+                            AND b.user_id = v.user_id
+                            AND b.ts >= v.ts
+                            AND b.ts <= v.ts + INTERVAL '6 hours')""")
+  )
+
   /** q239 — LOCF imputation (last observation carried forward): the
     * time-series repair q66's zero-fill cannot express — a missing
     * reading means "unchanged since the last one", not zero (sensor
@@ -1782,5 +1921,6 @@ object EventWindows {
       transformWithStateTotals, stateStoreRead, sessionTimers, twsStateRead,
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
-      dynamicSessionGap, locfImpute, autocorr, transformWithListState)
+      dynamicSessionGap, locfImpute, autocorr, transformWithListState,
+      transformWithTtlState, streamSemiJoin)
 }

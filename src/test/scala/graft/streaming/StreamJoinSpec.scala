@@ -142,6 +142,46 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q254: left-semi join emits a double-matched view once and a never-matched view never") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDS().toDF("user", "vts").withWatermark("vts", "1 minute")
+    val b = buys.toDS().toDF("buser", "bts").withWatermark("bts", "1 minute")
+    val joined = v.join(b,
+      col("user") === col("buser") &&
+        col("bts") >= col("vts") &&
+        col("bts") <= col("vts") + expr("INTERVAL 5 MINUTES"),
+      "left_semi")
+    val name = "ssemi_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1's view matches TWO purchases in-window (the inner join
+      // would emit it twice); user 2 views and never buys
+      views.addData((1L, ts(10)), (2L, ts(20)))
+      buys.addData((1L, ts(100)), (1L, ts(200)))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      assert(early.count(_.getLong(0) == 1L) === 1,
+        s"double-matched view must emit exactly once, got ${early.length} rows")
+      assert(!early.exists(_.getLong(0) == 2L),
+        "unmatched view emitted")
+
+      // later matches for user 1 must NOT re-emit; watermark advances
+      // past user 2's window — semi join stays silent about it forever
+      buys.addData((1L, ts(250)), (9L, ts(10000)))
+      views.addData((9L, ts(10000)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.count(_.getLong(0) == 1L) === 1,
+        "a later in-window match re-emitted an already-emitted semi row")
+      assert(!rows.exists(_.getLong(0) == 2L),
+        "semi join emitted a never-matched left row after expiry")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed events across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
