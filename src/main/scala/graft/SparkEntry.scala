@@ -29,7 +29,8 @@ object SparkEntry {
       _root_.graft.operators.CleanCorpus.all ++
       _root_.graft.operators.SequencePacking.all ++
       _root_.graft.operators.GlobalOrder.all ++
-      _root_.graft.operators.PrefixScan.all
+      _root_.graft.operators.PrefixScan.all ++
+      _root_.graft.operators.MatrixScan.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own golden workload: character frequency count
