@@ -209,5 +209,102 @@ object Sketches {
          // band + merge-equality proofs (q19/q49 discipline)
   )
 
-  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore)
+  /** q256 — KMV (k-minimum-values / bottom-k) SKETCH INTERSECTION: the
+    * set operation the HLL family (q19/q105/q173) structurally CANNOT
+    * do. HLL sketches union perfectly but have no intersection —
+    * inclusion–exclusion over noisy cardinalities explodes the relative
+    * error when the overlap is small, which is exactly the
+    * contamination-estimation regime (train ∩ test is supposed to be
+    * tiny). A KMV sketch — the k smallest values of a uniform hash over
+    * the set — supports BOTH: union = k smallest of the merged sketches
+    * (EXACT, no information loss: min-k is a monoid, KmvSpec proves the
+    * two-level merge equals the single-level sketch bit-for-bit), and
+    * Jaccard = the fraction of the union-sketch's members present in
+    * both sides (the bottom-k sample is a uniform sample of the union —
+    * the same consistent-sampling insight as q229). |A∩B| ≈ J·|A∪B|.
+    *
+    * The registered run estimates CROSS-SPLIT LEAKAGE (q125's exact
+    * join, sketch-sized): distinct-text overlap between the even- and
+    * odd-doc_id halves of the corpus, from three 128-value sketches —
+    * at 100 TB that is three bottom-k scans (TakeOrderedAndProject:
+    * per-partition top-k, k rows shuffled per partition) and KB of
+    * driver state, vs q125's full distinct-join. Every number is a
+    * deterministic function of md5 (the portable hash family), so the
+    * DuckDB oracle replays the ALGORITHM exactly — a FULL hash oracle
+    * over sketch machinery (the q172/q173 discipline); the statistical
+    * quality contract (estimates within band of truth) lives in
+    * `KmvSpec` on a planted-overlap fixture.
+    */
+  private[graft] val KmvK = 128
+
+  /** Bottom-k sketches of the `text` column of both inputs + the
+    * derived estimates, one output row. Factored so `KmvSpec` can run
+    * a planted-overlap fixture through the identical machinery.
+    */
+  private[graft] def kmvEstimate(a0: org.apache.spark.sql.DataFrame,
+      b0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select(h.as("h")).distinct().orderBy("h").limit(KmvK)
+    val a = sketch(a0)
+    val b = sketch(b0)
+    val u = a.union(b).distinct().orderBy("h").limit(KmvK)
+    val inter = u.join(a, "h").join(b, "h")
+    val m = lit(1152921504606846976L).cast("double") // 2^60 hash space
+    u.agg(max(col("h")).as("kth_u"), count(lit(1)).as("k_u"))
+      .crossJoin(a.agg(max(col("h")).as("kth_a"), count(lit(1)).as("k_a")))
+      .crossJoin(b.agg(max(col("h")).as("kth_b"), count(lit(1)).as("k_b")))
+      .crossJoin(inter.agg(count(lit(1)).as("n_inter")))
+      .withColumn("est_a",
+        (col("k_a") - 1).cast("double") * m / col("kth_a").cast("double"))
+      .withColumn("est_b",
+        (col("k_b") - 1).cast("double") * m / col("kth_b").cast("double"))
+      .withColumn("est_union",
+        (col("k_u") - 1).cast("double") * m / col("kth_u").cast("double"))
+      .withColumn("est_intersection",
+        col("n_inter").cast("double") / col("k_u").cast("double")
+          * col("est_union"))
+      .select("k_a", "k_b", "k_u", "n_inter",
+        "est_a", "est_b", "est_union", "est_intersection")
+  }
+
+  val kmvOverlap = Q(
+    "q256_kmv_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      kmvEstimate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    },
+    Some(s"""WITH a AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                        FROM documents WHERE doc_id % 2 = 0 ORDER BY h LIMIT $KmvK),
+             b AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                   FROM documents WHERE doc_id % 2 = 1 ORDER BY h LIMIT $KmvK),
+             u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+                   ORDER BY h LIMIT $KmvK),
+             i AS (SELECT count(*) AS n_inter FROM u
+                   JOIN a USING (h) JOIN b USING (h)),
+             agg AS (SELECT
+                       (SELECT CAST(count(*) AS BIGINT) FROM a) AS k_a,
+                       (SELECT CAST(count(*) AS BIGINT) FROM b) AS k_b,
+                       (SELECT CAST(count(*) AS BIGINT) FROM u) AS k_u,
+                       (SELECT max(h) FROM a) AS kth_a,
+                       (SELECT max(h) FROM b) AS kth_b,
+                       (SELECT max(h) FROM u) AS kth_u,
+                       (SELECT CAST(n_inter AS BIGINT) FROM i) AS n_inter),
+             est AS (SELECT k_a, k_b, k_u, n_inter,
+                       CAST(k_a - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(kth_a AS DOUBLE) AS est_a,
+                       CAST(k_b - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(kth_b AS DOUBLE) AS est_b,
+                       CAST(k_u - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(kth_u AS DOUBLE) AS est_union
+                     FROM agg)
+             SELECT k_a, k_b, k_u, n_inter, est_a, est_b, est_union,
+                    CAST(n_inter AS DOUBLE) / CAST(k_u AS DOUBLE) * est_union
+                      AS est_intersection
+             FROM est""")
+  )
+
+  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore, kmvOverlap)
 }
