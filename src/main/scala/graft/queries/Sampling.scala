@@ -286,6 +286,64 @@ object Sampling {
             FROM r WHERE rk <= 16""")
   )
 
+  /** q257 — WEIGHTED sampling WITHOUT replacement (priority /
+    * sequential-Poisson sampling, Ohlsson '98 / Duffield–Lund–Thorup):
+    * the importance-weighted counterpart of q229's uniform bottom-k —
+    * what a curation pipeline runs when documents should be sampled
+    * ∝ weight (length, quality, dedup-cluster mass) rather than
+    * uniformly. Each item gets priority w/u with u a per-item uniform
+    * from the SEEDED PORTABLE HASH (q79's family, so the draw is
+    * rerun-stable, partitioning-independent, and recomputable from the
+    * id alone); the sample is the global top-k by priority — one
+    * `TakeOrderedAndProject` (per-partition top-k, k rows per task to
+    * the driver-side merge), never a global sort. The u → w/u form is
+    * chosen over the classic u^(1/w) exp-sort PRECISELY because it
+    * ranks identically (both are monotone transforms of the same
+    * inclusion order) while using only division — `pow`/`ln` are not
+    * bit-portable across engines (q94's sqrt lesson), so this spelling
+    * is what makes a FULL hash oracle possible. `WeightedSampleSpec`
+    * proves the statistics (heavy items ~proportionally overrepresented
+    * across seeds on a planted two-class fixture) and the differential
+    * replay (independent JVM md5 reimplementation picks the same set).
+    */
+  private[graft] val WsK = 64
+
+  /** Priority column machinery, factored for the spec's seed sweep:
+    * u = ((h mod 2^30) + 0.5) / 2^30 ∈ (0,1), priority = w / u; every
+    * constant is an exact binary fraction, so Spark and DuckDB compute
+    * identical doubles.
+    */
+  private[graft] def prioritized(df: org.apache.spark.sql.DataFrame,
+      seed: String): org.apache.spark.sql.DataFrame = {
+    val h = expr(s"CAST(conv(substring(md5(concat('$seed|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    df.withColumn("u",
+        ((h % lit(1073741824L)).cast("double") + lit(0.5)) / lit(1073741824.0))
+      .withColumn("priority", col("w").cast("double") / col("u"))
+  }
+
+  val weightedSample = Q(
+    "q257_weighted_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("w"))
+      prioritized(docs, "wsamp")
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(WsK)
+        .select(col("doc_id"), col("w").as("n_chars"), col("priority"))
+    },
+    Some(s"""WITH h AS (SELECT doc_id, n_chars,
+                          ('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            AS hv
+                        FROM documents),
+             p AS (SELECT doc_id, n_chars,
+                          CAST(n_chars AS DOUBLE) /
+                            ((CAST(hv % 1073741824 AS DOUBLE) + 0.5) / 1073741824.0)
+                            AS priority
+                   FROM h)
+             SELECT doc_id, n_chars, priority
+             FROM p ORDER BY priority DESC, doc_id LIMIT $WsK""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
-    splitLeakage, consistentSample)
+    splitLeakage, consistentSample, weightedSample)
 }
