@@ -306,5 +306,70 @@ object Sketches {
              FROM est""")
   )
 
-  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore, kmvOverlap)
+  /** q258 — BITMAP EXACT-DISTINCT STORE: the q173 store pattern with
+    * the estimate replaced by an EXACT mergeable artifact. For dense
+    * integer key spaces (user ids, item ids — precisely the ids a
+    * warehouse assigns), Spark's bitmap aggregate family
+    * (`bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`) buys
+    * what HLL fundamentally trades away: per-(day, bucket) RLE-dense
+    * bitmaps are built ONCE (4 KB covers 32768 ids per bucket), OR-merge
+    * associatively like any sketch, and `bitmap_count` over the merged
+    * bitmap is the EXACT distinct count — no ±5% band, no audit column,
+    * a full first-class oracle vs COUNT(DISTINCT). This is the artifact
+    * behind warehouse "exact distinct rollups" (Databricks' documented
+    * bitmap pattern): any date range's exact distinct users from
+    * O(days × buckets) KB rows, the raw events never re-read.
+    *
+    * Scale shape: store build = one shuffle on (day, bucket) with
+    * map-side partial bitmap construction; range service = OR-merge by
+    * bucket over the store (cell-wise, associative) + a sum of
+    * per-bucket exact counts. The same three ranges as q173, so the two
+    * queries read side-by-side as the exact/approx twins of one
+    * pattern; where HLL serves ANY key type at fixed size, bitmaps pay
+    * density — the scaladoc trade a 100 TB design actually weighs.
+    */
+  val bitmapStore = Q(
+    "q258_bitmap_distinct_store",
+    (s, d) => {
+      val store = graft.sources.Sources.scratchLeaf(d, "bitmap_day_store")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val days = s.read.parquet(store).agg(min("day"), max("day")).head()
+      val lo = days.getDate(0).toLocalDate
+      val ranges = Seq(
+        ("day1", lo, lo),
+        ("week1", lo, lo.plusDays(6)),
+        ("all", lo, days.getDate(1).toLocalDate))
+      ranges.map { case (tag, a, b) =>
+        val inRange = s.read.parquet(store)
+          .where(col("day").between(lit(a.toString), lit(b.toString)))
+        val users = inRange
+          .groupBy("bucket")
+          .agg(expr("bitmap_or_agg(bm)").as("m"))
+          .agg(sum(expr("bitmap_count(m)")).as("distinct_users"))
+        val nd = inRange.agg(countDistinct(col("day")).as("n_days"))
+        users.crossJoin(nd)
+          .select(lit(tag).as("range_tag"),
+            col("n_days").cast("long").as("n_days"),
+            col("distinct_users").cast("long").as("distinct_users"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+            span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            r AS (SELECT 'day1' AS range_tag, lo AS a, lo AS b FROM span
+                  UNION ALL SELECT 'week1', lo, lo + INTERVAL 6 DAY FROM span
+                  UNION ALL SELECT 'all', lo, hi FROM span)
+            SELECT r.range_tag,
+                   CAST(count(DISTINCT d.day) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS distinct_users
+            FROM r JOIN d ON d.day BETWEEN r.a AND r.b
+            GROUP BY r.range_tag""")
+  )
+
+  val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore, kmvOverlap,
+    bitmapStore)
 }
