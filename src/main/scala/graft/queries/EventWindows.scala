@@ -1671,6 +1671,56 @@ object EventWindows {
             SELECT n.user_id, n.n_purch, l.last3 FROM n JOIN l USING (user_id)""")
   )
 
+  /** q259 — the q37/q61 aggregation in UPDATE output mode, completing
+    * the output-mode matrix (complete q37, append q61, update here) —
+    * and update is the mode production dashboards actually run: unlike
+    * COMPLETE it does not replay every window every batch (the full
+    * result re-emission that makes complete mode unusable beyond toy
+    * state), and unlike APPEND it serves windows WHILE they are open
+    * (append shows an hour's traffic only after the watermark closes
+    * it — an hour-plus-late dashboard). Update emits exactly the
+    * groups a batch CHANGED: upsert rows for a key-value sink. The
+    * watermark still bounds state like q61's. Registered run drains in
+    * one AvailableNow batch, so the changed-set is every window; the
+    * per-key LAST emission (counts grow monotonically, so
+    * max(struct(n, …)) picks it — the q189 dedup discipline) equals
+    * the batch aggregate = the oracle. The mode's distinguishing
+    * behavior — an untouched group does NOT re-emit, a touched one
+    * re-emits its new total — is pinned across real micro-batches in
+    * `StreamUpdateModeSpec`, where complete mode's replay-everything
+    * contrast is asserted in the same harness.
+    */
+  val streamTumblingUpdate = Q(
+    "q259_stream_update_agg",
+    (s, d) => {
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_update_" + java.util.UUID.randomUUID().toString.take(8)
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("wstart", "event_type")
+        .agg(max(struct(col("n"), col("sum_value"))).as("b"))
+        .select(col("wstart"), col("event_type"),
+          col("b.n").as("n"), col("b.sum_value").as("sum_value"))
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+             count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events GROUP BY 1, 2""")
+  )
+
   /** q253 — `transformWithState` STATE TTL ([[graft.streaming.TtlTotals]]):
     * the state-hygiene primitive for UNBOUNDED key spaces. Every keyed
     * stateful operator in this suite so far keeps a key's state until a
@@ -1922,5 +1972,5 @@ object EventWindows {
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
-      transformWithTtlState, streamSemiJoin)
+      transformWithTtlState, streamSemiJoin, streamTumblingUpdate)
 }
