@@ -2416,6 +2416,65 @@ object Relational2 {
                                    WHERE o_orderstatus = 'F')""")
   )
 
+  /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
+    * export/API pattern for walking a huge sorted result in pages.
+    * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
+    * O(pages²·k) total work, and page n's cost grows without bound
+    * (the classic deep-pagination outage). Keyset keeps a CURSOR (the
+    * last row's full sort key) and asks for `(sort) > cursor LIMIT k`:
+    * every page is one `TakeOrderedAndProject` over a PREDICATE-PRUNED
+    * scan — the strict-inequality page condition pushes to the parquet
+    * reader (`PushedFilters`, row-group min/max skipping), so page
+    * 1000 costs the same as page 1. Requirements the query encodes:
+    * the sort key is made TOTAL by appending the unique id
+    * (o_totalprice DESC, o_orderkey) — without it a page boundary
+    * inside a tie duplicates or drops rows — and the cursor predicate
+    * is the strict lexicographic successor: price < p ∨ (price = p ∧
+    * key > k). The cursor itself is O(1) driver state — pagination's
+    * inherent handle, not a data-sized collect. Oracle = row_number
+    * pages; `PaginationSpec` proves keyset ≡ OFFSET row-for-row,
+    * disjoint exact-k pages, and the pushed page predicate.
+    */
+  private[graft] val PageSize = 100
+  private[graft] val Pages = 3
+
+  /** One keyset page after (optionally) a cursor. Factored for the spec. */
+  private[graft] def keysetPage(s: org.apache.spark.sql.SparkSession, d: String,
+      cursor: Option[(Double, Long)]): org.apache.spark.sql.DataFrame = {
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val paged = cursor match {
+      case None => base
+      case Some((p, k)) =>
+        base.where(col("o_totalprice") < p ||
+          (col("o_totalprice") === p && col("o_orderkey") > k))
+    }
+    paged.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(PageSize)
+  }
+
+  val keysetPagination = Q(
+    "q260_keyset_pagination",
+    (s, d) => {
+      import s.implicits._
+      // each page materializes PageSize rows at the driver — that IS
+      // the pattern (an export API ships the page and keeps only the
+      // cursor); bounded by pages × k, never data-sized
+      var cursor: Option[(Double, Long)] = None
+      val rows = (1 to Pages).flatMap { page =>
+        val pg = keysetPage(s, d, cursor).collect()
+        cursor = Some((pg.last.getDouble(1), pg.last.getLong(0)))
+        pg.map(r => (page.toLong, r.getLong(0), r.getDouble(1)))
+      }
+      rows.toDF("page", "o_orderkey", "o_totalprice")
+    },
+    Some(s"""WITH r AS (SELECT o_orderkey, o_totalprice,
+                          row_number() OVER (ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+                        FROM orders)
+             SELECT CAST((rn - 1) // $PageSize + 1 AS BIGINT) AS page,
+                    o_orderkey, o_totalprice
+             FROM r WHERE rn <= ${Pages * PageSize}""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2426,5 +2485,5 @@ object Relational2 {
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
-    sqlScripting, parameterizedSql)
+    sqlScripting, parameterizedSql, keysetPagination)
 }
