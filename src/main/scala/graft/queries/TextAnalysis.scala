@@ -1736,10 +1736,65 @@ object TextAnalysis {
             FROM documents d JOIN ent e USING (doc_id)""")
   )
 
+  /** q261 — Aho–Corasick BLOCKLIST SCREEN: one-pass multi-phrase
+    * dictionary matching ([[graft.functions.AhoCorasick]]) — the
+    * compliance/PII/banned-phrase scan every corpus release runs. The
+    * relational spellings scan the corpus once PER PATTERN (a
+    * `contains` column per phrase) or hand an alternation regex to a
+    * backtracking NFA; the automaton (built once on the driver — size
+    * = total pattern chars — and broadcast) streams each document
+    * through every pattern simultaneously in O(len + matches),
+    * pattern-count-independent: the only per-row cost a screen with
+    * hundreds of phrases can pay at 100 TB. Emits (doc, pattern,
+    * occurrence count > 0) long-form — the remediation handle.
+    *
+    * Oracle discipline: every registered pattern is BORDERLESS (no
+    * proper prefix equals a suffix — `BlocklistSpec` enforces it), so
+    * occurrences cannot overlap themselves and the automaton's
+    * all-occurrences count equals DuckDB's non-overlapping
+    * replace-count — a FULL hash oracle over a custom-automaton
+    * operator. The automaton itself handles overlapping and nested
+    * (pattern-in-pattern) matches; the spec pins those semantics on
+    * the classic he/she/hers fixture where the replace-count oracle
+    * could not.
+    */
+  private[graft] val BlockPatterns: IndexedSeq[String] = IndexedSeq(
+    "table scan", "sort merge", "hash join", "slow query", "stream spark",
+    "batch stream", "merge part", "filter key", "data line", "big join",
+    "fast row", "key order")
+
+  val blocklistScreen = Q(
+    "q261_blocklist_screen",
+    (s, d) => {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(
+        new graft.functions.AhoCorasick(BlockPatterns))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ac = bc.value
+          it.flatMap { case (id, text) =>
+            val counts = ac.countAll(text)
+            counts.iterator.zipWithIndex.collect {
+              case (n, pi) if n > 0 => (id, ac.patterns(pi), n)
+            }
+          }
+        }
+        .toDF("doc_id", "pattern", "n_hits")
+    },
+    Some(s"""WITH pats AS (SELECT unnest([${BlockPatterns.map(p => s"'$p'").mkString(", ")}])
+                             AS pattern)
+             SELECT d.doc_id, p.pattern,
+                    CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                         // length(p.pattern) AS BIGINT) AS n_hits
+             FROM documents d CROSS JOIN pats p
+             WHERE length(d.text) <> length(replace(d.text, p.pattern, ''))""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
       qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
-      langMixture, charEntropy)
+      langMixture, charEntropy, blocklistScreen)
 }
