@@ -1363,8 +1363,55 @@ object Similarity {
             FROM neg n JOIN pos p ON p.probe_id = n.probe_id""")
   )
 
+  /** q262 — EMBEDDING GRAMIAN (Σ v·vᵀ): the distributed kernel under
+    * every second-order embedding operation — PCA / whitening before
+    * IVF (cell shapes round out, recall rises at fixed probes),
+    * anisotropy diagnostics (embedding-space collapse shows up as a
+    * dominant eigenvalue), and OPQ-style rotations for q111's product
+    * quantizer. The scalable shape is the one thing that matters: each
+    * row expands to its d² products via ONE nested index-lambda
+    * `transform` (no self-join — a join on vec_id would re-shuffle the
+    * corpus to multiply a row by itself), and the groupBy(i, j)
+    * aggregation map-side-combines every partition down to ≤ d² rows
+    * before the exchange — at 1B vectors the shuffle carries
+    * O(parts·d²), never O(rows·d²). Exactness discipline: float32
+    * values and their pairwise products are exactly representable as
+    * doubles, and summation goes through DECIMAL(28,12) (the q03
+    * dsum trick at gramian scale), so both engines produce the
+    * IDENTICAL matrix — a full hash oracle over 4096 entries. The
+    * bounded d×d result is then driver-sized by construction;
+    * `GramianSpec` runs power iteration on it (symmetry, positive
+    * diagonal, Rayleigh residual < 1e-6) — the eigen step is
+    * metadata-plane and needs no cross-engine oracle.
+    */
+  val embeddingGramian = Q(
+    "q262_embedding_gramian",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(explode(expr(
+          """flatten(transform(embedding, (x, i) ->
+               transform(embedding, (y, j) ->
+                 struct(i AS i, j AS j,
+                        CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))"""))
+          .as("c"))
+        .select(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"), col("c.p").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("g"))
+    },
+    Some("""WITH u AS (SELECT vec_id,
+                         unnest(embedding) AS val,
+                         unnest(generate_series(0, len(embedding) - 1)) AS idx
+                       FROM embeddings)
+            SELECT CAST(a.idx AS BIGINT) AS i, CAST(b.idx AS BIGINT) AS j,
+                   CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS g
+            FROM u a JOIN u b USING (vec_id)
+            GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
-      semDedupSalted, filteredAnn, hardNegatives)
+      semDedupSalted, filteredAnn, hardNegatives, embeddingGramian)
 }
