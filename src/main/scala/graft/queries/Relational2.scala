@@ -2416,6 +2416,53 @@ object Relational2 {
                                    WHERE o_orderstatus = 'F')""")
   )
 
+  /** q263 — aggregate FILTER clause: the ANSI conditional-aggregation
+    * surface (SQL:2003) that turns the "metrics cube" — many metrics,
+    * each over its own row subset, in ONE pass — from CASE-wrapping
+    * folklore into first-class syntax. Two legs prove two things:
+    * (1) the FILTER spelling and the CASE spelling of the same plain
+    * aggregates are computed in the same single scan and agree
+    * column-for-column (both legs in the output, equality visible to
+    * the oracle hash); (2) the case CASE cannot express cleanly:
+    * `count(DISTINCT x) FILTER (WHERE …)` — a per-condition distinct —
+    * where the CASE equivalent must smuggle NULLs through the distinct
+    * set and silently miscounts when x itself can be NULL. All
+    * aggregates decimal-exact (q03 discipline); one shuffle on the
+    * group key, conditional evaluation map-side.
+    */
+  val filterClause = Q(
+    "q263_filter_clause",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_fc")
+      s.sql(s"""SELECT o_orderstatus,
+                       count(*) AS n_all,
+                       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            FILTER (WHERE o_totalprice > 200000) AS DOUBLE)
+                         AS rev_big,
+                       count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                         AS cust_big,
+                       count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big_case,
+                       CAST(SUM(CASE WHEN o_totalprice > 200000
+                                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                            AS DOUBLE) AS rev_big_case
+                FROM orders_fc GROUP BY o_orderstatus""")
+    },
+    Some(s"""SELECT o_orderstatus,
+                    count(*) AS n_all,
+                    count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FILTER (WHERE o_totalprice > 200000) AS DOUBLE)
+                      AS rev_big,
+                    count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                      AS cust_big,
+                    count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big_case,
+                    CAST(SUM(CASE WHEN o_totalprice > 200000
+                                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                         AS DOUBLE) AS rev_big_case
+             FROM orders GROUP BY o_orderstatus""")
+  )
+
   /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
     * export/API pattern for walking a huge sorted result in pages.
     * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
@@ -2485,5 +2532,5 @@ object Relational2 {
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
-    sqlScripting, parameterizedSql, keysetPagination)
+    sqlScripting, parameterizedSql, keysetPagination, filterClause)
 }
