@@ -1963,6 +1963,68 @@ object EventWindows {
              FROM lagged GROUP BY event_type""")
   )
 
+  /** q264 — THEIL–SEN ROBUST TREND: the median of all pairwise slopes
+    * (v_j − v_i)/(day_j − day_i), i < j — the robust-regression
+    * counterpart of q213's OLS `regr_slope`. OLS has breakdown point 0
+    * (ONE corrupted day — a backfill bug, a partial outage, a
+    * double-count — drags the fitted slope arbitrarily); Theil–Sen
+    * tolerates ~29% corrupted points, which is why monitoring systems
+    * fit trends with it. Two-level plan (q241's discipline): the
+    * corpus-sized work is the decimal-exact daily rollup; the O(n²)
+    * pair expansion runs on the DAILY table (n = days, thousands per
+    * decade — bounded), per event_type via a range self-join, never on
+    * raw events; `percentile(0.5)` interpolates the median slope.
+    * Slope inputs are identical doubles in both engines (exact daily
+    * sums, exact integer day gaps); the median interpolation is the
+    * one associativity-sensitive step — rounded 6dp (q241's rule).
+    * Output per type: n_days, n_pairs, the robust slope, and OLS
+    * `regr_slope` beside it — the comparison a dashboard shows.
+    */
+  val theilSen = Q(
+    "q264_theil_sen",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(dsum2(col("value")).as("v"))
+        .withColumn("dn", datediff(col("day"),
+          to_date(lit("2024-01-01"))).cast("double"))
+      val a = daily.select(col("event_type"), col("dn").as("d1"), col("v").as("v1"))
+      val b = daily.select(col("event_type"), col("dn").as("d2"), col("v").as("v2"))
+      val pairs = a.join(b, Seq("event_type"))
+        .where(col("d2") > col("d1"))
+        .select(col("event_type"),
+          ((col("v2") - col("v1")) / (col("d2") - col("d1"))).as("slope"))
+      val sen = pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+      val ols = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("regr_slope(v, dn)"), 6).as("ols_slope"))
+      ols.join(sen, Seq("event_type"))
+        .select("event_type", "n_days", "n_pairs", "sen_slope", "ols_slope")
+    },
+    Some(s"""WITH daily AS (
+               SELECT event_type, date_trunc('day', ts) AS day,
+                      ${sqlSum2("value")} AS v
+               FROM events GROUP BY 1, 2),
+             dd AS (SELECT event_type, v,
+                           CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)
+                             AS dn
+                    FROM daily),
+             pairs AS (SELECT a.event_type,
+                              (b.v - a.v) / (b.dn - a.dn) AS slope
+                       FROM dd a JOIN dd b
+                         ON a.event_type = b.event_type AND b.dn > a.dn),
+             sen AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                            round(quantile_cont(slope, 0.5), 6) AS sen_slope
+                     FROM pairs GROUP BY event_type),
+             ols AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                            round(regr_slope(v, dn), 6) AS ols_slope
+                     FROM dd GROUP BY event_type)
+             SELECT event_type, n_days, n_pairs, sen_slope, ols_slope
+             FROM ols JOIN sen USING (event_type)""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -1972,5 +2034,5 @@ object EventWindows {
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
-      transformWithTtlState, streamSemiJoin, streamTumblingUpdate)
+      transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen)
 }
