@@ -2463,6 +2463,57 @@ object Relational2 {
              FROM orders GROUP BY o_orderstatus""")
   )
 
+  /** q265 — FLOAT SPECIAL-VALUE SEMANTICS pinned as data (the q247
+    * discipline, applied to IEEE 754's two famous troublemakers): what
+    * do GROUP BY, DISTINCT, equality joins and comparisons do with NaN
+    * and −0.0? Both engines implement the SAME non-IEEE answer — NaN
+    * equals NaN and sorts greatest, −0.0 groups and joins with 0.0 —
+    * because hash-based grouping/joining REQUIRES an equivalence
+    * relation and IEEE equality isn't one (NaN ≠ NaN breaks
+    * reflexivity; −0.0 = 0.0 with distinct bit patterns breaks
+    * hash-consistency; Spark's NormalizeFloatingNumbers rule exists
+    * for exactly this). Legs: distinct-value count (3, not 4), the
+    * zero group absorbing −0.0, NaN = NaN driving a join match, −0.0
+    * joining 0.0, and `v < NaN` true for every non-NaN value. Special
+    * values are derived from table rows via CASE (q247's
+    * poisoned-subquery move); NaN never reaches an output column (the
+    * compare-hazard rule) — every leg reduces to a count.
+    */
+  val floatSemantics = Q(
+    "q265_float_semantics",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_fs")
+      s.sql(floatSemanticsSql("orders_fs"))
+    },
+    Some(floatSemanticsSql("orders"))
+  )
+
+  /** One SQL text, two engines — the legs ARE the spec. */
+  private def floatSemanticsSql(tbl: String): String =
+    s"""WITH f AS (SELECT CASE CAST(o_orderkey % 4 AS INT)
+                     WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                     WHEN 1 THEN -CAST(0.0 AS DOUBLE)
+                     WHEN 2 THEN CAST('NaN' AS DOUBLE)
+                     ELSE CAST(1.5 AS DOUBLE) END AS v
+            FROM $tbl)
+        SELECT 'distinct_values' AS leg, CAST(count(DISTINCT v) AS BIGINT) AS n
+        FROM f
+        UNION ALL
+        SELECT 'zero_absorbs_negzero', CAST(count(*) AS BIGINT)
+        FROM f WHERE v = CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT 'nan_eq_nan_join', CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT v FROM f WHERE isnan(v)) a
+        JOIN (SELECT DISTINCT v FROM f WHERE isnan(v)) b ON a.v = b.v
+        UNION ALL
+        SELECT 'negzero_joins_zero', CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT v FROM f WHERE CAST(v AS STRING) = '-0.0') a
+        JOIN (SELECT DISTINCT v FROM f WHERE CAST(v AS STRING) = '0.0') b
+          ON a.v = b.v
+        UNION ALL
+        SELECT 'lt_nan', CAST(count(*) AS BIGINT)
+        FROM f WHERE v < CAST('NaN' AS DOUBLE)"""
+
   /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
     * export/API pattern for walking a huge sorted result in pages.
     * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
@@ -2532,5 +2583,6 @@ object Relational2 {
     regrTrend, psiDrift, skyline, bitMasks, modeAgg, gridRadiusJoin,
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
-    sqlScripting, parameterizedSql, keysetPagination, filterClause)
+    sqlScripting, parameterizedSql, keysetPagination, filterClause,
+    floatSemantics)
 }
