@@ -2514,6 +2514,69 @@ object Relational2 {
         SELECT 'lt_nan', CAST(count(*) AS BIGINT)
         FROM f WHERE v < CAST('NaN' AS DOUBLE)"""
 
+  /** q266 — AQE REBALANCE: the write-skew / small-files cure the hint
+    * family (q209) and AQE coalescing gate (q232) don't cover. Writing
+    * a table clustered by a skewed column with `repartition(col)` makes
+    * ONE task per value — the hot value's task writes a giant file
+    * (and runs as long as its share of the data), cold values write
+    * crumbs: the classic skewed-writer stall plus the small-files
+    * problem in one plan. `/*+ REBALANCE(col) */` keeps same-value
+    * rows CLUSTERED (what downstream scans want from the layout) but
+    * lets AQE split oversized partitions and merge undersized ones at
+    * runtime against the advisory size — per-task output is bounded
+    * regardless of key skew. The registered run pushes the events
+    * table through a rebalanced shuffle (tight advisory size on an
+    * isolated session so the split actually happens at test scale),
+    * writes it, and reads back per-type counts — the oracle proves no
+    * row was lost or duplicated by the runtime re-planning.
+    * `RebalanceSpec` gates the physics on a PLANTED 80%-hot fixture
+    * large enough to exceed AQE's byte thresholds (the sf0.001 events
+    * table compresses below every threshold, where AQE rightly just
+    * coalesces): rebalanced max partition row-count is a fraction of
+    * the hot key's total, the `repartition(col)` counterfactual
+    * concentrates it in one partition, and the executed plan shows
+    * AQEShuffleRead over a REBALANCE_PARTITIONS exchange.
+    */
+  private[graft] def rebalanceSession(s0: org.apache.spark.sql.SparkSession) = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    // tight advisory so the hot partition splits at test scale (the
+    // whole sf0.001 table is ~40 KB — anything larger coalesces to one
+    // partition); at 100 TB the default 64 MB advisory plays the same
+    // role
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+    s.conf.set("spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor", "0.2")
+    s
+  }
+
+  private[graft] def rebalanced(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // many upstream map tasks: AQE splits an oversized reduce partition
+    // at MAP-OUTPUT-BLOCK granularity, so a single-mapper input (one
+    // small file) would leave the hot key unsplittable — at production
+    // scale the upstream task count is naturally large
+    Tables.events(s, d)
+      .select("event_id", "event_type", "user_id", "value")
+      .repartition(8)
+      .createOrReplaceTempView("events_rb")
+    s.sql("SELECT /*+ REBALANCE(event_type) */ event_id, event_type, user_id, value FROM events_rb")
+  }
+
+  val rebalanceWrite = Q(
+    "q266_rebalance_write",
+    (s0, d) => {
+      val s = rebalanceSession(s0)
+      val out = graft.sources.Sources.scratchLeaf(d, "rebalanced_events")
+      rebalanced(s, d).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    },
+    Some(s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value
+             FROM events GROUP BY event_type""")
+  )
+
   /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
     * export/API pattern for walking a huge sorted result in pages.
     * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
@@ -2584,5 +2647,5 @@ object Relational2 {
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
-    floatSemantics)
+    floatSemantics, rebalanceWrite)
 }
