@@ -2025,6 +2025,62 @@ object EventWindows {
              FROM ols JOIN sen USING (event_type)""")
   )
 
+  /** q267 — STREAMING `observe`: per-micro-batch data-quality metrics
+    * riding the streaming job itself (q194 proved the batch side; this
+    * is the streaming completion — and the more important one, because
+    * a stream has no "after the job" to audit in: the metrics must
+    * surface WHILE it runs). `Dataset.observe` attaches accumulator-
+    * backed aggregates to the plan — zero extra passes, zero extra
+    * shuffles, evaluated row-by-row as the sink consumes — and each
+    * `StreamingQueryProgress` carries that batch's values
+    * (`observedMetrics`), which is what a production monitor alerts
+    * on (row-rate collapse, null-burst, value drift) without ever
+    * querying the sink. The registered run drains the events stream
+    * with an observed (count, cent-sum, null-count) audit, then sums
+    * the per-batch metrics — the oracle proves the ACCUMULATED
+    * observations equal the table truth, i.e. observation is lossless
+    * across batch boundaries. `StreamObserveSpec` pins batch-locality:
+    * each batch's observed row reports THAT batch's rows only.
+    */
+  val streamObserve = Q(
+    "q267_stream_observe",
+    (s, d) => {
+      import s.implicits._
+      Tables.eventsNanosConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "stream_obs_" + java.util.UUID.randomUUID().toString.take(8)
+      var rows = Seq.empty[(Long, Long, Long)]
+      withStreamPartitions(s) {
+        val q = Tables.nanosTsToMicros(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("event_id"), col("value"))
+          .observe("audit",
+            count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
+            count(when(col("value").isNull, 1)).as("n_null"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        rows = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("audit")))
+          .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("cents"),
+            r.getAs[Long]("n_null")))
+      }
+      // sum the per-batch observations — losslessness across batches is
+      // exactly the claim the oracle checks
+      val total = rows.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+        (a + x, b + y, c + z)
+      }
+      Seq(total).toDF("n_rows", "cents", "n_null")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_null
+            FROM events""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2034,5 +2090,6 @@ object EventWindows {
       joinStateRead, streamDedupWithinWatermark, streamSessionWindow,
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
-      transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen)
+      transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
+      streamObserve)
 }
