@@ -2577,6 +2577,55 @@ object Relational2 {
              FROM events GROUP BY event_type""")
   )
 
+  /** q268 — AQE RUNTIME JOIN DEMOTION (SMJ → broadcast): the adaptive
+    * feature q201 (skew split) and q266 (rebalance) leave uncovered.
+    * Static planning sizes a join side by FILE bytes — it cannot see
+    * that a selective filter will shrink the build side to a few KB,
+    * so it plans a full sort-merge join (two shuffles, two sorts). AQE
+    * re-reads the actual size from the finished shuffle stage and
+    * DEMOTES the join to broadcast-hash at runtime
+    * (`spark.sql.adaptive.autoBroadcastJoinThreshold` — a separate
+    * knob from the static one precisely so runtime can say yes after
+    * static said no), replacing the probe side's exchange with a local
+    * read. At 100 TB this is the difference between shuffling the fact
+    * table to join 200 surviving dimension rows and not. The session
+    * isolates the demonstration: static threshold −1 (static planner
+    * can NEVER broadcast — the honest counterfactual), adaptive
+    * threshold 10 MB. Oracle = the plain join aggregate;
+    * `AqeDemotionSpec` gates the physics: initial plan SortMergeJoin,
+    * final plan BroadcastHashJoin, and with AQE off the SMJ persists.
+    */
+  private[graft] def demotionSession(s0: org.apache.spark.sql.SparkSession) = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    s
+  }
+
+  private[graft] def demotedJoin(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // the filter survives ~1/5 of customers — a shrink static stats
+    // can't see (file-size estimate) but the runtime shuffle can
+    val dim = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+    Tables.orders(s, d)
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("revenue"))
+  }
+
+  val aqeJoinDemotion = Q(
+    "q268_aqe_join_demotion",
+    (s0, d) => demotedJoin(demotionSession(s0), d),
+    Some(s"""SELECT c_mktsegment, count(*) AS n,
+                    ${sqlSum2("o_totalprice")} AS revenue
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY c_mktsegment""")
+  )
+
   /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
     * export/API pattern for walking a huge sorted result in pages.
     * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
@@ -2647,5 +2696,5 @@ object Relational2 {
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
-    floatSemantics, rebalanceWrite)
+    floatSemantics, rebalanceWrite, aqeJoinDemotion)
 }
