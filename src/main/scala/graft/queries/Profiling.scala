@@ -450,7 +450,84 @@ object Profiling {
             FROM documents""")
   )
 
+  /** q269 — two-sample KOLMOGOROV–SMIRNOV drift test, EXACT: the
+    * distribution-shape alarm that complements q214's PSI (PSI needs a
+    * binning choice and goes blind to within-bin shifts; KS is
+    * binning-free — the supremum gap between the two empirical CDFs —
+    * and is THE classic two-sample drift test). D = sup_x |F₁(x) −
+    * F₂(x)| over purchase vs click values.
+    *
+    * Scale shape: the naive spelling is a global `sum() OVER (ORDER BY
+    * value)` window — the q98/q153 single-task anti-pattern. This
+    * implementation rolls up to DISTINCT values (one map-side-combined
+    * shuffle), then runs the q153 two-phase distributed scan with TWO
+    * measures at once (both sides' cumulative counts in one pass:
+    * range-repartition by value, O(partitions) driver offsets, local
+    * rescan), and takes one max — no global window anywhere, wall-clock
+    * O(rows/partitions). Exactness: cumulative counts are integers;
+    * each candidate |ca/n₁ − cb/n₂| is the same IEEE division of the
+    * same integers in both engines, so even the unrounded D matches
+    * bit-for-bit — a full hash oracle over a statistical test. The
+    * oracle replays the definition as the global window it would
+    * naively be (fine at oracle scale).
+    */
+  val ksTest = Q(
+    "q269_ks_test",
+    (s, d) => {
+      import s.implicits._
+      val perValue = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ib"))
+        .groupBy("v")
+        .agg(sum("ia").as("na"), sum("ib").as("nb"))
+        .repartitionByRange(8, col("v"))
+        .sortWithinPartitions("v")
+        .as[(Double, Long, Long)]
+      val rdd = perValue.rdd
+      // two jobs read it (partition totals, rescan) — q153's cache note
+      rdd.cache()
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var a = 0L; var b = 0L
+        it.foreach { r => a += r._2; b += r._3 }
+        Iterator((i, a, b))
+      }.collect().sortBy(_._1)
+      val offs = partTotals.scanLeft((0L, 0L)) { case ((a, b), (_, pa, pb)) =>
+        (a + pa, b + pb)
+      }
+      val (n1, n2) = offs.last
+      val bc = s.sparkContext.broadcast(offs.dropRight(1))
+      val gaps = rdd.mapPartitionsWithIndex { (i, it) =>
+        var (ca, cb) = bc.value(i)
+        it.map { case (_, na, nb) =>
+          ca += na; cb += nb
+          math.abs(ca.toDouble / n1.toDouble - cb.toDouble / n2.toDouble)
+        }
+      }
+      val dStat = if (gaps.isEmpty()) 0.0 else gaps.max()
+      Seq((n1, n2, dStat)).toDF("n1", "n2", "d_stat")
+    },
+    Some("""WITH f AS (SELECT value AS v,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+                         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+                       FROM events WHERE event_type IN ('purchase', 'click')),
+            g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+                         CAST(sum(ib) AS BIGINT) AS nb
+                  FROM f GROUP BY v),
+            t AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+                         CAST(sum(nb) AS BIGINT) AS n2 FROM g),
+            c AS (SELECT sum(na) OVER (ORDER BY v) AS ca,
+                         sum(nb) OVER (ORDER BY v) AS cb
+                  FROM g)
+            SELECT t.n1, t.n2,
+                   (SELECT max(abs(CAST(ca AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                                 - CAST(cb AS DOUBLE) / CAST(t.n2 AS DOUBLE)))
+                    FROM c) AS d_stat
+            FROM t""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
-      skewAudit, observedIngest)
+      skewAudit, observedIngest, ksTest)
 }

@@ -456,6 +456,32 @@ class PlanSpec extends AnyFunSuite {
       s"radius join shuffled the big side: ${p.take(1500)}")
   }
 
+  test("q247: nullable NOT IN plans the null-aware anti join, not a nested loop") {
+    // q247's scaladoc claims the nullable NOT IN "forces a
+    // BroadcastNestedLoopJoin" — that is the UNOPTIMIZED story. With a
+    // single key column and a broadcastable subquery, Spark's
+    // optimizeNullAwareAntiJoin (default on) plans a
+    // BroadcastHashJoin(LeftAnti, isNullAware=true) instead: hash-join
+    // cost for three-valued-logic semantics. The flag is the trailing
+    // boolean in the plan line; the semantics stay q247's (empty
+    // result under a poisoned NULL).
+    val s = TestSpark.spark
+    Tables.orders(s, TestSpark.Sf0001).createOrReplaceTempView("naaj_orders")
+    Tables.customer(s, TestSpark.Sf0001).createOrReplaceTempView("naaj_customer")
+    val df = s.sql(
+      """SELECT count(*) AS n FROM naaj_orders
+         WHERE o_custkey NOT IN
+           (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END
+            FROM naaj_customer WHERE c_mktsegment = 'BUILDING')""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"nullable NOT IN did not plan the null-aware hash anti join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nullable NOT IN fell back to the nested loop:\n${p.take(1500)}")
+    assert(df.head().getLong(0) === 0L,
+      "three-valued logic broke: poisoned NOT IN must be empty")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
