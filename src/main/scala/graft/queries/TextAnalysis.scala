@@ -1791,10 +1791,62 @@ object TextAnalysis {
              WHERE length(d.text) <> length(replace(d.text, p.pattern, ''))""")
   )
 
+  /** q270 — JARO–WINKLER entity resolution via the native
+    * [[graft.functions.JaroWinkler]] expression (8th codegen'd
+    * expression): the name matcher that complements q144's
+    * levenshtein — edit distance penalizes transpositions and length
+    * equally, while JW rewards shared prefixes and tolerates exactly
+    * the swapped-character typos names contain (textbook constants:
+    * p = 0.1, prefix ≤ 4, 0.7 boost threshold — the SAME constants
+    * DuckDB's `jaro_winkler_similarity` implements, which is what
+    * makes a full cross-engine oracle over a custom native expression
+    * possible). Fixture: a "dirty list" of probe names derived
+    * deterministically from every 97th customer by reversing the
+    * digit suffix; each probe resolves to its best-JW customer
+    * (max(struct) keeper, rounded 6 before the argmax so both engines
+    * pick identically). The probe side broadcasts (the small side of
+    * an entity-resolution join always does); production blocks first
+    * (q144's discipline) — the focus here is the scorer in the hot
+    * loop staying inside whole-stage codegen instead of boxing two
+    * strings per candidate pair. `JaroWinklerSpec`: classic vectors
+    * (MARTHA/MARHTA…), boost-threshold edge, interpreted ≡ codegen.
+    */
+  val jaroWinklerResolve = Q(
+    "q270_jaro_winkler",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+      val probes = cust.where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          concat(substring(col("c_name"), 1, 9),
+            reverse(expr("substring(c_name, 10)"))).as("probe_name"))
+      cust.crossJoin(broadcast(probes))
+        .select(col("probe_key"), col("probe_name"), col("c_custkey"),
+          round(graft.functions.JaroWinkler(col("probe_name"), col("c_name")), 6)
+            .as("jw"))
+        .groupBy("probe_key", "probe_name")
+        .agg(max(struct(col("jw"), col("c_custkey").as("ck"))).as("m"))
+        .select(col("probe_key"), col("probe_name"),
+          col("m.ck").as("best_custkey"), col("m.jw").as("best_jw"))
+    },
+    Some("""WITH p AS (SELECT c_custkey AS probe_key,
+                              substr(c_name, 1, 9) || reverse(substr(c_name, 10))
+                                AS probe_name
+                       FROM customer WHERE c_custkey % 97 = 0),
+            j AS (SELECT p.probe_key, p.probe_name, c.c_custkey,
+                         round(jaro_winkler_similarity(p.probe_name, c.c_name), 6)
+                           AS jw
+                  FROM p CROSS JOIN customer c),
+            b AS (SELECT probe_key, probe_name,
+                         max(struct_pack(jw := jw, ck := c_custkey)) AS m
+                  FROM j GROUP BY 1, 2)
+            SELECT probe_key, probe_name, (m).ck AS best_custkey, (m).jw AS best_jw
+            FROM b""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
       qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
-      langMixture, charEntropy, blocklistScreen)
+      langMixture, charEntropy, blocklistScreen, jaroWinklerResolve)
 }
