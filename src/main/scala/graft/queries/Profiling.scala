@@ -471,39 +471,59 @@ object Profiling {
     * oracle replays the definition as the global window it would
     * naively be (fine at oracle scale).
     */
+  /** Distinct-value counts of the two compared samples: (v, na, nb). */
+  private def twoSampleCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ib"))
+      .groupBy("v")
+      .agg(sum("ia").as("na"), sum("ib").as("nb"))
+
+  /** The q153 two-phase scan with TWO measures: per distinct value in
+    * ascending order, both samples' INCLUSIVE cumulative counts.
+    * Returns (rows (v, na, nb, ca, cb), n1, n2). Shared by q269 (KS)
+    * and q271 (Mann–Whitney) — one scan discipline, two statistics.
+    */
+  private[graft] def cumScan2(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.rdd.RDD[(Double, Long, Long, Long, Long)], Long, Long) = {
+    import s.implicits._
+    val sorted = df
+      .repartitionByRange(8, col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+    val rdd = sorted.rdd
+    // two jobs read it (partition totals, rescan) — q153's cache note
+    rdd.cache()
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var a = 0L; var b = 0L
+      it.foreach { r => a += r._2; b += r._3 }
+      Iterator((i, a, b))
+    }.collect().sortBy(_._1)
+    val offs = partTotals.scanLeft((0L, 0L)) { case ((a, b), (_, pa, pb)) =>
+      (a + pa, b + pb)
+    }
+    val (n1, n2) = offs.last
+    val bc = s.sparkContext.broadcast(offs.dropRight(1))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var (ca, cb) = bc.value(i)
+      it.map { case (v, na, nb) =>
+        ca += na; cb += nb
+        (v, na, nb, ca, cb)
+      }
+    }
+    (out, n1, n2)
+  }
+
   val ksTest = Q(
     "q269_ks_test",
     (s, d) => {
       import s.implicits._
-      val perValue = Tables.events(s, d)
-        .where(col("event_type").isin("purchase", "click"))
-        .select(col("value").as("v"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("ib"))
-        .groupBy("v")
-        .agg(sum("ia").as("na"), sum("ib").as("nb"))
-        .repartitionByRange(8, col("v"))
-        .sortWithinPartitions("v")
-        .as[(Double, Long, Long)]
-      val rdd = perValue.rdd
-      // two jobs read it (partition totals, rescan) — q153's cache note
-      rdd.cache()
-      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
-        var a = 0L; var b = 0L
-        it.foreach { r => a += r._2; b += r._3 }
-        Iterator((i, a, b))
-      }.collect().sortBy(_._1)
-      val offs = partTotals.scanLeft((0L, 0L)) { case ((a, b), (_, pa, pb)) =>
-        (a + pa, b + pb)
-      }
-      val (n1, n2) = offs.last
-      val bc = s.sparkContext.broadcast(offs.dropRight(1))
-      val gaps = rdd.mapPartitionsWithIndex { (i, it) =>
-        var (ca, cb) = bc.value(i)
-        it.map { case (_, na, nb) =>
-          ca += na; cb += nb
-          math.abs(ca.toDouble / n1.toDouble - cb.toDouble / n2.toDouble)
-        }
+      val (rows, n1, n2) = cumScan2(s, twoSampleCounts(s, d))
+      val gaps = rows.map { case (_, _, _, ca, cb) =>
+        math.abs(ca.toDouble / n1.toDouble - cb.toDouble / n2.toDouble)
       }
       val dStat = if (gaps.isEmpty()) 0.0 else gaps.max()
       Seq((n1, n2, dStat)).toDF("n1", "n2", "d_stat")
@@ -527,7 +547,96 @@ object Profiling {
             FROM t""")
   )
 
+  /** q271 — MANN–WHITNEY U (Wilcoxon rank-sum), exact with
+    * average-rank tie handling: KS (q269) asks "are the SHAPES
+    * different"; Mann–Whitney asks the dashboard's actual question —
+    * "does one population run systematically HIGHER" — and is the
+    * nonparametric answer when t-test normality can't be assumed.
+    * Ranks come free from the SAME q269 scan (`cumScan2`): a tie
+    * group's average rank is cum-before + (count+1)/2, so U needs no
+    * sort beyond the distinct-value scan. Exactness discipline: ranks
+    * live on the half-integer grid ⇒ na·rank is exact in
+    * DECIMAL(28,1) (the q03 trick at rank scale) ⇒ R₁, U₁, U₂ are
+    * bit-identical across engines with NO rounding; only the
+    * tie-corrected z (one sqrt chain, spelled identically both sides)
+    * is rounded 6dp. Tie correction Σ(t³−t) is an exact integer
+    * aggregate. Oracle replays the definition as the window it would
+    * naively be.
+    */
+  val mannWhitney = Q(
+    "q271_mann_whitney",
+    (s, d) => {
+      import s.implicits._
+      val (rows, n1, n2) = cumScan2(s, twoSampleCounts(s, d))
+      val perValue = rows.toDF("v", "na", "nb", "ca", "cb")
+        .withColumn("cnt", col("na") + col("nb"))
+        .withColumn("bef", (col("ca") - col("na")) + (col("cb") - col("nb")))
+        .withColumn("ar",
+          col("bef").cast("double")
+            + (col("cnt") + 1).cast("double") / lit(2).cast("double"))
+      val agg = perValue.agg(
+        sum((col("na").cast("double") * col("ar")).cast("decimal(28,1)"))
+          .cast("double").as("r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      val n1d = lit(n1).cast("double")
+      val n2d = lit(n2).cast("double")
+      val nn = n1 + n2
+      val nnd = lit(nn).cast("double")
+      val u1 = col("r1") - n1d * lit(n1 + 1).cast("double") / lit(2).cast("double")
+      val z = (u1 - n1d * n2d / lit(2).cast("double")) /
+        sqrt(n1d * n2d / lit(12).cast("double") *
+          (lit(nn + 1).cast("double")
+            - col("tsum").cast("double") / (nnd * lit(nn - 1).cast("double"))))
+      agg.select(
+        lit(n1).as("n1"), lit(n2).as("n2"),
+        u1.as("u1"),
+        (n1d * n2d - u1).as("u2"),
+        round(z, 6).as("z"))
+    },
+    Some("""WITH f AS (SELECT value AS v,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+                         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+                       FROM events WHERE event_type IN ('purchase', 'click')),
+            g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+                         CAST(sum(ib) AS BIGINT) AS nb
+                  FROM f GROUP BY v),
+            t AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+                         CAST(sum(nb) AS BIGINT) AS n2 FROM g),
+            c AS (SELECT v, na, nb, na + nb AS cnt,
+                         coalesce(sum(na + nb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS bef
+                  FROM g),
+            r AS (SELECT na, cnt,
+                         CAST(bef AS DOUBLE)
+                           + CAST(cnt + 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS ar
+                  FROM c),
+            a AS (SELECT CAST(sum(CAST(CAST(na AS DOUBLE) * ar AS DECIMAL(28,1)))
+                              AS DOUBLE) AS r1,
+                         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+                  FROM r)
+            SELECT t.n1, t.n2,
+                   a.r1 - CAST(t.n1 AS DOUBLE) * CAST(t.n1 + 1 AS DOUBLE)
+                     / CAST(2 AS DOUBLE) AS u1,
+                   CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                     - (a.r1 - CAST(t.n1 AS DOUBLE) * CAST(t.n1 + 1 AS DOUBLE)
+                        / CAST(2 AS DOUBLE)) AS u2,
+                   round(
+                     ((a.r1 - CAST(t.n1 AS DOUBLE) * CAST(t.n1 + 1 AS DOUBLE)
+                       / CAST(2 AS DOUBLE))
+                      - CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                        / CAST(2 AS DOUBLE))
+                     / sqrt(CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                            / CAST(12 AS DOUBLE)
+                            * (CAST(t.n1 + t.n2 + 1 AS DOUBLE)
+                               - CAST(a.tsum AS DOUBLE)
+                                 / (CAST(t.n1 + t.n2 AS DOUBLE)
+                                    * CAST(t.n1 + t.n2 - 1 AS DOUBLE)))),
+                     6) AS z
+            FROM t, a""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
-      skewAudit, observedIngest, ksTest)
+      skewAudit, observedIngest, ksTest, mannWhitney)
 }
