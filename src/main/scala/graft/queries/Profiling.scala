@@ -636,7 +636,73 @@ object Profiling {
             FROM t, a""")
   )
 
+  /** q272 — BENFORD first-digit audit: the forensic screen for
+    * fabricated or mis-merged numeric columns (real-world multiplicative
+    * quantities put digit d first with probability log₁₀(1 + 1/d) —
+    * invoices, populations, file sizes; fabricated or uniformly
+    * generated numbers don't, which is exactly what this synthetic
+    * price column will loudly show). Per digit: observed count/share,
+    * the Benford expectation, and the χ² contribution; the total χ²
+    * rides every row (1-row broadcast mount). Portability discipline:
+    * the first SIGNIFICANT digit comes from the string form
+    * (`regexp_extract('[1-9]')` — numeric extraction needs log/loop;
+    * both engines print these magnitudes plainly), expectations share
+    * one `log10` call on identical doubles, and the χ² sum — 9
+    * order-sensitive double terms — goes through DECIMAL(20,6)
+    * per-term quantization so the cross-engine sum is exact (the q03
+    * trick applied to irrational terms). Narrow scan → 9-group
+    * aggregate; nothing data-sized leaves the map side.
+    */
+  val benfordAudit = Q(
+    "q272_benford_audit",
+    (s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
+          .cast("long").as("digit"))
+      val obs = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("nn"))
+      val p = log10(lit(1).cast("double")
+        + lit(1).cast("double") / col("digit").cast("double"))
+      val dev = col("n").cast("double") - col("nn").cast("double") * p
+      val scored = obs.crossJoin(broadcast(tot))
+        .withColumn("exp_frac", round(p, 6))
+        .withColumn("obs_frac",
+          round(col("n").cast("double") / col("nn").cast("double"), 6))
+        .withColumn("term",
+          (dev * dev / (col("nn").cast("double") * p)).cast("decimal(20,6)"))
+      val chi2 = scored.agg(sum(col("term")).cast("double").as("chi2"))
+      scored.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n"), col("obs_frac"), col("exp_frac"),
+          col("term").cast("double").as("chi2_term"), col("chi2"))
+    },
+    Some("""WITH digits AS (SELECT CAST(regexp_extract(CAST(o_totalprice AS STRING),
+                                     '[1-9]', 0) AS BIGINT) AS digit
+                            FROM orders),
+            obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                    FROM digits GROUP BY digit),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM obs),
+            scored AS (SELECT digit, n,
+                         round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS obs_frac,
+                         round(log10(CAST(1 AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS exp_frac,
+                         CAST((CAST(n AS DOUBLE) - CAST(nn AS DOUBLE)
+                               * log10(CAST(1 AS DOUBLE)
+                                 + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)))
+                              * (CAST(n AS DOUBLE) - CAST(nn AS DOUBLE)
+                                 * log10(CAST(1 AS DOUBLE)
+                                   + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)))
+                              / (CAST(nn AS DOUBLE)
+                                 * log10(CAST(1 AS DOUBLE)
+                                   + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)))
+                              AS DECIMAL(20,6)) AS term
+                       FROM obs, tot),
+            c AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM scored)
+            SELECT digit, n, obs_frac, exp_frac,
+                   CAST(term AS DOUBLE) AS chi2_term, c.chi2
+            FROM scored, c""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
-      skewAudit, observedIngest, ksTest, mannWhitney)
+      skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit)
 }
