@@ -344,6 +344,68 @@ object Sampling {
              FROM p ORDER BY priority DESC, doc_id LIMIT $WsK""")
   )
 
+  /** q273 — SCAN-ONCE FAN-OUT WRITE: one pass over the corpus feeding
+    * MULTIPLE artifact sinks — the shape of every split-and-publish
+    * step (train/eval stores here; per-tenant exports, quality tiers,
+    * format mirrors elsewhere). Spark has no multi-insert operator, so
+    * the naive spelling — one `.write` per artifact — re-reads and
+    * re-computes the source once PER SINK: at 100 TB, a 3-way split
+    * becomes 3 full corpus scans. The cure is materializing the shared
+    * prefix once (`persist(MEMORY_AND_DISK)` — disk-backed so a
+    * 100 TB-scale run degrades to a local spill, not an OOM), writing
+    * every sink from the cached relation, then unpersisting — which
+    * this operator CAN do, unlike the suite's lazily-returned frames:
+    * both writes are actions completed inside the function, so the
+    * cache's lifetime is exactly the fan-out (the ADVICE unpersist
+    * discipline, satisfiable here because nothing lazy escapes —
+    * the split hash is q79's, inlined). Output = the read-back
+    * audit of both artifacts; oracle reconstructs both splits from
+    * q79's hash in closed form. `FanoutWriteSpec` gates the economics:
+    * after the first write, a dependent action's plan reads
+    * InMemoryTableScan — the second sink never re-scans parquet.
+    */
+  val fanoutWrite = Q(
+    "q273_fanout_write",
+    (s, d) => {
+      val outTrain = graft.sources.Sources.scratchLeaf(d, "fanout_train")
+      val outEval = graft.sources.Sources.scratchLeaf(d, "fanout_eval")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST(conv(substring(md5(CAST(concat('split|', doc_id) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 100")
+            .as("bucket"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        base.where(col("split") === "train")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outTrain)
+        base.where(col("split") =!= "train")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outEval)
+      } finally {
+        base.unpersist()
+        ()
+      }
+      val audit = (tag: String, path: String) =>
+        s.read.parquet(path).agg(
+          lit(tag).as("artifact"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+          .select("artifact", "n_docs", "sum_chars")
+      audit("train", outTrain).unionAll(audit("eval", outEval))
+    },
+    Some(s"""WITH s AS (SELECT n_chars, ${sqlSplitCase("doc_id")} AS split
+                        FROM documents)
+             SELECT 'train' AS artifact, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             FROM s WHERE split = 'train'
+             UNION ALL
+             SELECT 'eval', CAST(count(*) AS BIGINT),
+                    CAST(sum(n_chars) AS BIGINT)
+             FROM s WHERE split <> 'train'""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
-    splitLeakage, consistentSample, weightedSample)
+    splitLeakage, consistentSample, weightedSample, fanoutWrite)
 }
