@@ -2626,6 +2626,37 @@ object Relational2 {
              GROUP BY c_mktsegment""")
   )
 
+  /** q274 — GROUP BY ALL / ORDER BY ALL: the analyst-ergonomics SQL
+    * surface (Spark 4 and DuckDB both adopted it from the same
+    * lineage) — every non-aggregate select item becomes a grouping
+    * key, every select item an ordering key, IN SELECT-LIST ORDER.
+    * Small syntax, real semantics under test: ALL must resolve
+    * AFTER aliases and expressions (year(...) AS yr groups by the
+    * computed year, not the raw timestamp) and must NOT capture the
+    * aggregate columns; the oracle runs the IDENTICAL text, so any
+    * divergence in what "ALL" binds to hash-fails. Deterministic by
+    * construction: ORDER BY ALL totally orders the output since every
+    * non-aggregate column participates; decimal-exact revenue (q03).
+    */
+  val groupByAll = Q(
+    "q274_group_by_all",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gba")
+      s.sql(s"""SELECT o_orderstatus, year(o_orderdate) AS yr,
+                       o_orderpriority,
+                       count(*) AS n, ${Q.sqlSum2("o_totalprice")} AS revenue
+                FROM orders_gba
+                GROUP BY ALL
+                ORDER BY ALL""")
+    },
+    Some(s"""SELECT o_orderstatus, year(o_orderdate) AS yr,
+                    o_orderpriority,
+                    count(*) AS n, ${Q.sqlSum2("o_totalprice")} AS revenue
+             FROM orders
+             GROUP BY ALL
+             ORDER BY ALL""")
+  )
+
   /** q260 — KEYSET (cursor) PAGINATION, and why OFFSET isn't it: the
     * export/API pattern for walking a huge sorted result in pages.
     * `OFFSET n LIMIT k` re-sorts and DISCARDS n rows every page —
@@ -2696,5 +2727,5 @@ object Relational2 {
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
-    floatSemantics, rebalanceWrite, aqeJoinDemotion)
+    floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll)
 }
