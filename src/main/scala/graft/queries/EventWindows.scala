@@ -2081,6 +2081,51 @@ object EventWindows {
             FROM events""")
   )
 
+  /** q275 — CUMULATIVE REACH (running distinct count): "distinct users
+    * to date per type" — the marketing/growth metric, and a hole in
+    * Spark's window surface: `count(DISTINCT) OVER` is unsupported
+    * (DuckDB supports it — the oracle uses exactly that, so the query
+    * PROVES the workaround's semantic equivalence). The Spark spelling
+    * is the documented set-algebra workaround: per-day user sets
+    * (`collect_set`), then a running
+    * `size(array_distinct(flatten(collect_list(sets))))` over the
+    * day-ordered window — one shuffle to day grain, window state
+    * bounded by distinct-users-per-type. At true 100 TB cardinalities
+    * the same metric is served mergeably by q258's bitmap store
+    * (cumulative OR instead of cumulative set union) or q173's HLL if
+    * approximate is enough — this query is the exact mid-scale form
+    * and the semantic reference for both.
+    */
+  val cumulativeReach = Q(
+    "q275_cumulative_reach",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daySets = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(collect_set(col("user_id")).as("us"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daySets
+        .withColumn("day_users", size(col("us")).cast("long"))
+        .withColumn("reach",
+          size(array_distinct(flatten(collect_list(col("us")).over(w))))
+            .cast("long"))
+        .select("event_type", "day", "day_users", "reach")
+    },
+    Some("""WITH dd AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+                               user_id
+                        FROM events),
+            g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS day_users
+                  FROM dd GROUP BY 1, 2),
+            r AS (SELECT DISTINCT event_type, day,
+                         count(DISTINCT user_id) OVER (PARTITION BY event_type
+                                                       ORDER BY day) AS reach
+                  FROM dd)
+            SELECT g.event_type, g.day, g.day_users,
+                   CAST(r.reach AS BIGINT) AS reach
+            FROM g JOIN r USING (event_type, day)""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2091,5 +2136,5 @@ object EventWindows {
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
       transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
-      streamObserve)
+      streamObserve, cumulativeReach)
 }
