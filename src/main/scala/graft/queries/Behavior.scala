@@ -389,7 +389,69 @@ object Behavior {
             FROM pk GROUP BY event_type""")
   )
 
+  /** q276 — LONGEST ACTIVITY STREAK (gaps-and-islands): per user, the
+    * longest run of CONSECUTIVE active days, with its start date — the
+    * engagement metric (N-day streaks) product dashboards badge and
+    * retention models feature on. The classic islands trick: distinct
+    * active days, `row_number` per user in day order, and `day − rn`
+    * is a constant ("anchor") exactly within each consecutive run —
+    * turning streak detection into a plain GROUP BY (user, anchor).
+    * q140's retention matrix counts activity at offsets; this asks the
+    * orthogonal question — was it CONTIGUOUS.
+    *
+    * Scale design: the distinct-day pass collapses the corpus to
+    * |users|×|days| before any window; the per-user `row_number` frame
+    * is one user's day list (≤ a few thousand rows — the q148 bounded-
+    * partition precedent, never a global window); streaks then fold by
+    * map-side-combined COUNT, and the per-user champion is the q89
+    * struct-extremum keeper — `max(struct(len, −start))` picks longest-
+    * then-EARLIEST in ONE aggregate, no rank-and-filter second window.
+    * Every shuffle keys on user_id (hash-aligned for AQE reuse); all
+    * arithmetic is integer date math — engine-portable with no rounding.
+    */
+  val streaks = Q(
+    "q276_longest_streak",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val runs = ev(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      val streaks = runs.groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      streaks.groupBy("user_id")
+        .agg(
+          max(struct(col("len").as("len"),
+            (-datediff(col("start"), to_date(lit("1970-01-01"))).cast("long"))
+              .as("negstart"))).as("best"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .select(col("user_id"), col("best.len").as("best_len"),
+          date_add(to_date(lit("1970-01-01")),
+            (-col("best.negstart")).cast("int")).as("best_start"),
+          col("n_streaks"), col("active_days"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            r AS (SELECT user_id, day,
+                         day - CAST(row_number() OVER (PARTITION BY user_id
+                                                       ORDER BY day) AS INTEGER) AS anchor
+                  FROM d),
+            st AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+                          min(day) AS start
+                   FROM r GROUP BY 1, 2),
+            k AS (SELECT user_id,
+                         max(struct_pack(len := len,
+                               negstart := -date_diff('day', DATE '1970-01-01', start))) AS best,
+                         CAST(count(*) AS BIGINT) AS n_streaks,
+                         CAST(sum(len) AS BIGINT) AS active_days
+                  FROM st GROUP BY 1)
+            SELECT user_id, best.len AS best_len,
+                   DATE '1970-01-01' + CAST(-best.negstart AS INTEGER) AS best_start,
+                   n_streaks, active_days
+            FROM k""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency)
+      peakConcurrency, streaks)
 }
