@@ -1410,8 +1410,95 @@ object Similarity {
             GROUP BY 1, 2""")
   )
 
+  /** q277 — RECIPROCAL-RANK FUSION (RRF), the standard hybrid-retrieval
+    * combiner (Cormack et al., SIGIR'09; what OpenSearch/Vespa/Elastic
+    * run to merge BM25 and vector hits): each ranker contributes
+    * `1/(k + rank)` with k = 60, so lists with INCOMPARABLE score
+    * scales fuse on rank alone — no calibration, robust to one ranker's
+    * outliers. Here the two views are exact cosine (angle) and raw
+    * inner product (angle × magnitude) over the same probe set — they
+    * genuinely disagree wherever vector norms vary, which is the
+    * scenario RRF exists for.
+    *
+    * Scale design: ONE scored pass (the q27 broadcast-probe
+    * nested-loop — corpus never shuffles) feeds BOTH rankings as two
+    * Window columns over the SAME partition key, so Spark plans one
+    * exchange with two sorts — not two scans joined back. Candidates
+    * are cut to top-20 per ranker per probe BEFORE fusion (membership
+    * and fused score both derive from the rank columns in the same
+    * projection — no self-join; absent-from-a-list contributes 0), and
+    * the final top-10 is a third window on the already-candidate-sized
+    * rows. Portability: cosine and dot are bit-identical across engines
+    * (CosineSimilarity ≡ list_cosine_similarity, SeqDot ≡ the
+    * generate_series left fold — q63's rule), ranks are integers, and
+    * the fused score is a fixed two-term sum of exact divisions in
+    * textual order — identical doubles, no rounding anywhere.
+    */
+  val rrfFusion = Q(
+    "q277_rrf_fusion",
+    (s, d) => {
+      val e = vectors(s, d)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+      val scored = broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          CosineSimilarity(col("qv"), col("v")).as("cs"),
+          SeqDot(col("qv"), col("v")).as("dt"))
+      val wc = Window.partitionBy("probe_id")
+        .orderBy(col("cs").desc, col("neighbor_id").asc)
+      val wd = Window.partitionBy("probe_id")
+        .orderBy(col("dt").desc, col("neighbor_id").asc)
+      val ranked = scored
+        .withColumn("rc", row_number().over(wc).cast("long"))
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .where(col("rc") <= 20 || col("rd") <= 20)
+        .select(col("probe_id"), col("neighbor_id"),
+          when(col("rc") <= 20, col("rc")).otherwise(lit(0L)).as("r_cos"),
+          when(col("rd") <= 20, col("rd")).otherwise(lit(0L)).as("r_dot"),
+          (when(col("rc") <= 20, lit(1.0) / (lit(60.0) + col("rc")))
+             .otherwise(lit(0.0)) +
+           when(col("rd") <= 20, lit(1.0) / (lit(60.0) + col("rd")))
+             .otherwise(lit(0.0))).as("rrf_score"))
+      val wf = Window.partitionBy("probe_id")
+        .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+      ranked.withColumn("rnk", row_number().over(wf).cast("long"))
+        .where(col("rnk") <= 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < 8),
+            sc AS (SELECT p.probe_id, x.vec_id AS neighbor_id,
+                          list_cosine_similarity(p.qv, x.v) AS cs,
+                          list_aggregate(list_transform(
+                            generate_series(1, len(x.v)),
+                            i -> p.qv[i] * x.v[i]), 'sum') AS dt
+                   FROM p JOIN e x ON x.vec_id <> p.probe_id),
+            r AS (SELECT probe_id, neighbor_id,
+                         CAST(row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rc,
+                         CAST(row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dt DESC, neighbor_id) AS BIGINT) AS rd
+                  FROM sc
+                  QUALIFY rc <= 20 OR rd <= 20),
+            f AS (SELECT probe_id, neighbor_id,
+                         CASE WHEN rc <= 20 THEN rc ELSE 0 END AS r_cos,
+                         CASE WHEN rd <= 20 THEN rd ELSE 0 END AS r_dot,
+                         (CASE WHEN rc <= 20
+                               THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rc)
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                       + (CASE WHEN rd <= 20
+                               THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rd)
+                               ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score
+                  FROM r)
+            SELECT probe_id, neighbor_id, r_cos, r_dot, rrf_score,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM f
+            QUALIFY rnk <= 10""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
-      semDedupSalted, filteredAnn, hardNegatives, embeddingGramian)
+      semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, rrfFusion)
 }
