@@ -702,7 +702,260 @@ object Profiling {
             FROM scored, c""")
   )
 
+  /** q278 — GINI CONCENTRATION audit: per market segment, how unequally
+    * customer spend is distributed — the revenue-concentration /
+    * "whale-dependence" metric finance and abuse teams both track (and
+    * the same statistic data-mixing uses to audit source balance,
+    * q94's dual). Computed by the exact rank formula on ascending
+    * spend: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) — tie-safe (equal x
+    * values contribute x·Σi however ranks land within the tie).
+    *
+    * Scale shape: per-customer spend is a map-side-combined decimal
+    * aggregate; the rank is a per-SEGMENT window (bounded partitions —
+    * 1/|segments| of customers each; the q98 two-phase global-order
+    * form is the swap-in if one group ever dominates); the final
+    * reduction is |segments| groups. Exactness: spend sums and both
+    * rank-weighted sums stay DECIMAL end-to-end (order-independent),
+    * and the single division happens once, in double, on identical
+    * numerator/denominator — no rounding needed anywhere.
+    */
+  val giniAudit = Q(
+    "q278_gini_concentration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      val seg = spend.join(
+        Tables.customer(s, d).select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("segment")), "ck")
+      val w = Window.partitionBy("segment").orderBy(col("x").asc, col("ck").asc)
+      seg.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("i") * col("x")).as("s1"),
+          sum(col("x")).as("s2"))
+        .select(col("segment"), col("n"),
+          col("s2").cast("double").as("total_spend"),
+          ((lit(2) * col("s1") - (col("n") + lit(1)) * col("s2")).cast("double")
+            / (col("n") * col("s2")).cast("double")).as("gini"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey AS ck,
+                                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+                           FROM orders GROUP BY 1),
+            seg AS (SELECT c.c_mktsegment AS segment, s.ck, s.x
+                    FROM spend s JOIN customer c ON c.c_custkey = s.ck),
+            r AS (SELECT segment, x,
+                         CAST(row_number() OVER (PARTITION BY segment
+                              ORDER BY x, ck) AS BIGINT) AS i
+                  FROM seg),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         sum(i * x) AS s1, sum(x) AS s2
+                  FROM r GROUP BY 1)
+            SELECT segment, n, CAST(s2 AS DOUBLE) AS total_spend,
+                   CAST(2*s1 - (n+1)*s2 AS DOUBLE) / CAST(n*s2 AS DOUBLE) AS gini
+            FROM g""")
+  )
+
+  /** q279 — MUTUAL-INFORMATION feature screen between two categorical
+    * columns (segment × nation): the model-free dependence measure
+    * feature selection ranks candidate features by, and the
+    * leakage/redundancy screen run before training (MI ≈ 0 → the
+    * feature is noise for this target; MI ≈ H → it's a duplicate).
+    * Per cell: PMI = ln(c_xy·n / (c_x·c_y)) and its MI contribution
+    * p_xy·PMI, plus the table-total MI on every row.
+    *
+    * Scale shape: one map-side-combined (x, y) count; marginals are
+    * re-aggregations of the CELL table (|X|·|Y| rows — never a second
+    * corpus scan); total rides as a 1-row broadcast (the q272 mount).
+    * Portability: every ratio is exact-integer ÷ exact-integer (one
+    * IEEE division — `c_xy·n / (c_x·c_y)` keeps it to ONE op rather
+    * than dividing probabilities), ln outputs are quantized
+    * floor(x·1e6+0.5)/1e6 (libm rule), the per-cell term is quantized
+    * at 1e-9, and the total is an exact integer sum of the quantized
+    * terms — order-independent on both engines.
+    */
+  val mutualInfo = Q(
+    "q279_mutual_information",
+    (s, d) => {
+      val cxy = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+        .agg(count(lit(1)).as("cxy"))
+      val cx = cxy.groupBy("seg").agg(sum(col("cxy")).as("cx"))
+      val cy = cxy.groupBy("nat").agg(sum(col("cxy")).as("cy"))
+      val n = cxy.agg(sum(col("cxy")).as("n"))
+      val pmi = floor(log((col("cxy") * col("n")).cast("double")
+        / (col("cx") * col("cy")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)
+      val cells = cxy.join(cx, "seg").join(cy, "nat").crossJoin(broadcast(n))
+        .withColumn("pmi", pmi)
+        .withColumn("term_q",
+          floor((col("cxy").cast("double") / col("n").cast("double"))
+            * col("pmi") * lit(1e9) + lit(0.5)).cast("long"))
+      val tot = cells.agg((sum(col("term_q")).cast("double") / lit(1e9)).as("mi_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("seg"), col("nat"), col("cxy"), col("cx"), col("cy"),
+          col("pmi"), (col("term_q").cast("double") / lit(1e9)).as("mi_term"),
+          col("mi_total"))
+    },
+    Some("""WITH cxy AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+                                CAST(count(*) AS BIGINT) AS cxy
+                         FROM customer GROUP BY 1, 2),
+            cx AS (SELECT seg, CAST(sum(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1),
+            cy AS (SELECT nat, CAST(sum(cxy) AS BIGINT) AS cy FROM cxy GROUP BY 1),
+            nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cxy),
+            cells AS (SELECT seg, nat, cxy.cxy, cx.cx, cy.cy, nn.n,
+                             floor(ln(CAST(cxy.cxy * nn.n AS DOUBLE)
+                                      / CAST(cx.cx * cy.cy AS DOUBLE)) * 1e6 + 0.5)
+                               / 1e6 AS pmi
+                      FROM cxy JOIN cx USING (seg) JOIN cy USING (nat) CROSS JOIN nn),
+            q AS (SELECT *, CAST(floor((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                                       * pmi * 1e9 + 0.5) AS BIGINT) AS term_q
+                  FROM cells),
+            tot AS (SELECT CAST(sum(term_q) AS DOUBLE) / 1e9 AS mi_total FROM q)
+            SELECT seg, nat, cxy, cx, cy, pmi,
+                   CAST(term_q AS DOUBLE) / 1e9 AS mi_term, tot.mi_total
+            FROM q, tot""")
+  )
+
+  /** q280 — KAPLAN–MEIER survival curve over user activity lifetimes:
+    * the censoring-aware retention estimator (the statistic behind
+    * every "how long do users stay" chart that doesn't lie about
+    * still-active users). Lifetime t = a user's count of distinct
+    * active days; users still active on the corpus's final day are
+    * CENSORED (they leave the risk set without counting as churn) —
+    * dropping them, or counting them as churned, are the two classic
+    * biases KM exists to avoid. Ŝ(t) = Π_{s≤t}(1 − d_s/n_s) over
+    * event times, served per distinct lifetime with its risk-set size.
+    *
+    * Scale shape: per-user lifetime is one map-side-combined aggregate;
+    * everything after lives at LIFETIME grain (≤ days-in-corpus rows —
+    * the q227 move: windows only over already-tiny relations; horizon
+    * is a 1-row broadcast). Portability of the running product: each
+    * ln(1−d/n) factor is computed from exact integers, quantized at
+    * 1e-9 to an INTEGER, prefix-summed EXACTLY (order-free), and
+    * exp'd once per row with the result quantized at 1e-6 (the q116
+    * exp/ln discipline — never a raw running product of doubles).
+    */
+  val kaplanMeier = Q(
+    "q280_kaplan_meier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(countDistinct(to_date(col("ts"))).as("dur"),
+          max(to_date(col("ts"))).as("last_day"))
+      val horizon = u.agg(max(col("last_day")).as("horizon"))
+      val lif = u.crossJoin(broadcast(horizon))
+        .select(col("dur"),
+          when(col("last_day") < col("horizon"), lit(1L)).otherwise(lit(0L)).as("ev"))
+      val dt = lif.groupBy(col("dur").as("t"))
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+      val nTotal = dt.agg(sum(col("c")).as("n_total"))
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      dt.crossJoin(broadcast(nTotal))
+        .withColumn("n_risk", col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+        .withColumn("lq",
+          when(col("d") === 0, lit(0L))
+            .otherwise(floor(log((col("n_risk") - col("d")).cast("double")
+              / col("n_risk").cast("double")) * lit(1e9) + lit(0.5)).cast("long")))
+        .withColumn("survival",
+          floor(exp(sum(col("lq")).over(wCum).cast("double") / lit(1e9))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS dur,
+                              CAST(max(ts) AS DATE) AS last_day
+                       FROM events GROUP BY 1),
+            mx AS (SELECT max(last_day) AS horizon FROM u),
+            lif AS (SELECT dur, CASE WHEN last_day < horizon THEN 1 ELSE 0 END AS ev
+                    FROM u CROSS JOIN mx),
+            dt AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM lif GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM dt),
+            km AS (SELECT t, d, c,
+                          CAST(n_total - coalesce(sum(c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS n_risk
+                   FROM dt CROSS JOIN tot),
+            lg AS (SELECT t, d, c, n_risk,
+                          CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                               ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                          END AS lq
+                   FROM km)
+            SELECT t, n_risk, d, c,
+                   floor(exp(CAST(sum(lq) OVER (ORDER BY t) AS DOUBLE) / 1e9)
+                         * 1e6 + 0.5) / 1e6 AS survival
+            FROM lg""")
+  )
+
+  /** q281 — MAXIMUM DRAWDOWN per series: the worst peak-to-trough drop
+    * of the daily value total — the risk statistic SLO/finance
+    * dashboards pin next to the mean (two series with equal averages
+    * and wildly different drawdowns are NOT interchangeable). Running
+    * peak via a cumulative-max window, drawdown = (peak − v)/peak, and
+    * the champion day via the q89 struct-extremum keeper
+    * (longest-drop-then-EARLIEST-day in one aggregate — no second
+    * window or self-join).
+    *
+    * Scale shape: the corpus collapses to (series, day) grain in one
+    * map-side-combined decimal aggregate before any window; the
+    * cumulative max runs over per-series day streams (≤ days rows
+    * each); peaks and deltas stay DECIMAL (exact), with the one
+    * division per row in double on identical inputs — portable with
+    * no rounding.
+    */
+  val maxDrawdown = Q(
+    "q281_max_drawdown",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val wPeak = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.withColumn("peak", max(col("v")).over(wPeak))
+        .withColumn("dd", (col("peak") - col("v")).cast("double")
+          / col("peak").cast("double"))
+        .groupBy("event_type")
+        .agg(
+          max(struct(col("dd").as("dd"),
+            (-datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+              .as("negday"))).as("best"),
+          max(col("peak")).cast("double").as("peak_value"))
+        .select(col("event_type"), col("best.dd").as("max_drawdown"),
+          date_add(to_date(lit("1970-01-01")),
+            (-col("best.negday")).cast("int")).as("dd_day"),
+          col("peak_value"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  sum(CAST(value AS DECIMAL(18,2))) AS v
+                           FROM events GROUP BY 1, 2),
+            pk AS (SELECT event_type, day, v,
+                          max(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                   FROM daily),
+            dd AS (SELECT event_type, day,
+                          CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE) AS dd,
+                          peak
+                   FROM pk),
+            k AS (SELECT event_type,
+                         max(struct_pack(dd := dd,
+                           negday := -date_diff('day', DATE '1970-01-01', day))) AS best,
+                         CAST(max(peak) AS DOUBLE) AS peak_value
+                  FROM dd GROUP BY 1)
+            SELECT event_type, best.dd AS max_drawdown,
+                   DATE '1970-01-01' + CAST(-best.negday AS INTEGER) AS dd_day,
+                   peak_value
+            FROM k""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
-      skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit)
+      skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
+      giniAudit, mutualInfo, kaplanMeier, maxDrawdown)
 }
