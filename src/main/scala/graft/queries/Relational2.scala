@@ -2642,14 +2642,14 @@ object Relational2 {
     "q274_group_by_all",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_gba")
-      s.sql(s"""SELECT o_orderstatus, year(o_orderdate) AS yr,
+      s.sql(s"""SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
                        o_orderpriority,
                        count(*) AS n, ${Q.sqlSum2("o_totalprice")} AS revenue
                 FROM orders_gba
                 GROUP BY ALL
                 ORDER BY ALL""")
     },
-    Some(s"""SELECT o_orderstatus, year(o_orderdate) AS yr,
+    Some(s"""SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
                     o_orderpriority,
                     count(*) AS n, ${Q.sqlSum2("o_totalprice")} AS revenue
              FROM orders
@@ -2716,6 +2716,114 @@ object Relational2 {
              FROM r WHERE rn <= ${Pages * PageSize}""")
   )
 
+  /** q282 — MARKET-BASKET CO-OCCURRENCE with LIFT (association-rule
+    * mining's level-2 candidates, the Apriori/FP-growth front door):
+    * part pairs ordered together, with per-pair support and
+    * lift = P(a,b)/(P(a)·P(b)) — lift > 1 is "bought together more
+    * than chance", the recommender / store-layout signal. Same data
+    * shape as collaborative filtering's item-item co-occurrence.
+    *
+    * Scale design: the pair generator is a SELF-JOIN ON THE BASKET KEY
+    * (co-partitioned shuffle on orderkey; never a cross join) and its
+    * fan-out is C(basket,2) with baskets bounded (≤13 items here; a
+    * df-cap on item frequency is the q73 guard if baskets were
+    * unbounded). Support counts and item marginals are map-side-
+    * combined; the support ≥ 2 cut happens BEFORE the marginal joins
+    * so only surviving pairs (a tiny fraction) join back; lift is one
+    * exact-integer ratio — `support·n_orders / (cnt_a·cnt_b)` in ONE
+    * IEEE division, portable with no rounding.
+    */
+  val marketBasket = Q(
+    "q282_market_basket",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val sup = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+      pairs
+        .join(sup.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+        .join(sup.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("support"), col("cnt_a"), col("cnt_b"),
+          ((col("support") * col("n_orders")).cast("double")
+            / (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                           FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+            sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+            pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+                      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                      GROUP BY 1, 2),
+            top AS (SELECT * FROM pairs WHERE support >= 2)
+            SELECT t.pa, t.pb, t.support, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+                   CAST(t.support * n.n_orders AS DOUBLE)
+                     / CAST(sa.cnt * sb.cnt AS DOUBLE) AS lift
+            FROM top t JOIN sup sa ON sa.pk = t.pa
+                       JOIN sup sb ON sb.pk = t.pb CROSS JOIN n""")
+  )
+
+  /** q283 — `Dataset.transpose` (Spark 4's new first-class API): rows
+    * become columns keyed by an index column — the "metrics wide ↔
+    * long" flip analysts do to eyeball a per-group summary, previously
+    * hand-rolled with stack/pivot (q39/q68/q101). The engine semantics
+    * under test: non-index values surface as STRINGS when source
+    * columns disagree on type (least-common-type is string here), new
+    * column names come from the index column's values, and column
+    * order follows the index's sorted order. Input is the bounded
+    * per-returnflag summary (3 rows → 3 value columns); the oracle
+    * replays the flip as a UNION ALL of per-metric rows with
+    * conditional aggregation — the portable spelling of a transpose.
+    *
+    * Scale note: transpose MATERIALIZES row keys as schema, so its
+    * input must be a bounded aggregate (here 3×4) — the right tool for
+    * summary flips, never for data-sized relations; the heavy work
+    * (the lineitem aggregate feeding it) stays a map-side-combined
+    * groupBy that this operator consumes without another shuffle.
+    */
+  val transposeQ = Q(
+    "q283_transpose",
+    (s, d) => {
+      val summary = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .select(col("flag"), col("n_rows").cast("string"),
+          col("sum_qty").cast("string"), col("n_supp").cast("string"))
+      summary.transpose(col("flag"))
+        .withColumnRenamed("key", "metric")
+    },
+    Some("""WITH s AS (SELECT l_returnflag AS flag,
+                              CAST(count(*) AS BIGINT) AS n_rows,
+                              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+                       FROM lineitem GROUP BY 1)
+            SELECT 'n_rows' AS metric,
+                   CAST(max(CASE WHEN flag = 'A' THEN n_rows END) AS STRING) AS "A",
+                   CAST(max(CASE WHEN flag = 'N' THEN n_rows END) AS STRING) AS "N",
+                   CAST(max(CASE WHEN flag = 'R' THEN n_rows END) AS STRING) AS "R"
+            FROM s
+            UNION ALL
+            SELECT 'sum_qty',
+                   CAST(max(CASE WHEN flag = 'A' THEN sum_qty END) AS STRING),
+                   CAST(max(CASE WHEN flag = 'N' THEN sum_qty END) AS STRING),
+                   CAST(max(CASE WHEN flag = 'R' THEN sum_qty END) AS STRING)
+            FROM s
+            UNION ALL
+            SELECT 'n_supp',
+                   CAST(max(CASE WHEN flag = 'A' THEN n_supp END) AS STRING),
+                   CAST(max(CASE WHEN flag = 'N' THEN n_supp END) AS STRING),
+                   CAST(max(CASE WHEN flag = 'R' THEN n_supp END) AS STRING)
+            FROM s""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2727,5 +2835,6 @@ object Relational2 {
     groupingIdQ, argmaxAgg, higherMoments, weightedMedian, scriptTransform,
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
-    floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll)
+    floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll,
+    marketBasket, transposeQ)
 }
