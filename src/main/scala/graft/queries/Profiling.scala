@@ -954,8 +954,134 @@ object Profiling {
             FROM k""")
   )
 
+  /** q284 — CROSS-CORRELATION MATRIX between daily series: pairwise
+    * Pearson correlation of each event type's daily value total against
+    * every other — the co-movement screen (capacity planning: which
+    * loads spike together; metrics triage: which KPI mirrors which)
+    * and the redundancy filter feature selection runs beside q279's MI
+    * (corr sees linear co-movement of NUMERIC series; MI saw arbitrary
+    * categorical dependence). Upper triangle only (ta < tb).
+    *
+    * Scale shape: q241's two-level discipline — the only corpus-sized
+    * pass is the decimal-exact daily rollup; the pair expansion is a
+    * self-join ON DAY of the daily table (|types|² · days rows — tiny),
+    * and `corr` is a map-side-combinable algebraic aggregate, so no
+    * window and no sort anywhere. Exact daily sums mean both engines
+    * feed corr IDENTICAL doubles; corr's internal accumulation order is
+    * the one cross-engine divergence — rounded 6dp (q241's rule).
+    */
+  val crossCorr = Q(
+    "q284_cross_correlation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.Q.dsum2(col("value")).as("v"))
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_days"),
+          round(corr(col("a.v"), col("b.v")), 6).as("xcorr"))
+    },
+    Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                   ${graft.Q.sqlSum2("value")} AS v
+                            FROM events GROUP BY 1, 2)
+             SELECT a.event_type AS ta, b.event_type AS tb,
+                    CAST(count(*) AS BIGINT) AS n_days,
+                    round(corr(a.v, b.v), 6) AS xcorr
+             FROM daily a JOIN daily b
+               ON a.day = b.day AND a.event_type < b.event_type
+             GROUP BY 1, 2""")
+  )
+
+  /** q285 — TWO-PROPORTION Z-TEST (pooled), the canonical A/B-test
+    * readout: does variant B convert better than variant A, and is the
+    * difference larger than chance? Completes the hypothesis-test shelf
+    * — KS q269 (distribution shape), Mann–Whitney q271 (location),
+    * bootstrap q152 (any statistic, resampled) — with the one test
+    * product experiments actually quote. Variant = user_id parity (the
+    * deterministic hash split q79 uses); the tested proportion is
+    * "heavy purchaser" — purchases exceed 20% of the user's events, an
+    * exact INTEGER predicate (np·5 > ne) chosen because it
+    * discriminates at every scale factor ("ever purchased" saturates
+    * to 100% on this dense fixture — a degenerate pooled variance,
+    * which ANSI mode rightly turns into a loud divide-by-zero). The
+    * degenerate case is still pinned to z = 0 by an exact-zero guard
+    * on BOTH engines (the NaN-output hazard, q265's rule). z = (p₁−p₀)/√(p̄(1−p̄)(1/n₀+1/n₁)) with the pooled
+    * rate p̄ under H₀: equal proportions.
+    *
+    * Scale shape: one map-side-combined per-user reduction (two exact
+    * counts), one 4-long aggregate; everything after is
+    * driver-free scalar arithmetic riding a 1-row frame. Portability:
+    * counts are exact longs, every division/product is written in the
+    * IDENTICAL textual order on both engines, and √ is IEEE-exact —
+    * so the z value matches bit-for-bit with NO rounding (the sqrt
+    * rule); the 1.96 significance gate compares identical doubles.
+    */
+  val abTest = Q(
+    "q285_ab_proportion_test",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("np"), count(lit(1)).as("ne"))
+        .select(col("user_id"),
+          when(col("np") * 5 > col("ne"), lit(1L)).otherwise(lit(0L)).as("conv"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      val agg = users.groupBy()
+        .agg(
+          sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(lit(0L))).as("c0"),
+          sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(lit(0L))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val z = when(pp * (lit(1.0) - pp) === lit(0.0), lit(0.0))
+        .otherwise((p1 - p0) /
+          sqrt((pp * (lit(1.0) - pp))
+            * (lit(1.0) / col("n0").cast("double")
+               + lit(1.0) / col("n1").cast("double"))))
+      agg.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        p0.as("p0"), p1.as("p1"), z.as("z"),
+        (abs(z) > lit(1.96)).as("significant"))
+    },
+    Some("""WITH u0 AS (SELECT user_id,
+                               sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS np,
+                               count(*) AS ne
+                        FROM events GROUP BY user_id),
+            u AS (SELECT user_id,
+                         CASE WHEN np * 5 > ne THEN 1 ELSE 0 END AS conv,
+                         user_id % 2 AS variant
+                  FROM u0),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+                    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+                  FROM u),
+            s AS (SELECT n0, c0, n1, c1,
+                         CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                         CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+                  FROM a),
+            z AS (SELECT *,
+                         CASE WHEN pp * (CAST(1.0 AS DOUBLE) - pp)
+                                   = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                              ELSE (p1 - p0) / sqrt((pp * (CAST(1.0 AS DOUBLE) - pp))
+                                * (CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                         END AS z
+                  FROM s)
+            SELECT n0, c0, n1, c1, p0, p1, z,
+                   abs(z) > CAST(1.96 AS DOUBLE) AS significant
+            FROM z""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
-      giniAudit, mutualInfo, kaplanMeier, maxDrawdown)
+      giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest)
 }
