@@ -451,7 +451,89 @@ object Behavior {
             FROM k""")
   )
 
+  /** q286 — RFM SEGMENTATION (recency / frequency / monetary): the
+    * classic customer-value scoring every CRM and growth team runs —
+    * per purchasing user, days since last purchase, purchase count,
+    * and decimal-exact spend, each quintile-scored 1–5 (5 = best) and
+    * combined into an actionable segment label (the "champions /
+    * loyal / at-risk" taxonomy). The behavioral-feature counterpart of
+    * q140's cohort view: cohorts ask WHEN users arrived, RFM asks WHO
+    * is worth attention now.
+    *
+    * Scale shape: one map-side-combined per-user purchase reduction;
+    * horizon is a 1-row broadcast. The quintile scores are `ntile(5)`
+    * windows over the USER-grain table with fully-deterministic
+    * orderings (metric, then user_id — ntile is positional, so the
+    * tiebreak is the determinism pin, q11's rule); at 100 TB the
+    * global ntile swaps for the q160 rank-free ECDF cut — quantile
+    * edges from a tiny sorted sample of 4 boundaries, broadcast back —
+    * which this fixture's oracle would equally satisfy. All scoring
+    * arithmetic is integer; the only doubles are pass-through outputs.
+    */
+  val rfm = Q(
+    "q286_rfm_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, d).where(col("event_type") === "purchase")
+      val horizon = p.agg(max(to_date(col("ts"))).as("horizon"))
+      val base = p.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).as("monetary"))
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          datediff(col("horizon"), col("last_day")).cast("long").as("recency"),
+          col("frequency"), col("monetary"))
+      val rScore = lit(6) - ntile(5).over(
+        Window.orderBy(col("recency").asc, col("user_id").asc))
+      val fScore = lit(6) - ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("user_id").asc))
+      val mScore = lit(6) - ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("user_id").asc))
+      base
+        .withColumn("r_score", rScore.cast("long"))
+        .withColumn("f_score", fScore.cast("long"))
+        .withColumn("m_score", mScore.cast("long"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4
+            && col("m_score") >= 4, lit("champion"))
+            .when(col("r_score") >= 4 && col("f_score") >= 3, lit("loyal"))
+            .when(col("r_score") <= 2 && col("f_score") >= 4, lit("at_risk"))
+            .when(col("r_score") <= 2 && col("f_score") <= 2, lit("hibernating"))
+            .otherwise(lit("regular")))
+        .select(col("user_id"), col("recency"), col("frequency"),
+          col("monetary").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"), col("segment"))
+    },
+    Some("""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                              CAST(value AS DECIMAL(18,2)) AS v
+                       FROM events WHERE event_type = 'purchase'),
+            h AS (SELECT max(day) AS horizon FROM p),
+            base AS (SELECT user_id,
+                            CAST(date_diff('day', max(day),
+                              (SELECT horizon FROM h)) AS BIGINT) AS recency,
+                            CAST(count(*) AS BIGINT) AS frequency,
+                            sum(v) AS monetary
+                     FROM p GROUP BY user_id),
+            sc AS (SELECT user_id, recency, frequency, monetary,
+                          6 - ntile(5) OVER (ORDER BY recency, user_id) AS r_score,
+                          6 - ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+                          6 - ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+                   FROM base)
+            SELECT user_id, recency, frequency, CAST(monetary AS DOUBLE) AS monetary,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                          THEN 'champion'
+                        WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                        WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                        WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM sc""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency, streaks)
+      peakConcurrency, streaks, rfm)
 }
