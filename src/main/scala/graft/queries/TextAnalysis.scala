@@ -1843,10 +1843,69 @@ object TextAnalysis {
             FROM b""")
   )
 
+  /** q287 — ZIPF'S-LAW FIT of the corpus token-frequency curve: the
+    * one-number summary of lexical health a corpus audit reads before
+    * training (natural language fits ln f ≈ a + s·ln r with s ≈ −1;
+    * boilerplate-heavy or deduplicated-to-death corpora bend the
+    * curve — a fitted slope far from −1, or a weak R², is the smell).
+    * OLS of ln(freq) on ln(rank) over the top-100 vocabulary, plus
+    * the head token's share — the q85 vocabulary surface condensed to
+    * a fit.
+    *
+    * Scale shape: the only corpus-sized pass is the map-side-combined
+    * word count; the top-100 cut is orderBy+limit (TakeOrdered — the
+    * q85 discipline, no global sort materialized), and the rank window
+    * runs over exactly 100 rows. Portability: ranks and counts are
+    * exact integers and ln sees identical inputs; `regr_slope`-family
+    * internals are the one engine-divergent accumulation — rounded 6dp
+    * (q213's rule). Single-row output with n_tokens as the exact
+    * cross-check column.
+    */
+  val zipfFit = Q(
+    "q287_zipf_fit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("w").asc).limit(100)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("w").asc)).cast("long"))
+      val tot = freq.agg(sum(col("f")).as("n_tokens"))
+      top.select(log(col("r").cast("double")).as("lr"),
+          log(col("f").cast("double")).as("lf"), col("r"), col("f"))
+        .agg(count(lit(1)).as("n_top"),
+          round(expr("regr_slope(lf, lr)"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(lf, lr)"), 6).as("zipf_intercept"),
+          round(expr("regr_r2(lf, lr)"), 6).as("r2"),
+          max(when(col("r") === 1, col("f"))).as("top_freq"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_top"), col("zipf_slope"), col("zipf_intercept"),
+          col("r2"), col("top_freq"), col("n_tokens"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                     FROM tok WHERE w <> '' GROUP BY w),
+            top AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+                    FROM freq ORDER BY f DESC, w LIMIT 100),
+            tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens FROM freq)
+            SELECT CAST(count(*) AS BIGINT) AS n_top,
+                   round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                     AS zipf_slope,
+                   round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                     AS zipf_intercept,
+                   round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS r2,
+                   max(CASE WHEN r = 1 THEN f END) AS top_freq,
+                   tot.n_tokens
+            FROM top, tot
+            GROUP BY tot.n_tokens""")
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
       qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
-      langMixture, charEntropy, blocklistScreen, jaroWinklerResolve)
+      langMixture, charEntropy, blocklistScreen, jaroWinklerResolve, zipfFit)
 }
