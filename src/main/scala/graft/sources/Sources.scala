@@ -1589,11 +1589,59 @@ object Sources {
              FROM orders GROUP BY 1""")
   )
 
+  /** q288 — CORRUPT-FILE-RESILIENT READ (`ignoreCorruptFiles`): the
+    * file-LEVEL sibling of the record-level quarantines (q162 JSON
+    * corrupt-record column, q171 CSV PERMISSIVE): at 100 TB a few of
+    * the millions of objects under a table root WILL be truncated
+    * uploads, mid-write crashes, or bit-rot — and one bad footer must
+    * not kill a 1000-executor job hours in. The fixture corrupts
+    * every file of ONE partition of a scratch copy of events
+    * (garbage bytes — no parquet magic), then reads the store with
+    * `ignoreCorruptFiles=true` and an EXPLICIT schema (inference
+    * itself would have to open the bad footer — the pinned subtlety:
+    * resilience requires the reader not depend on the corrupt file
+    * for metadata). Surviving per-type counts and cent-exact sums
+    * equal the source minus the destroyed partition — the blast
+    * radius is the file, not the job. The dropped partition is
+    * chosen (`error`) not sampled, so the oracle is exact.
+    *
+    * Scale shape: partitioned write once per run (Overwrite), the
+    * corruption walk is bounded metadata IO, the audited read is a
+    * partition-parallel scan with map-side-combined aggregation.
+    */
+  val corruptFileSkip = Q(
+    "q288_corrupt_file_skip",
+    (s, d) => {
+      val store = scratchLeaf(d, "corrupt_store")
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+      src.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(store)
+      val bad = new java.io.File(s"$store/event_type=error")
+      bad.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath,
+          "not a parquet file".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read
+        .option("ignoreCorruptFiles", "true")
+        .schema("event_id BIGINT, v DECIMAL(18,2), event_type STRING")
+        .parquet(store)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events
+            WHERE event_type <> 'error'
+            GROUP BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(csvRoundTrip, jsonRoundTrip, orcRoundTrip, partitionPruned, compaction, zorderLayout,
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup, hilbertPrunedRead,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
       bucketPrunedRead, smbJoin, analyzeStats, columnDefaults,
-      docgenAggPushdown, docgenTopNPushdown, docgenKeyGroupedAgg, docgenSpjJoin)
+      docgenAggPushdown, docgenTopNPushdown, docgenKeyGroupedAgg, docgenSpjJoin,
+      corruptFileSkip)
 }
