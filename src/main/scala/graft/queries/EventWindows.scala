@@ -2126,6 +2126,71 @@ object EventWindows {
             FROM g JOIN r USING (event_type, day)""")
   )
 
+  /** q289 — SEASONAL-NAIVE FORECAST BACKTEST with MASE: the honest
+    * baseline every forecasting deployment must beat before it ships a
+    * model (Hyndman's M-competition lesson), and the scaled error
+    * metric that makes accuracy comparable ACROSS series of different
+    * magnitude — MASE = MAE(seasonal-naive, lag 7) / MAE(naive, lag 1);
+    * < 1 means weekly seasonality genuinely predicts (q241's acf7
+    * asked "is there weekly structure"; this asks "does exploiting it
+    * beat persistence"). Both forecasts evaluate on the SAME day set
+    * (both lags valid — gap-guarded like q241, so row-lag is day-lag
+    * at any density) or the two MAEs would average different windows.
+    *
+    * Scale shape: the corpus-sized pass is the decimal daily rollup;
+    * lags are per-series windows over day-grain rows (bounded
+    * partitions); absolute errors stay DECIMAL (|a−b| of exact
+    * decimals is exact) and sum exactly, so both engines divide the
+    * IDENTICAL numbers — the two MAE divisions and the final ratio
+    * are the only doubles, portable with no rounding.
+    */
+  val forecastBacktest = Q(
+    "q289_forecast_backtest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("v1",
+          when(lag(col("day"), 1).over(w) === col("day") - expr("INTERVAL 1 DAY"),
+            lag(col("v"), 1).over(w)))
+        .withColumn("v7",
+          when(lag(col("day"), 7).over(w) === col("day") - expr("INTERVAL 7 DAY"),
+            lag(col("v"), 7).over(w)))
+        .where(col("v1").isNotNull && col("v7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("v") - col("v1"))).as("sae1"),
+          sum(abs(col("v") - col("v7"))).as("sae7"))
+        .select(col("event_type"), col("n_eval"),
+          (col("sae1").cast("double") / col("n_eval").cast("double")).as("mae_naive"),
+          (col("sae7").cast("double") / col("n_eval").cast("double")).as("mae_seasonal"),
+          (col("sae7").cast("double") / col("sae1").cast("double")).as("mase"))
+    },
+    Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                                  sum(CAST(value AS DECIMAL(18,2))) AS v
+                           FROM events GROUP BY 1, 2),
+            lagged AS (SELECT event_type, v,
+                              CASE WHEN lag(day, 1) OVER w = day - INTERVAL '1 day'
+                                   THEN lag(v, 1) OVER w END AS v1,
+                              CASE WHEN lag(day, 7) OVER w = day - INTERVAL '7 days'
+                                   THEN lag(v, 7) OVER w END AS v7
+                       FROM daily
+                       WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            ev AS (SELECT event_type, v, v1, v7 FROM lagged
+                   WHERE v1 IS NOT NULL AND v7 IS NOT NULL),
+            agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+                           sum(abs(v - v1)) AS sae1, sum(abs(v - v7)) AS sae7
+                    FROM ev GROUP BY 1)
+            SELECT event_type, n_eval,
+                   CAST(sae1 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae_naive,
+                   CAST(sae7 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae_seasonal,
+                   CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE) AS mase
+            FROM agg""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2136,5 +2201,5 @@ object EventWindows {
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
       transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
-      streamObserve, cumulativeReach)
+      streamObserve, cumulativeReach, forecastBacktest)
 }
