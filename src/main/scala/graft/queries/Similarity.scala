@@ -1415,10 +1415,14 @@ object Similarity {
     * run to merge BM25 and vector hits): each ranker contributes
     * `1/(k + rank)` with k = 60, so lists with INCOMPARABLE score
     * scales fuse on rank alone — no calibration, robust to one ranker's
-    * outliers. Here the two views are exact cosine (angle) and raw
-    * inner product (angle × magnitude) over the same probe set — they
-    * genuinely disagree wherever vector norms vary, which is the
-    * scenario RRF exists for.
+    * outliers. Here the two views are full-dimension cosine and its
+    * 16-dim MATRYOSHKA-prefix counterpart (the q107 truncation, cut
+    * deeper) — a realistic ensemble (full-precision vs cheap-truncated
+    * retrieval) whose rankings genuinely disagree; this fixture's
+    * unit-normalized vectors make raw dot product collapse into
+    * cosine, so an angle-vs-magnitude pair would fuse two IDENTICAL
+    * lists and prove nothing. `RrfFusionSpec` pins that single-list
+    * members actually compete.
     *
     * Scale design: ONE scored pass (the q27 broadcast-probe
     * nested-loop — corpus never shuffles) feeds BOTH rankings as two
@@ -1428,9 +1432,9 @@ object Similarity {
     * and fused score both derive from the rank columns in the same
     * projection — no self-join; absent-from-a-list contributes 0), and
     * the final top-10 is a third window on the already-candidate-sized
-    * rows. Portability: cosine and dot are bit-identical across engines
-    * (CosineSimilarity ≡ list_cosine_similarity, SeqDot ≡ the
-    * generate_series left fold — q63's rule), ranks are integers, and
+    * rows. Portability: both cosines are bit-identical across engines
+    * (CosineSimilarity ≡ list_cosine_similarity, on the full arrays
+    * and on the same 16-element prefix slice), ranks are integers, and
     * the fused score is a fixed two-term sum of exact divisions in
     * textual order — identical doubles, no rounding anywhere.
     */
@@ -1444,7 +1448,7 @@ object Similarity {
         .join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           CosineSimilarity(col("qv"), col("v")).as("cs"),
-          SeqDot(col("qv"), col("v")).as("dt"))
+          CosineSimilarity(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)).as("dt"))
       val wc = Window.partitionBy("probe_id")
         .orderBy(col("cs").desc, col("neighbor_id").asc)
       val wd = Window.partitionBy("probe_id")
@@ -1469,9 +1473,7 @@ object Similarity {
             p AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < 8),
             sc AS (SELECT p.probe_id, x.vec_id AS neighbor_id,
                           list_cosine_similarity(p.qv, x.v) AS cs,
-                          list_aggregate(list_transform(
-                            generate_series(1, len(x.v)),
-                            i -> p.qv[i] * x.v[i]), 'sum') AS dt
+                          list_cosine_similarity(p.qv[1:16], x.v[1:16]) AS dt
                    FROM p JOIN e x ON x.vec_id <> p.probe_id),
             r AS (SELECT probe_id, neighbor_id,
                          CAST(row_number() OVER (PARTITION BY probe_id
