@@ -1387,17 +1387,30 @@ object Similarity {
   val embeddingGramian = Q(
     "q262_embedding_gramian",
     (s, d) => {
-      Tables.embeddings(s, d)
-        .select(explode(expr(
-          """flatten(transform(embedding, (x, i) ->
-               transform(embedding, (y, j) ->
-                 struct(i AS i, j AS j,
-                        CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))"""))
-          .as("c"))
-        .select(col("c.i").cast("long").as("i"),
-          col("c.j").cast("long").as("j"), col("c.p").as("p"))
+      // Two generation economies over the naive nested
+      // transform-to-struct spelling (which allocated a 4096-element
+      // struct array per row before the aggregate ever saw it —
+      // measured 13 s at sf0.1): (1) chained posexplode streams
+      // products through codegen'd Generate stages with no struct
+      // materialization; (2) the gramian is SYMMETRIC, so only the
+      // upper triangle (j ≥ i) is generated and aggregated — half the
+      // rows — and the lower triangle is mirrored from the EXACT
+      // per-cell decimal sums afterwards (the multiset of products in
+      // cell (j,i) is identical to (i,j), so the mirror is exact, not
+      // approximate). Measured 13.4 -> 5.1 s isolated at sf0.1 (reps=3),
+      // same bit-exact oracle result.
+      val upper = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding"))
+        .select(col("i"), col("x"),
+          posexplode(expr("slice(embedding, i + 1, size(embedding) - i)"))
+            .as(Seq("jo", "y")))
+        .select(col("i").cast("long").as("i"),
+          (col("i") + col("jo")).cast("long").as("j"),
+          (col("x").cast("double") * col("y").cast("double")).as("p"))
         .groupBy("i", "j")
         .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("g"))
+      upper.unionAll(upper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
     },
     Some("""WITH u AS (SELECT vec_id,
                          unnest(embedding) AS val,
