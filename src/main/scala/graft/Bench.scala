@@ -126,8 +126,15 @@ object Bench {
       cleanup(before)
     }
 
+    // Per-pass ambient telemetry rides INSIDE the published JSON (not
+    // just the debug stderr): the driver-vs-clean adjudication that
+    // each round's verdict performs needs steal_frac/gc machine-
+    // readable next to the numbers it qualifies (BASELINE.md round-8
+    // protocol: a high-steal pass must not be graded).
+    val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
     val samples = Array.tabulate(reps) { pass =>
       val (busy0, steal0) = cpuJiffies
+      val gc0 = gcMillis
       val times = names.map { name =>
         val before = tempViews() // outside the timed region
         val t0 = System.nanoTime()
@@ -137,12 +144,15 @@ object Bench {
         cleanup(before) // outside the timed region
         dt
       }
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      val (busy1, steal1) = cpuJiffies
+      val (db, ds) = (busy1 - busy0, steal1 - steal0)
+      val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
+      passTelemetry += (f"""{"pass":$pass,"steal_frac":$stealFrac%.4f,""" +
+        s""""busy_jiffies":$db,"steal_jiffies":$ds,""" +
+        s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb}""")
       if (debug) {
-        val rt = Runtime.getRuntime
-        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-        val (busy1, steal1) = cpuJiffies
-        val (db, ds) = (busy1 - busy0, steal1 - steal0)
-        val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
@@ -161,7 +171,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val telemetry = passTelemetry.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}""")
     // Compact trailer AFTER the full JSON: the driver's output capture
     // keeps only the last N chars, and round 4's full line lost its own
     // head (total + q01..q39) to that truncation. Any tail capture that

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One input row for the bootstrap aggregator: the deterministic draw
+  * key and the measured value.
+  */
+final case class IdValue(id: Long, value: Double)
+
+/** The B-replicate accumulator: per replicate b, the exact decimal sum
+  * of `value * w_b` in CENTS and the weight total — 2·B longs per
+  * group, mergeable by element-wise addition.
+  */
+final case class BootstrapBuf(cents: Array[Long], ws: Array[Long])
+
+/** Single-pass Poisson-bootstrap replicate means (q152).
+  *
+  * The naive distributed bootstrap explodes each row ×B so a plain
+  * groupBy(type, b) can aggregate — B× the aggregation-input rows, the
+  * round-10 driver-bench tail (13.6 s under ambient multipliers). This
+  * aggregator deletes the blowup: each row is touched ONCE and fans out
+  * internally to B = 32 accumulator slots (the
+  * [[QuantileSketchAggregator]] array-buffer precedent), so the corpus
+  * scan, the hash-aggregate input, and the shuffle all stay 1×; the
+  * shuffle carries one 2·B-long buffer per (group × task).
+  *
+  * Bit-parity contract with the unchanged DuckDB oracle (and the
+  * previous explode formulation):
+  *  - w_b = [[PoissonDraw.weight]](b, id) — the 60-bit-md5 Poisson(1)
+  *    pmf thresholds, identical to the oracle's portable SQL chain;
+  *  - each term replays `CAST(value * w AS DECIMAL(18,2))` exactly:
+  *    the product in DOUBLE first, then half-up decimal quantization
+  *    (`JBigDecimal.valueOf` is Double.toString-based, the same path
+  *    Spark's double→decimal cast takes), accumulated as exact cents;
+  *  - the replicate mean is `CAST(sum AS DOUBLE) / CAST(sum_w AS
+  *    DOUBLE)`: cents < 2^53 so `cents.toDouble / 100.0` is the
+  *    correctly-rounded decimal→double conversion, then ONE division;
+  *  - `finish` sorts the B means ascending — the `sort_array` the rank
+  *    -selected CI bounds index into.
+  */
+class BootstrapMeansAggregator(b: Int)(implicit
+    bufEnc: Encoder[BootstrapBuf], outEnc: Encoder[Seq[Double]])
+    extends Aggregator[IdValue, BootstrapBuf, Seq[Double]] {
+
+  override def zero: BootstrapBuf =
+    BootstrapBuf(new Array[Long](b), new Array[Long](b))
+
+  override def reduce(buf: BootstrapBuf, in: IdValue): BootstrapBuf = {
+    var i = 0
+    while (i < b) {
+      val w = PoissonDraw.weight(i.toLong, in.id)
+      if (w > 0L) {
+        val cents = JBigDecimal.valueOf(in.value * w)
+          .setScale(2, RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        buf.cents(i) += cents
+        buf.ws(i) += w
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: BootstrapBuf, c: BootstrapBuf): BootstrapBuf = {
+    var i = 0
+    while (i < b) {
+      a.cents(i) += c.cents(i)
+      a.ws(i) += c.ws(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: BootstrapBuf): Seq[Double] = {
+    val ms = Array.tabulate(b) { i =>
+      (buf.cents(i).toDouble / 100.0) / buf.ws(i).toDouble
+    }
+    java.util.Arrays.sort(ms)
+    ms.toSeq
+  }
+
+  override def bufferEncoder: Encoder[BootstrapBuf] = bufEnc
+  override def outputEncoder: Encoder[Seq[Double]] = outEnc
+}

@@ -56,6 +56,9 @@ object MatrixScan {
   private[graft] val A2 = 12345L
   private[graft] val ScanParts = 8
 
+  /** Bounds pinned cached runs at one across bench reps / spec calls. */
+  private val scanPin = new CachePin
+
   /** 3×3 identity (row-major). */
   private[graft] val ID: Array[Long] = Array(1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 1L)
 
@@ -105,10 +108,11 @@ object MatrixScan {
       .as[(String, java.sql.Timestamp, Long)]
     val rdd = sorted.rdd
     // two jobs read this RDD (partition products, then the rescan);
-    // cache() prevents recomputing the shuffle. Like q153's scan, the
-    // lazily-returned DataFrame means this function can't unpersist —
-    // bounded at one daily-rollup's size.
-    rdd.cache()
+    // caching prevents recomputing the shuffle. The lazily-returned
+    // DataFrame means this function can't unpersist after use, so the
+    // pin bounds pinned storage at ONE run across repeated calls
+    // (bench reps, MatrixScanSpec's five collectScan invocations).
+    scanPin.pin(rdd)
     // pass 1: per (partition, series) product of transitions — newest
     // row's matrix on the LEFT (s_n = T_n · … · T_1 · s_0)
     val partMats = rdd.mapPartitionsWithIndex { (i, it) =>
@@ -158,8 +162,8 @@ object MatrixScan {
     (s, d) => fingerprintScan(s, d, ScanParts),
     Some(s"""WITH RECURSIVE daily AS (
                SELECT event_type, date_trunc('day', ts) AS day,
-                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                        % $P AS x
+                      ((CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                        % $P) + $P) % $P AS x
                FROM events GROUP BY 1, 2),
              d AS (SELECT event_type, day, x,
                           row_number() OVER (PARTITION BY event_type

@@ -215,30 +215,31 @@ object Behavior {
     * by sorted index — never interpolated), so every output double is
     * bit-identical across engines.
     *
-    * Scale: the resample explode is ×B on the aggregation INPUT (map
-    * side, combines immediately) — the corpus is scanned once; the
-    * replicate-mean relation is |types|×B rows; the sort behind the
-    * rank-select runs per type over 32 values inside an array, not a
-    * window over data.
+    * Scale: ONE corpus pass, no row blowup — each row fans out to the
+    * B = 32 replicates INSIDE a typed Aggregator
+    * ([[graft.functions.BootstrapMeansAggregator]], the
+    * QuantileSketchAggregator array-buffer precedent): 32 (cent-sum,
+    * weight-sum) accumulator slots per event_type, merged element-wise,
+    * so the aggregation input stays corpus-sized and the shuffle
+    * carries one 64-long buffer per (type × task). The previous
+    * formulation exploded ×B before aggregating — map-side-combined,
+    * but still B× the aggregation-input rows, which ambient CPU
+    * multipliers amplified into the round-10 driver tail (13.6 s);
+    * this shape is immune by construction. The sort behind the
+    * rank-select runs inside `finish` over 32 values, never a window.
     */
   val bootstrapCi = Q(
     "q152_bootstrap_ci",
     (s, d) => {
+      import s.implicits._
       val b = 32
-      val weighted = Tables.events(s, d)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
-        // the native fused draw (graft.functions.PoissonWeight) — same
-        // 60-bit-md5 % 1000 + pmf-threshold contract as the portable SQL
-        // chain the oracle replays, minus the per-row hex-string
-        // round-trip the chain pays corpus × B times
-        .withColumn("w",
-          graft.functions.PoissonWeight(col("b").cast("long"), col("event_id")))
-      val reps = weighted
-        .groupBy("event_type", "b")
-        .agg((Q.dsum2(col("value") * col("w")) / sum(col("w")).cast("double")).as("m"))
-      val ci = reps.groupBy("event_type")
-        .agg(sort_array(collect_list(col("m"))).as("ms"))
+      val boot = udaf(
+        new graft.functions.BootstrapMeansAggregator(b),
+        org.apache.spark.sql.Encoders.product[graft.functions.IdValue])
+      val ci = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .groupBy("event_type")
+        .agg(boot(col("event_id"), col("value")).as("ms"))
         .select(col("event_type"),
           element_at(col("ms"), 2).as("ci_lo"),      // 2nd of 32 ≈ 2.5 %
           element_at(col("ms"), b - 1).as("ci_hi"))  // 31st of 32 ≈ 97.5 %
@@ -533,7 +534,68 @@ object Behavior {
             FROM sc""")
   )
 
+  /** q291 — RUNNING BOUNDED TOP-K OVER A WINDOW FRAME via a custom
+    * typed `Aggregator` ([[graft.functions.TopKAggregator]]) used as a
+    * WINDOW function — the one UDAF API cell the surface didn't yet
+    * exercise (q60/q113 use the aggregator in groupBy; q15/q54/q58 use
+    * built-in window functions; this composes the two): per event, in
+    * (ts, event_id) order within each user, the top-3 event values the
+    * user has produced SO FAR — the "personal best leaderboard as of
+    * each moment" shape behind progress badges and anomaly baselines
+    * ("is this purchase in the user's top-3 to date?").
+    *
+    * Why the aggregator instead of collect_list-and-slice per row: the
+    * frame is RUNNING (unbounded preceding → current row), which Spark
+    * evaluates incrementally — one `reduce` call per row — against the
+    * aggregator's O(k) buffer, so per-row state is 3 entries instead of
+    * the row's entire history (the TopKAggregator shuffle argument,
+    * applied to window state). Ties break toward the smaller event_id
+    * (the aggregator's (−score, id) ordering), which the oracle mirrors
+    * by sorting (−value, id) structs — deterministic on both engines.
+    * Rows with fewer than 3 prior events serve NULL (try_element_at /
+    * DuckDB out-of-range NULL — defined, and a non-timestamp NULL is
+    * compare-safe).
+    *
+    * Scale shape: one shuffle on user_id; each partition's sort is
+    * per-user bounded history (the q42/q163 frame argument); window
+    * state is O(k) per partition-in-flight, output is corpus-grain but
+    * narrow. At 100 TB the same plan holds because nothing is
+    * vocabulary- or history-sized — only the k=3 buffer rides along.
+    */
+  val runningTopK = Q(
+    "q291_running_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val tk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("tk", tk(col("event_id"), col("value")).over(w))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("try_element_at(tk, 1).id").as("top1_id"),
+          expr("try_element_at(tk, 1).score").as("top1_val"),
+          expr("try_element_at(tk, 2).id").as("top2_id"),
+          expr("try_element_at(tk, 2).score").as("top2_val"),
+          expr("try_element_at(tk, 3).id").as("top3_id"),
+          expr("try_element_at(tk, 3).score").as("top3_val"))
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id,
+                         list({'nv': -"value", 'id': event_id}) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+                       FROM events),
+            s AS (SELECT user_id, ts, event_id, list_sort(hist) AS hs FROM l)
+            SELECT user_id, ts, event_id,
+                   hs[1].id AS top1_id, -hs[1].nv AS top1_val,
+                   hs[2].id AS top2_id, -hs[2].nv AS top2_val,
+                   hs[3].id AS top3_id, -hs[3].nv AS top3_val
+            FROM s""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency, streaks, rfm)
+      peakConcurrency, streaks, rfm, runningTopK)
 }

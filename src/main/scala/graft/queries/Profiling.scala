@@ -486,6 +486,9 @@ object Profiling {
     * Returns (rows (v, na, nb, ca, cb), n1, n2). Shared by q269 (KS)
     * and q271 (Mann–Whitney) — one scan discipline, two statistics.
     */
+  /** Bounds cumScan2's pinned cached runs at one (see CachePin). */
+  private val cumScanPin = new graft.operators.CachePin
+
   private[graft] def cumScan2(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.rdd.RDD[(Double, Long, Long, Long, Long)], Long, Long) = {
@@ -495,8 +498,9 @@ object Profiling {
       .sortWithinPartitions("v")
       .as[(Double, Long, Long)]
     val rdd = sorted.rdd
-    // two jobs read it (partition totals, rescan) — q153's cache note
-    rdd.cache()
+    // two jobs read it (partition totals, rescan) — q255's cache note;
+    // the pin bounds pinned runs at one across bench reps / spec calls
+    cumScanPin.pin(rdd)
     val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
       var a = 0L; var b = 0L
       it.foreach { r => a += r._2; b += r._3 }
@@ -656,9 +660,14 @@ object Profiling {
   val benfordAudit = Q(
     "q272_benford_audit",
     (s, d) => {
+      // a price with no nonzero digit (0 / NULL) extracts '' — Spark
+      // casts '' to NULL but DuckDB errors on CAST('' AS BIGINT), so
+      // both engines FILTER the no-digit rows before the cast
       val digits = Tables.orders(s, d)
         .select(regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
-          .cast("long").as("digit"))
+          .as("ds"))
+        .where(col("ds").isNotNull && col("ds") =!= "")
+        .select(col("ds").cast("long").as("digit"))
       val obs = digits.groupBy("digit").agg(count(lit(1)).as("n"))
       val tot = obs.agg(sum(col("n")).as("nn"))
       val p = log10(lit(1).cast("double")
@@ -675,9 +684,11 @@ object Profiling {
         .select(col("digit"), col("n"), col("obs_frac"), col("exp_frac"),
           col("term").cast("double").as("chi2_term"), col("chi2"))
     },
-    Some("""WITH digits AS (SELECT CAST(regexp_extract(CAST(o_totalprice AS STRING),
-                                     '[1-9]', 0) AS BIGINT) AS digit
-                            FROM orders),
+    Some("""WITH ds AS (SELECT nullif(regexp_extract(CAST(o_totalprice AS STRING),
+                                 '[1-9]', 0), '') AS ds
+                        FROM orders),
+            digits AS (SELECT CAST(ds AS BIGINT) AS digit
+                       FROM ds WHERE ds IS NOT NULL),
             obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
                     FROM digits GROUP BY digit),
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM obs),
@@ -857,7 +868,13 @@ object Profiling {
       dt.crossJoin(broadcast(nTotal))
         .withColumn("n_risk", col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
         .withColumn("lq",
+          // d == n_risk (the final risk set fully churns) would be
+          // ln(0): Spark log(0) is NULL (silently dropped from the
+          // cumulative sum), DuckDB ln(0) is -inf (cast error) — pin
+          // the factor to a finite ln-space sentinel (-46 ⇒ exp ≈
+          // 1e-20 ⇒ survival quantizes to exactly 0) on BOTH engines
           when(col("d") === 0, lit(0L))
+            .when(col("d") === col("n_risk"), lit(-46000000000L))
             .otherwise(floor(log((col("n_risk") - col("d")).cast("double")
               / col("n_risk").cast("double")) * lit(1e9) + lit(0.5)).cast("long")))
         .withColumn("survival",
@@ -883,6 +900,7 @@ object Profiling {
                    FROM dt CROSS JOIN tot),
             lg AS (SELECT t, d, c, n_risk,
                           CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                               WHEN d = n_risk THEN CAST(-46000000000 AS BIGINT)
                                ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
                                       / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
                           END AS lq

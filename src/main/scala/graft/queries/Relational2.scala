@@ -2698,14 +2698,23 @@ object Relational2 {
       import s.implicits._
       // each page materializes PageSize rows at the driver — that IS
       // the pattern (an export API ships the page and keeps only the
-      // cursor); bounded by pages × k, never data-sized
+      // cursor); bounded by pages × k, never data-sized. An empty page
+      // means the table is exhausted (fewer than Pages×PageSize rows,
+      // or exactly a page multiple) — stop before touching pg.last.
       var cursor: Option[(Double, Long)] = None
-      val rows = (1 to Pages).flatMap { page =>
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var page = 1
+      var exhausted = false
+      while (page <= Pages && !exhausted) {
         val pg = keysetPage(s, d, cursor).collect()
-        cursor = Some((pg.last.getDouble(1), pg.last.getLong(0)))
-        pg.map(r => (page.toLong, r.getLong(0), r.getDouble(1)))
+        if (pg.isEmpty) exhausted = true
+        else {
+          cursor = Some((pg.last.getDouble(1), pg.last.getLong(0)))
+          rows ++= pg.map(r => (page.toLong, r.getLong(0), r.getDouble(1)))
+          page += 1
+        }
       }
-      rows.toDF("page", "o_orderkey", "o_totalprice")
+      rows.toSeq.toDF("page", "o_orderkey", "o_totalprice")
     },
     Some(s"""WITH r AS (SELECT o_orderkey, o_totalprice,
                           row_number() OVER (ORDER BY o_totalprice DESC,

@@ -1384,34 +1384,40 @@ object Similarity {
     * diagonal, Rayleigh residual < 1e-6) — the eigen step is
     * metadata-plane and needs no cross-engine oracle.
     */
+  /** The full symmetric gramian as (i, j, g) — q262's registered body,
+    * factored so q293's power iteration consumes the same distributed
+    * kernel. See q262's scaladoc for the generation economies.
+    */
+  private[graft] def gramianDF(s: SparkSession, d: String): DataFrame = {
+    // Two generation economies over the naive nested
+    // transform-to-struct spelling (which allocated a 4096-element
+    // struct array per row before the aggregate ever saw it —
+    // measured 13 s at sf0.1): (1) chained posexplode streams
+    // products through codegen'd Generate stages with no struct
+    // materialization; (2) the gramian is SYMMETRIC, so only the
+    // upper triangle (j ≥ i) is generated and aggregated — half the
+    // rows — and the lower triangle is mirrored from the EXACT
+    // per-cell decimal sums afterwards (the multiset of products in
+    // cell (j,i) is identical to (i,j), so the mirror is exact, not
+    // approximate). Measured 13.4 -> 5.1 s isolated at sf0.1 (reps=3),
+    // same bit-exact oracle result.
+    val upper = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding"))
+      .select(col("i"), col("x"),
+        posexplode(expr("slice(embedding, i + 1, size(embedding) - i)"))
+          .as(Seq("jo", "y")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("jo")).cast("long").as("j"),
+        (col("x").cast("double") * col("y").cast("double")).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("g"))
+    upper.unionAll(upper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("g")))
+  }
+
   val embeddingGramian = Q(
     "q262_embedding_gramian",
-    (s, d) => {
-      // Two generation economies over the naive nested
-      // transform-to-struct spelling (which allocated a 4096-element
-      // struct array per row before the aggregate ever saw it —
-      // measured 13 s at sf0.1): (1) chained posexplode streams
-      // products through codegen'd Generate stages with no struct
-      // materialization; (2) the gramian is SYMMETRIC, so only the
-      // upper triangle (j ≥ i) is generated and aggregated — half the
-      // rows — and the lower triangle is mirrored from the EXACT
-      // per-cell decimal sums afterwards (the multiset of products in
-      // cell (j,i) is identical to (i,j), so the mirror is exact, not
-      // approximate). Measured 13.4 -> 5.1 s isolated at sf0.1 (reps=3),
-      // same bit-exact oracle result.
-      val upper = Tables.embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding"))
-        .select(col("i"), col("x"),
-          posexplode(expr("slice(embedding, i + 1, size(embedding) - i)"))
-            .as(Seq("jo", "y")))
-        .select(col("i").cast("long").as("i"),
-          (col("i") + col("jo")).cast("long").as("j"),
-          (col("x").cast("double") * col("y").cast("double")).as("p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("g"))
-      upper.unionAll(upper.where(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g")))
-    },
+    (s, d) => gramianDF(s, d),
     Some("""WITH u AS (SELECT vec_id,
                          unnest(embedding) AS val,
                          unnest(generate_series(0, len(embedding) - 1)) AS idx
@@ -1421,6 +1427,99 @@ object Similarity {
                                  AS DECIMAL(28,12))) AS DOUBLE) AS g
             FROM u a JOIN u b USING (vec_id)
             GROUP BY 1, 2""")
+  )
+
+  /** q293 — TOP PRINCIPAL COMPONENT by POWER ITERATION over the q262
+    * gramian: the eigen-step that turns Σ v·vᵀ into something a
+    * pipeline acts on — the dominant direction for PCA whitening
+    * before IVF training, anisotropy/collapse monitoring (a runaway
+    * λ₁ means the embedding space degenerated), and the rotation seed
+    * for OPQ. The 100 TB shape is the point: the DISTRIBUTED work is
+    * the one-pass gramian (corpus-sized, q262's kernel, reused via
+    * `gramianDF`); the eigen solve then runs on the DRIVER over the
+    * bounded d×d artifact (d = 64 ⇒ 4096 doubles — the ivfCents
+    * metadata-plane collect class), because iterating matvecs through
+    * a cluster for a 32 KB matrix would be all coordination and no
+    * compute. 8 fixed iterations from the uniform unit vector
+    * (1/√d — exact in IEEE for d = 64), λ = ‖G·v‖ after the last step.
+    *
+    * Full hash oracle with NO tolerance: the gramian entries are
+    * bit-identical across engines (q262's decimal discipline), the
+    * start vector is exact, and every iteration is the same IEEE op
+    * sequence — ascending-index matvec sums and norm folds (Scala
+    * while-loops ↔ DuckDB `list_aggregate(list_transform(...))`, the
+    * q63 strict-left-fold equivalence), `sqrt` (IEEE-exact), and
+    * element-wise division — replayed in a recursive CTE. Convergence
+    * quality itself is GramianSpec territory (Rayleigh residual); this
+    * query pins the cross-engine determinism of the whole
+    * gramian→eigen pipeline.
+    */
+  val powerIteration = Q(
+    "q293_power_iteration",
+    (s, d) => {
+      import s.implicits._
+      val cells = gramianDF(s, d).collect() // d² = 4096 — metadata-plane
+      val dim = cells.iterator.map(_.getLong(0)).max.toInt + 1
+      val g = Array.ofDim[Double](dim, dim)
+      cells.foreach(r => g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      var k = 0
+      while (k < 8) {
+        val w = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+          w(i) = acc
+          i += 1
+        }
+        var n2 = 0.0
+        var i2 = 0
+        while (i2 < dim) { n2 += w(i2) * w(i2); i2 += 1 }
+        lambda = math.sqrt(n2)
+        v = w.map(_ / lambda)
+        k += 1
+      }
+      v.zipWithIndex
+        .map { case (c, i) => (i.toLong, c, lambda) }.toSeq
+        .toDF("idx", "component", "eigenvalue")
+    },
+    Some("""WITH RECURSIVE
+            u AS (SELECT vec_id, unnest(embedding) AS val,
+                         unnest(generate_series(0, len(embedding) - 1)) AS idx
+                  FROM embeddings),
+            gram AS (SELECT a.idx AS i, b.idx AS j,
+                            CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                                          AS DECIMAL(28,12))) AS DOUBLE) AS g
+                     FROM u a JOIN u b USING (vec_id)
+                     GROUP BY 1, 2),
+            rows_g AS (SELECT i, list(g ORDER BY j) AS gr FROM gram GROUP BY i),
+            gmat AS (SELECT list(gr ORDER BY i) AS gm, CAST(count(*) AS BIGINT) AS dim
+                     FROM rows_g),
+            it AS (
+              SELECT 0 AS k,
+                     list_transform(generate_series(1, dim),
+                       x -> CAST(1 AS DOUBLE) / sqrt(CAST(dim AS DOUBLE))) AS v,
+                     CAST(0 AS DOUBLE) AS lambda, gm, dim
+              FROM gmat
+              UNION ALL
+              SELECT k + 1,
+                     list_transform(w, x -> x /
+                       sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum'))),
+                     sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum')),
+                     gm, dim
+              FROM (SELECT k, gm, dim,
+                           list_transform(generate_series(1, dim),
+                             i -> list_aggregate(
+                               list_transform(generate_series(1, dim),
+                                 j -> gm[i][j] * v[j]), 'sum')) AS w
+                    FROM it WHERE k < 8) t),
+            fin AS (SELECT v, lambda FROM it WHERE k = 8)
+            SELECT CAST(i - 1 AS BIGINT) AS idx, v[i] AS component,
+                   lambda AS eigenvalue
+            FROM fin, unnest(generate_series(1, len(v))) AS t(i)""")
   )
 
   /** q277 — RECIPROCAL-RANK FUSION (RRF), the standard hybrid-retrieval
@@ -1515,5 +1614,6 @@ object Similarity {
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
-      semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, rrfFusion)
+      semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
+      rrfFusion)
 }

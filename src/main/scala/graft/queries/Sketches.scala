@@ -370,6 +370,126 @@ object Sketches {
             GROUP BY r.range_tag""")
   )
 
+  /** q292 — FREQUENCY-SKETCH STORE (`approx_top_k_accumulate` /
+    * `_combine` / `_estimate`): the store pattern (q173 HLL distinct,
+    * q181 quantiles, q258 exact bitmaps) applied to the FREQUENCY
+    * family — per-day DataSketches frequent-items summaries of user
+    * activity, materialized once, then "top-16 most active users over
+    * a date range" served by COMBINING the day sketches, zero event
+    * rescans. This is the leaderboard a 100 TB event store cannot
+    * afford to recompute per range: counts are additive but the
+    * TOP-K SET is not (a range's leader can be nobody's daily leader),
+    * so the mergeable artifact must carry the near-top mass — exactly
+    * what a frequent-items sketch is for.
+    *
+    * The full hash oracle is honest by the q290 argument, twice over:
+    * below eviction (1500 users ≪ 4096 capacity at every SF) both the
+    * per-day accumulate and the range combine are plain counting maps,
+    * so every estimate is the true count; and the rank-16 cut is an
+    * explicit (cnt desc, user asc) sort over the estimate output,
+    * never the sketch's own tie-arbitrary selection. At production
+    * vocabulary the same plan degrades to the sketch's ε-guarantee —
+    * `ApproxTopKSpec` pins that regime.
+    *
+    * Scale shape: store build = one shuffle on day with bounded partial
+    * sketches; range service = combine over O(days) KB rows + a sort of
+    * ≤ capacity estimate rows; events are read exactly once, ever.
+    */
+  val topKStore = Q(
+    "q292_topk_sketch_store",
+    (s, d) => {
+      val store = graft.sources.Sources.scratchLeaf(d, "topk_day_store")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(expr("approx_top_k_accumulate(user_id, 4096)").as("sk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val days = s.read.parquet(store).agg(min("day"), max("day")).head()
+      val lo = days.getDate(0).toLocalDate
+      val ranges = Seq(
+        ("day1", lo, lo),
+        ("week1", lo, lo.plusDays(6)),
+        ("all", lo, days.getDate(1).toLocalDate))
+      ranges.map { case (tag, a, b) =>
+        s.read.parquet(store)
+          .where(col("day").between(lit(a.toString), lit(b.toString)))
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 4096), 4096)")
+            .as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(lit(tag).as("range_tag"),
+            col("e.item").as("user_id"), col("e.count").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id").asc)
+          .limit(16)
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+            span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            r AS (SELECT 'day1' AS range_tag, lo AS a, lo AS b FROM span
+                  UNION ALL SELECT 'week1', lo, lo + INTERVAL 6 DAY FROM span
+                  UNION ALL SELECT 'all', lo, hi FROM span),
+            c AS (SELECT r.range_tag, d.user_id,
+                         CAST(count(*) AS BIGINT) AS cnt,
+                         row_number() OVER (PARTITION BY r.range_tag
+                                            ORDER BY count(*) DESC, d.user_id)
+                           AS rn
+                  FROM r JOIN d ON d.day BETWEEN r.a AND r.b
+                  GROUP BY r.range_tag, d.user_id)
+            SELECT range_tag, user_id, cnt FROM c WHERE rn <= 16""")
+  )
+
+  /** q295 — ROLLING EXACT DISTINCT (7-day active users per day) from
+    * the q258 bitmap store: the windowed-distinct classic every
+    * engagement dashboard needs (WAU per day) and the one aggregation
+    * windows fundamentally can't serve at scale — COUNT(DISTINCT) OVER
+    * a moving frame re-scans each row into 7 overlapping frames and
+    * keeps per-frame hash sets. The store shape deletes the problem:
+    * per-(day, bucket) bitmaps are built ONCE (events read once, ever),
+    * and each day's trailing-7 answer is an OR-merge of ≤ 7×buckets KB
+    * rows — associative, exact, and embarrassingly parallel across
+    * days. The range self-join of the day spine to the store is
+    * O(days × 7 × buckets) — metadata-sized regardless of corpus.
+    *
+    * Full first-class oracle (COUNT(DISTINCT) over the same trailing
+    * window replayed relationally in DuckDB) — no band, no audit
+    * column: bitmaps are exact, like q258 and unlike q173's ±5% HLL.
+    */
+  val rollingDistinct = Q(
+    "q295_rolling_distinct",
+    (s, d) => {
+      val store = graft.sources.Sources.scratchLeaf(d, "bitmap_roll_store")
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      val st = s.read.parquet(store)
+      val spine = st.select(col("day")).distinct()
+        .select(col("day").as("anchor"))
+      val joined = spine.join(st,
+        col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+      val wau = joined
+        .groupBy(col("anchor"), col("bucket"))
+        .agg(expr("bitmap_or_agg(bm)").as("m"))
+        .groupBy(col("anchor"))
+        .agg(sum(expr("bitmap_count(m)")).as("wau"))
+      val nd = joined.groupBy(col("anchor"))
+        .agg(countDistinct(col("day")).as("n_days_in_window"))
+      wau.join(nd, "anchor")
+        .select(col("anchor").as("day"),
+          col("n_days_in_window").cast("long").as("n_days_in_window"),
+          col("wau").cast("long").as("wau"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                       FROM events),
+            spine AS (SELECT DISTINCT day AS anchor FROM d)
+            SELECT spine.anchor AS day,
+                   CAST(count(DISTINCT d.day) AS BIGINT) AS n_days_in_window,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+            FROM spine JOIN d
+              ON d.day BETWEEN spine.anchor - INTERVAL 6 DAY AND spine.anchor
+            GROUP BY spine.anchor""")
+  )
+
   val all: Seq[Q] = Seq(cmsFreqAudit, hllStore, quantileStore, kmvOverlap,
-    bitmapStore)
+    bitmapStore, topKStore, rollingDistinct)
 }

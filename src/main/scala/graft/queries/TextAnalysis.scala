@@ -1461,6 +1461,56 @@ object TextAnalysis {
             GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
   )
 
+  /** q290 — SKETCHED HEAVY HITTERS via Spark 4's built-in
+    * `approx_top_k` (a DataSketches frequent-items sketch as ONE
+    * aggregate) — q135's sketch twin, completing the exact/sketch
+    * discipline the suite applies to every summary family (q101/q105
+    * count-distinct, q120/q126 quality gate, q40/q49 percentile):
+    * q135 answers "what dominates this crawl?" with a two-pass
+    * Misra–Gries + exact-verify pipeline; this answers it in ONE pass
+    * with a bounded mergeable sketch, the shape a dashboard calls when
+    * a second corpus scan is not affordable.
+    *
+    * WHY A FULL HASH ORACLE IS HONEST HERE: a frequent-items sketch is
+    * EXACT while its tracked-item map never evicts (it is a plain
+    * counting map below capacity — the same below-capacity exactness
+    * q181's sketch store leans on), and this corpus's vocabulary (31
+    * words at every SF) sits far under the 1024-item capacity, so every
+    * returned count equals the true count and the rank-16 cut — taken
+    * by an EXPLICIT (cnt desc, word asc) sort outside the sketch, never
+    * by the sketch's own tie-arbitrary selection — equals q135's exact
+    * top-16 by theorem, not by luck. `ApproxTopKSpec` pins both
+    * regimes: below-capacity equality to the exact twin, and the
+    * over-capacity eviction regime (capacity 4 against a planted
+    * skewed stream) where the true heavy hitter must still surface —
+    * the 100 TB behavior, where vocabulary dwarfs any capacity and the
+    * answer degrades to the sketch's ε-approximate guarantee instead
+    * of failing.
+    *
+    * Scale shape: ONE aggregate over the token stream — partial
+    * sketches per map task (bounded at capacity entries, KB-size),
+    * merged associatively; no shuffle ever carries the word space
+    * (q135's candidate union is partitions × k rows; this is ONE
+    * sketch). The explode + sort downstream run on ≤ capacity rows.
+    */
+  val approxTopK = Q(
+    "q290_approx_top_k",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      toks
+        .agg(expr("approx_top_k(w, 1024, 1024)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("w"), col("e.count").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(16)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            SELECT w, count(*) AS cnt FROM tok WHERE w <> ''
+            GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
+  )
+
   /** q136 — BLOOM-ACCELERATED DECONTAMINATION: q82's exact train×bench
     * gram join, preceded by a Bloom-filter prefilter over the bench
     * gram set — the data-reduction move that makes exact
@@ -1906,6 +1956,7 @@ object TextAnalysis {
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks, heavyHitters, decontaminateBloom, fuzzyMatch,
-      langMixture, charEntropy, blocklistScreen, jaroWinklerResolve, zipfFit)
+      qualityGateApprox, ragChunks, heavyHitters, approxTopK, decontaminateBloom,
+      fuzzyMatch, langMixture, charEntropy, blocklistScreen, jaroWinklerResolve,
+      zipfFit)
 }

@@ -75,4 +75,29 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(run().toSeq == run().toSeq,
       "JPEG pipeline is not deterministic within one JVM")
   }
+
+  /** The MAE/PSNR band is deliberately loose (a conformant decoder swap
+    * must not flap the suite) — loose enough to hide a SILENT drift of
+    * the JDK's own codec within one JDK version. This pin makes that
+    * loud: the md5 of every decode-derived feature row is pinned PER
+    * JDK VERSION; on a pinned JDK any pixel change fails, on an
+    * unpinned JDK the test cancels with the observed hash to add (the
+    * band tests above still guard conformance there).
+    */
+  test("q103: pinned per-JDK pixel hash — silent codec drift is loud") {
+    val pinned = Map(
+      "17.0.20" -> "b6e4e5ce138b0c06e0d8be1f3fe1d74a"
+    )
+    val repr = run().map { case (id, w, h, jb, raw, sr, sg, sb, mae, psnr) =>
+      s"$id,$w,$h,$jb,$raw,$sr,$sg,$sb,$mae,$psnr"
+    }.mkString("\n")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val jdk = sys.props("java.version")
+    pinned.get(jdk) match {
+      case Some(exp) => assert(hash == exp,
+        s"decoded-feature hash drifted on pinned JDK $jdk: observed $hash")
+      case None => cancel(s"no pinned hash for JDK $jdk — observed $hash; add it to the pin table")
+    }
+  }
 }
