@@ -1440,8 +1440,12 @@ object Similarity {
     * bounded d×d artifact (d = 64 ⇒ 4096 doubles — the ivfCents
     * metadata-plane collect class), because iterating matvecs through
     * a cluster for a 32 KB matrix would be all coordination and no
-    * compute. 8 fixed iterations from the uniform unit vector
-    * (1/√d — exact in IEEE for d = 64), λ = ‖G·v‖ after the last step.
+    * compute. 200 fixed iterations from the uniform unit vector
+    * (1/√d — exact in IEEE for d = 64), λ = ‖G·v‖ after the last step;
+    * 200 because this fixture's eigengap is thin (λ₂/λ₁ ≈ 0.93, so
+    * alignment error ≈ 0.93²⁰⁰ ≈ 8·10⁻⁷ — the same count GramianSpec
+    * converges at), and a FIXED count (never "until converged") keeps
+    * the op sequence engine-replayable.
     *
     * Full hash oracle with NO tolerance: the gramian entries are
     * bit-identical across engines (q262's decimal discipline), the
@@ -1465,7 +1469,7 @@ object Similarity {
       var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
       var lambda = 0.0
       var k = 0
-      while (k < 8) {
+      while (k < 200) {
         val w = new Array[Double](dim)
         var i = 0
         while (i < dim) {
@@ -1515,8 +1519,8 @@ object Similarity {
                              i -> list_aggregate(
                                list_transform(generate_series(1, dim),
                                  j -> gm[i][j] * v[j]), 'sum')) AS w
-                    FROM it WHERE k < 8) t),
-            fin AS (SELECT v, lambda FROM it WHERE k = 8)
+                    FROM it WHERE k < 200) t),
+            fin AS (SELECT v, lambda FROM it WHERE k = 200)
             SELECT CAST(i - 1 AS BIGINT) AS idx, v[i] AS component,
                    lambda AS eigenvalue
             FROM fin, unnest(generate_series(1, len(v))) AS t(i)""")
