@@ -1247,9 +1247,70 @@ object Dedup {
             FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""")
   )
 
+  /** q294 — K-CORE of the near-dup graph ([[graft.operators.KCore]],
+    * k = 2): the DENSITY filter the cluster family lacked — q70 labels
+    * components, q137 picks keepers, q142 censuses triangles; this
+    * PRUNES, keeping only nodes inside a dense duplication
+    * neighborhood (template farms, mirror sets — the structures worth
+    * special-casing in a curation pipeline) while isolated pair-dups
+    * peel away. Fifth consumer of the shared pair artifact: pair
+    * detection ran once; CC, keepers, triangles, and now coreness all
+    * read the stored table.
+    *
+    * Oracle: the same synchronous peel as a DuckDB recursive CTE over
+    * the shared pair CTEs — each iteration recomputes degrees on the
+    * previous edge set and keeps edges with both endpoints ≥ k, an
+    * EXISTS guard stops it at the fixed point, and ONE post-recursion
+    * degree filter closes the only non-fixed-point stop state (the
+    * round where every remaining edge dies at once — `max(it)` alone
+    * would resurrect the pre-peel set when the core is empty). Output
+    * = each survivor's degree INSIDE the core; deterministic on both
+    * engines because the peel is synchronous (no removal order).
+    */
+  val kCoreDense = Q(
+    "q294_kcore",
+    (s, d) => {
+      val pairs = minhashPairsArtifact(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val (core, _) = graft.operators.KCore.run(pairs, 2)
+      core.select(col("doc_id"), col("core_deg").cast("long").as("core_deg"))
+    },
+    Some(s"""WITH RECURSIVE $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+             peel(it, a, b) AS (
+               SELECT 0, a, b FROM e0
+               UNION ALL
+               SELECT it + 1, a, b FROM (
+                 SELECT p.it, p.a, p.b, da.deg AS dega, db.deg AS degb
+                 FROM peel p
+                 JOIN (SELECT n, count(*) AS deg
+                       FROM (SELECT a AS n FROM peel UNION ALL SELECT b FROM peel) q
+                       GROUP BY n) da ON da.n = p.a
+                 JOIN (SELECT n, count(*) AS deg
+                       FROM (SELECT a AS n FROM peel UNION ALL SELECT b FROM peel) q
+                       GROUP BY n) db ON db.n = p.b) s
+               WHERE dega >= 2 AND degb >= 2 AND it < 64
+                 AND EXISTS (SELECT 1 FROM (SELECT n, count(*) AS deg
+                       FROM (SELECT a AS n FROM peel UNION ALL SELECT b FROM peel) q
+                       GROUP BY n) dd WHERE dd.deg < 2)),
+             fin0 AS (SELECT a, b FROM peel
+                      WHERE it = (SELECT max(it) FROM peel)),
+             fdeg AS (SELECT n, count(*) AS deg
+                      FROM (SELECT a AS n FROM fin0 UNION ALL SELECT b FROM fin0) q
+                      GROUP BY n),
+             fin AS (SELECT f.a, f.b FROM fin0 f
+                     JOIN fdeg da ON da.n = f.a JOIN fdeg db ON db.n = f.b
+                     WHERE da.deg >= 2 AND db.deg >= 2)
+             SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+             FROM (SELECT a AS n FROM fin UNION ALL SELECT b FROM fin) q
+             GROUP BY n""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
-      componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction)
+      componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
+      kCoreDense)
 }
