@@ -149,7 +149,12 @@ object Bench {
       val (busy1, steal1) = cpuJiffies
       val (db, ds) = (busy1 - busy0, steal1 - steal0)
       val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
-      passTelemetry += (f"""{"pass":$pass,"steal_frac":$stealFrac%.4f,""" +
+      // Locale.ROOT: the f-interpolator uses the JVM default locale,
+      // which can emit a comma decimal separator and corrupt the one
+      // JSON line the driver parses
+      val sfStr = String.format(java.util.Locale.ROOT, "%.4f",
+        java.lang.Double.valueOf(stealFrac))
+      passTelemetry += (s"""{"pass":$pass,"steal_frac":$sfStr,""" +
         s""""busy_jiffies":$db,"steal_jiffies":$ds,""" +
         s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb}""")
       if (debug) {

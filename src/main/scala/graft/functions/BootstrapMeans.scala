@@ -76,7 +76,12 @@ class BootstrapMeansAggregator(b: Int)(implicit
 
   override def finish(buf: BootstrapBuf): Seq[Double] = {
     val ms = Array.tabulate(b) { i =>
-      (buf.cents(i).toDouble / 100.0) / buf.ws(i).toDouble
+      // a replicate that drew weight 0 on EVERY row of a tiny group is
+      // an empty resample: 0/0 would be NaN here but NULL in the SQL
+      // oracle — pin the degenerate cell to 0.0 on BOTH engines (the
+      // suite's NaN-never-reaches-an-output rule)
+      if (buf.ws(i) == 0L) 0.0
+      else (buf.cents(i).toDouble / 100.0) / buf.ws(i).toDouble
     }
     java.util.Arrays.sort(ms)
     ms.toSeq

@@ -250,7 +250,9 @@ object Behavior {
     },
     Some(s"""WITH reps AS (
               SELECT event_type, b,
-                     ${Q.sqlSum2("\"value\" * w")} / CAST(sum(w) AS DOUBLE) AS m
+                     CASE WHEN sum(w) = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE ${Q.sqlSum2("\"value\" * w")} / CAST(sum(w) AS DOUBLE)
+                     END AS m
               FROM (
                 SELECT event_type, "value",
                        CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1

@@ -30,10 +30,14 @@ class BootstrapCiSpec extends AnyFunSuite {
     }
 
     def dmean(vs: Seq[(Double, Long)]): Double = {
-      val num = vs.map { case (v, w) =>
-        BigDecimal(v * w).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      }.sum.toDouble
-      num / vs.map(_._2).sum.toDouble
+      val wsum = vs.map(_._2).sum
+      if (wsum == 0L) 0.0 // empty resample: pinned on both engines
+      else {
+        val num = vs.map { case (v, w) =>
+          BigDecimal(v * w).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        num / wsum.toDouble
+      }
     }
 
     val expected = evs.groupBy(_._1).map { case (tpe, rows) =>

@@ -482,6 +482,46 @@ class PlanSpec extends AnyFunSuite {
       "three-valued logic broke: poisoned NOT IN must be empty")
   }
 
+  test("q291: one exchange, window keyed by user, aggregator evaluated in-frame") {
+    // the windowed-UDAF cell must not cost more than the window itself:
+    // one hash exchange on user_id, the sort satisfying the window, and
+    // the TopKAggregator INSIDE the Window operator (no second shuffle,
+    // no join back, no collect_list materialization of histories)
+    val p = plan("q291_running_topk")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"q291 grew extra exchanges: ${p.take(1200)}")
+    val win = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(win.contains("topkaggregator") && win.contains("user_id"),
+      s"q291 window lost the typed aggregator or the user key: $win")
+    assert(!p.contains("collect_list"), "q291 materializes full histories")
+  }
+
+  test("q152/q290: typed and sketch aggregates combine map-side (partial)") {
+    // the single-pass shapes: q152's 32-slot bootstrap buffer and
+    // q290's frequent-items sketch must both partial-aggregate before
+    // their exchange — the map-side-combine property that keeps the
+    // shuffle at buffer-size × tasks instead of corpus-size
+    assert(plan("q152_bootstrap_ci").contains("partial_bootstrapmeansaggregator"),
+      "q152 lost map-side partial aggregation")
+    val p290 = plan("q290_approx_top_k")
+    assert(p290.contains("partial_approx_top_k"),
+      "q290 lost the map-side partial sketch")
+    assert(p290.contains("TakeOrderedAndProject"),
+      "q290 rank cut is not the top-k operator")
+  }
+
+  test("q295: the serving plan reads only the bitmap store, never events") {
+    // store-pattern contract: events are read ONCE at store build; the
+    // registered query's returned plan (the range service) must scan
+    // only the materialized per-day bitmaps
+    val scans = plan("q295_rolling_distinct").linesIterator
+      .filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { l =>
+      assert(l.contains("bitmap_roll_store"), s"q295 serve path rescans: $l")
+    }
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything

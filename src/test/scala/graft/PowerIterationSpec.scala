@@ -3,11 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q293 power-iteration contract beyond the oracle (which pins only
-  * cross-engine bit-equality of the 8 fixed iterations): the 8-step
-  * answer must be a NUMERICALLY GOOD eigenpair, not just a
-  * deterministic one — unit norm, eigenvalue within the trace bound,
-  * and aligned with the fully-converged (200-iteration) dominant
-  * eigenvector that GramianSpec independently computes.
+  * cross-engine bit-equality of the 200 fixed iterations): the answer
+  * must be a NUMERICALLY GOOD eigenpair, not just a deterministic
+  * one — unit norm, eigenvalue within the trace bound, and aligned
+  * with an independently-converged dominant eigenvector (500
+  * iterations from a different start vector).
   */
 class PowerIterationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

@@ -20,7 +20,12 @@ class WindowedTopKSpec extends AnyFunSuite {
         r.getAs[Long]("event_id"), r.getAs[Double]("value")))
 
     val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
-      val ordered = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+      // full-precision ordering key: Timestamp.getTime truncates to ms,
+      // and a sub-millisecond pair whose event_id order opposes its
+      // micro-ts order would sort differently from the query's (ts,
+      // event_id) window order
+      val ordered = rows.toSeq.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.toInstant.getNano, r._3))
       var best = List.empty[(Double, Long)] // (value, id), kept best-first
       ordered.map { case (u, ts, id, v) =>
         best = ((v, id) :: best).sortBy { case (s, i) => (-s, i) }.take(3)
