@@ -1307,10 +1307,72 @@ object Dedup {
              GROUP BY n""")
   )
 
+  /** q297 — ASYMMETRIC CONTAINMENT near-dup detection: for candidate
+    * pairs sharing trigrams, C(A→B) = |A∩B| / |A| — the directional
+    * statistic symmetric Jaccard structurally MISSES: a short document
+    * quoted wholesale inside a long aggregator page has C(short→long)
+    * ≈ 1 while Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard-thresholded
+    * dedup (q24/q73) keeps both copies. Containment is the standard
+    * quote/aggregator/boilerplate-envelope detector (Broder's original
+    * resemblance/containment pair) and the reason production dedup
+    * runs BOTH statistics. Emits both directions plus Jaccard when
+    * either direction ≥ 0.7, so the asymmetric catches are visible
+    * next to the symmetric score that missed them.
+    *
+    * Scale design: identical machinery to q73 — df-capped shared-gram
+    * candidate join (the viral-shingle quadratic guard), sizes joined
+    * unhinted (AQE decides; forcing broadcast would OOM at 100 TB),
+    * divisions on identical integers so every double matches the
+    * oracle bit-for-bit.
+    */
+  val containmentDedup = Q(
+    "q297_containment_dedup",
+    (s, d) => {
+      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+      val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxShingleDf)
+        .select("g")
+      val fg = grams.join(kept, "g")
+      val sizes = fg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = fg.as("a")
+        .join(fg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("sa.n").cast("long").as("n_a"), col("sb.n").cast("long").as("n_b"),
+          col("c").cast("long").as("overlap"),
+          (col("c").cast("double") / col("sa.n").cast("double")).as("cont_a_in_b"),
+          (col("c").cast("double") / col("sb.n").cast("double")).as("cont_b_in_a"),
+          (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+        .where(col("cont_a_in_b") >= 0.7 || col("cont_b_in_a") >= 0.7)
+    },
+    Some(s"""WITH $sqlGrams,
+             kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $MaxShingleDf),
+             fg AS (SELECT grams.doc_id, grams.g FROM grams JOIN kept USING (g)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM fg GROUP BY 1),
+             inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                       FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b,
+                    CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                    CAST(c AS BIGINT) AS overlap,
+                    CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+                    CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a,
+                    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = da
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.7
+                OR CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.7""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
-      kCoreDense)
+      kCoreDense, containmentDedup)
 }

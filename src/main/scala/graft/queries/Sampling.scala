@@ -406,6 +406,135 @@ object Sampling {
              FROM s WHERE split <> 'train'""")
   )
 
+  /** q298 — NEYMAN-OPTIMAL SAMPLE ALLOCATION: the survey-sampling
+    * answer to "we can label B = 1000 documents — how many from each
+    * (lang, source) stratum?": allocate ∝ N_h·σ_h (Neyman 1934 —
+    * minimizes the variance of the stratified estimator at fixed
+    * budget), so big AND internally-diverse strata get labelers while
+    * homogeneous strata — however large — get few. The labeling-budget
+    * planner q79/q94's quota machinery doesn't express (their quotas
+    * are externally given; this DERIVES them from the data's own
+    * variance structure, here on the n_chars cost proxy).
+    *
+    * Exactness discipline: per-stratum moments are exact integer sums
+    * (Σx, Σx² — one map-side-combined aggregate); mean/σ are fixed op
+    * sequences on identical integers (portable doubles, served
+    * unquantized); the allocation weight N_h·σ_h is QUANTIZED at 1e-6
+    * to an integer before the cross-strata total (a raw double sum
+    * over strata would be association-ordered — the q03 lesson), and
+    * the final quota is INTEGER division (both engines' `div`), so
+    * every allocation is exact — no floor-at-boundary ulp hazard.
+    * Strata relation is ≤ |langs|×|sources| rows: everything after
+    * the one aggregate is metadata-sized.
+    */
+  val neymanAllocation = Q(
+    "q298_neyman_allocation",
+    (s, d) => {
+      val B = 1000L
+      val st = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("n_chars")).as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2"))
+        .select(col("lang"), col("source"), col("nh").cast("long").as("nh"),
+          (col("s1").cast("double") / col("nh").cast("double")).as("mean_chars"),
+          sqrt(greatest(
+            col("s2").cast("double") / col("nh").cast("double")
+              - (col("s1").cast("double") / col("nh").cast("double"))
+              * (col("s1").cast("double") / col("nh").cast("double")),
+            lit(0.0).cast("double"))).as("sigma"))
+        .withColumn("wq", floor(col("nh").cast("double") * col("sigma") * lit(1e6)
+          + lit(0.5)).cast("long"))
+      val tot = st.agg(sum(col("wq")).as("sw"))
+      st.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("nh"), col("mean_chars"),
+          col("sigma"),
+          when(col("sw") > 0, expr(s"($B * wq) div sw")).otherwise(lit(0L))
+            .as("alloc"))
+    },
+    Some("""WITH st AS (SELECT lang, source,
+                          CAST(count(*) AS BIGINT) AS nh,
+                          CAST(sum(n_chars) AS BIGINT) AS s1,
+                          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+                        FROM documents GROUP BY 1, 2),
+            m AS (SELECT lang, source, nh,
+                         CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE) AS mean_chars,
+                         sqrt(greatest(
+                           CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+                             - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)),
+                           CAST(0 AS DOUBLE))) AS sigma
+                  FROM st),
+            w AS (SELECT *, CAST(floor(CAST(nh AS DOUBLE) * sigma * 1e6 + 0.5)
+                             AS BIGINT) AS wq
+                  FROM m),
+            tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sw FROM w)
+            SELECT lang, source, nh, mean_chars, sigma,
+                   CASE WHEN sw > 0 THEN CAST((1000 * wq) // sw AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS alloc
+            FROM w CROSS JOIN tot""")
+  )
+
+  /** q299 — LENGTH-BUCKETED BATCHING AUDIT: the padding-waste
+    * accounting behind dynamic batching (bucket sequences by
+    * power-of-two token length; pad only to the bucket edge) vs naive
+    * global batching (pad everything to the corpus max) — the
+    * throughput decision every training-data loader makes, quantified:
+    * per bucket, how many sequences, how many real tokens, how much
+    * bucket padding; beside it the naive-padding total the bucketing
+    * avoids. Complements the packing family (q71/q95/q153 PACK
+    * sequences into fixed windows; this BUCKETS them — the two
+    * standard loaders).
+    *
+    * Everything is integer arithmetic on one map-side-combined
+    * aggregate (the bucket ladder is a fixed CASE — portable, no
+    * log2-at-the-boundary ulp hazard); the naive baseline rides as a
+    * 1-row broadcast (max length + total shortfall). Output is fully
+    * exact — no doubles anywhere.
+    */
+  val lengthBuckets = Q(
+    "q299_length_buckets",
+    (s, d) => {
+      val n = size(TextFns.tokens(col("text"))).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+        .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
+        .when(n <= 1024, 1024L).when(n <= 2048, 2048L).when(n <= 4096, 4096L)
+        .otherwise(8192L)
+      val docs = Tables.documents(s, d).select(n.as("n"), bucket.as("bucket"))
+      val byBucket = docs.groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"))
+        .select(col("bucket"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"),
+          (col("bucket") * col("docs") - col("tokens")).cast("long")
+            .as("bucket_waste"))
+      val naive = docs.agg(max(col("n")).as("lmax"), count(lit(1)).as("nd"),
+          sum(col("n")).as("ntok"))
+        .select(col("lmax"), (col("lmax") * col("nd") - col("ntok")).cast("long")
+          .as("naive_waste"))
+      byBucket.crossJoin(broadcast(naive))
+        .select(col("bucket"), col("docs"), col("tokens"), col("bucket_waste"),
+          col("lmax").cast("long").as("lmax"), col("naive_waste"))
+    },
+    Some("""WITH n AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+            b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                                 WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                                 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                                 WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                                 WHEN n <= 4096 THEN 4096 ELSE 8192 END AS bucket
+                  FROM n),
+            bb AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                          CAST(count(*) AS BIGINT) AS docs,
+                          CAST(sum(n) AS BIGINT) AS tokens,
+                          CAST(bucket * count(*) - sum(n) AS BIGINT) AS bucket_waste
+                   FROM b GROUP BY bucket),
+            nv AS (SELECT CAST(max(n) AS BIGINT) AS lmax,
+                          CAST(max(n) * count(*) - sum(n) AS BIGINT) AS naive_waste
+                   FROM b)
+            SELECT bucket, docs, tokens, bucket_waste, lmax, naive_waste
+            FROM bb CROSS JOIN nv""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
-    splitLeakage, consistentSample, weightedSample, fanoutWrite)
+    splitLeakage, consistentSample, weightedSample, fanoutWrite, neymanAllocation,
+    lengthBuckets)
 }

@@ -1511,6 +1511,78 @@ object TextAnalysis {
             GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 16""")
   )
 
+  /** q296 — SKIP-GRAM CO-OCCURRENCE with PPMI (the word2vec/GloVe
+    * pretraining kernel and the collocation detector behind phrase
+    * mining): token pairs within a ±2 window, scored by positive
+    * pointwise mutual information — high-PPMI pairs are collocations
+    * ("new york"), the signal for phrase-aware tokenization and for
+    * co-occurrence-matrix embedding pretraining. Distinct from q282
+    * (basket co-occurrence — unordered, basket-scoped) and q279
+    * (categorical MI — two fixed columns): this is positional text
+    * co-occurrence over a sliding window.
+    *
+    * Scale design: pair generation is MAP-SIDE ARRAY SURGERY, not a
+    * positional self-join — `zip_with(slice(ws,1,n−k), slice(ws,k+1,
+    * n−k), …)` pairs each token with its +k neighbor inside the row
+    * (k = 1, 2), so the only shuffle is the (wa, wb) count aggregate
+    * (map-side combined; pair vocabulary ≤ vocab², df-capped by the
+    * count filter). A posexplode self-join on (doc, position) would
+    * shuffle the token stream twice to discover adjacency that was
+    * free in the array. Marginals are row/column sums OF THE PAIR
+    * TABLE (vocab-sized), so the statistic is self-contained and
+    * exact-integer up to one ln per surviving pair, quantized 1e-6
+    * (the q279 discipline). min-count 5 bounds the output; ordering
+    * on the QUANTIZED score (then words) is cross-engine total.
+    */
+  val skipgramPmi = Q(
+    "q296_skipgram_pmi",
+    (s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(TextFns.tokens(col("text")).as("ws"))
+        .select(explode(concat(
+          expr("""zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+                  (a, b) -> named_struct('wa', a, 'wb', b))"""),
+          expr("""zip_with(slice(ws, 1, size(ws) - 2), slice(ws, 3, size(ws) - 2),
+                  (a, b) -> named_struct('wa', a, 'wb', b))"""))).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .where(col("wa") =!= "" && col("wb") =!= "")
+      val cooc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("c"))
+      val ra = cooc.groupBy("wa").agg(sum("c").as("ca"))
+      val rb = cooc.groupBy("wb").agg(sum("c").as("cb"))
+      val tot = cooc.agg(sum("c").as("np"))
+      cooc.where(col("c") >= 5)
+        .join(ra, "wa").join(rb, "wb").crossJoin(broadcast(tot))
+        .select(col("wa"), col("wb"), col("c").cast("long").as("c"),
+          (floor(
+            greatest(
+              log(col("c").cast("double") * col("np").cast("double")
+                / (col("ca").cast("double") * col("cb").cast("double"))),
+              lit(0.0).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ppmi"))
+        .orderBy(col("ppmi").desc, col("wa").asc, col("wb").asc)
+        .limit(50)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            p AS (SELECT ws[i] AS wa, ws[i + 1] AS wb
+                  FROM t, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS s(i)
+                  UNION ALL
+                  SELECT ws[i], ws[i + 2]
+                  FROM t, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS s(i)),
+            pf AS (SELECT wa, wb FROM p WHERE wa <> '' AND wb <> ''),
+            cooc AS (SELECT wa, wb, count(*) AS c FROM pf GROUP BY 1, 2),
+            ra AS (SELECT wa, sum(c) AS ca FROM cooc GROUP BY 1),
+            rb AS (SELECT wb, sum(c) AS cb FROM cooc GROUP BY 1),
+            tot AS (SELECT sum(c) AS np FROM cooc)
+            SELECT cooc.wa, cooc.wb, CAST(cooc.c AS BIGINT) AS c,
+                   floor(greatest(
+                     ln(CAST(cooc.c AS DOUBLE) * CAST(np AS DOUBLE)
+                        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))),
+                     CAST(0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ppmi
+            FROM cooc
+            JOIN ra USING (wa) JOIN rb USING (wb) CROSS JOIN tot
+            WHERE cooc.c >= 5
+            ORDER BY ppmi DESC, wa ASC, wb ASC LIMIT 50""")
+  )
+
   /** q136 — BLOOM-ACCELERATED DECONTAMINATION: q82's exact train×bench
     * gram join, preceded by a Bloom-filter prefilter over the bench
     * gram set — the data-reduction move that makes exact
@@ -1956,7 +2028,7 @@ object TextAnalysis {
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
-      qualityGateApprox, ragChunks, heavyHitters, approxTopK, decontaminateBloom,
-      fuzzyMatch, langMixture, charEntropy, blocklistScreen, jaroWinklerResolve,
-      zipfFit)
+      qualityGateApprox, ragChunks, heavyHitters, approxTopK, skipgramPmi,
+      decontaminateBloom, fuzzyMatch, langMixture, charEntropy, blocklistScreen,
+      jaroWinklerResolve, zipfFit)
 }
