@@ -1369,10 +1369,56 @@ object Dedup {
                 OR CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.7""")
   )
 
+  /** q301 — CONTAMINATION RADIUS: minimum hop distance from a flagged
+    * benchmark/eval seed set (every 7th doc, deterministic) through
+    * the near-dup graph ([[graft.operators.BfsHops]], radius 4) — the
+    * decontamination sweep's SCORED form. q82/q106/q136 flag direct
+    * n-gram overlap with an eval set and q70 nukes whole components;
+    * neither says HOW FAR a doc sits from the contamination source,
+    * which is what a graded quarantine policy consumes (drop ≤ 1 hop,
+    * down-weight ≤ 2, audit the rest): transitive near-duplication
+    * decays with distance, so radius IS the risk score. Sixth consumer
+    * of the shared pair artifact — detection ran once; CC, keepers,
+    * triangles, coreness, and now reach all read the stored pairs.
+    *
+    * Scale shape: each BFS round joins only the FRONTIER against the
+    * adjacency list (wave-sized shuffles, never corpus-sized), rounds
+    * bounded by the semantic radius — contamination sweep cost is
+    * `radius × frontier-join`, independent of graph diameter. Oracle:
+    * the same walk as a DuckDB recursive CTE over the shared pair
+    * CTEs, `min(hops)` closing the many-paths multiplicity (UNION ALL
+    * recursion re-reaches nodes; BFS's visited anti-join and the
+    * oracle's min agree because BFS first touch IS the minimum).
+    * Isolated seeds (no near-dup edges) appear at hop 0 on both
+    * engines — the seed set itself is always "contaminated".
+    */
+  val contaminationHops = Q(
+    "q301_contamination_hops",
+    (s, d) => {
+      val pairs = minhashPairsArtifact(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val seeds = Tables.documents(s, d)
+        .where(col("doc_id") % 7 === 0).select("doc_id")
+      graft.operators.BfsHops.run(pairs, seeds, maxHops = 4)
+        .select(col("doc_id"), col("hops").cast("long").as("hops"))
+    },
+    Some(s"""WITH RECURSIVE $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+             walk(doc_id, hops) AS (
+               SELECT doc_id, 0 FROM documents WHERE doc_id % 7 = 0
+               UNION ALL
+               SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.doc_id
+               WHERE w.hops < 4)
+             SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+             FROM walk GROUP BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
-      kCoreDense, containmentDedup)
+      kCoreDense, containmentDedup, contaminationHops)
 }
