@@ -2191,6 +2191,77 @@ object EventWindows {
             FROM agg""")
   )
 
+  /** q302 — CUSUM CHANGEPOINT localization on the daily revenue
+    * series: WHERE did the level shift? The monitoring family so far
+    * detects THAT something moved — q269/q264 score drift between two
+    * windows, q156 watches embedding drift, q58's EWMA flags the
+    * anomalous day, q241/q289 characterize seasonality — but an
+    * incident review and a train/serve split audit both need the
+    * single most likely break DAY, and that is the classic CUSUM
+    * estimator: the day t maximizing |Σ_{i≤t}(x_i − x̄)| (Page 1954 /
+    * Pettitt's statistic's core). Division-free exactness: multiply
+    * through by n — C_t = n·prefix_t − total·t is pure BIGINT
+    * arithmetic on cent-integers, so the argmax and the statistic are
+    * bit-free-of-doubles and the oracle is hash-exact (the q271/q272
+    * integer-statistics discipline; ties break to the earliest day
+    * via a (−t) struct leg, a cross-engine total order).
+    *
+    * Scale shape: the one corpus-sized pass is the map-side-combined
+    * daily rollup; prefix sums and row numbers run per event_type
+    * over DAY-grain rows (bounded partitions — the q289 shape), the
+    * per-type totals join is dimension-sized, and the argmax is a
+    * skew-immune max(struct) keeper (q89), not a window rank. C_n = 0
+    * identically, so the trailing row can never win over a genuine
+    * interior break.
+    */
+  val cusumChangepoint = Q(
+    "q302_cusum_changepoint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pre = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("pfx", sum(col("x")).over(w))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+      pre.join(tot, Seq("event_type"))
+        .withColumn("c", col("n_days") * col("pfx") - col("total") * col("t"))
+        .groupBy("event_type")
+        .agg(max(col("n_days")).as("n_days"),
+          max(struct(abs(col("c")).as("a"), (-col("t")).as("nt"),
+            col("day"), col("c"))).as("m"))
+        .select(col("event_type"), col("n_days"),
+          col("m.day").as("cp_day"), col("m.c").as("cusum_scaled"),
+          col("m.a").as("abs_cusum"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                       AS BIGINT) AS x
+                           FROM events GROUP BY 1, 2),
+            pre AS (SELECT event_type, day, x,
+                           CAST(row_number() OVER w AS BIGINT) AS t,
+                           CAST(sum(x) OVER w AS BIGINT) AS pfx
+                    FROM daily
+                    WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS n_days
+                    FROM daily GROUP BY 1),
+            c AS (SELECT p.event_type, p.day, t.n_days,
+                         t.n_days * p.pfx - t.total * p.t AS c, -p.t AS nt
+                  FROM pre p JOIN tot t USING (event_type)),
+            m AS (SELECT event_type, max(n_days) AS n_days,
+                         max(struct_pack(a := abs(c), nt := nt,
+                                         day := day, c := c)) AS m
+                  FROM c GROUP BY 1)
+            SELECT event_type, n_days, (m).day AS cp_day,
+                   CAST((m).c AS BIGINT) AS cusum_scaled,
+                   CAST((m).a AS BIGINT) AS abs_cusum
+            FROM m""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2201,5 +2272,5 @@ object EventWindows {
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
       transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
-      streamObserve, cumulativeReach, forecastBacktest)
+      streamObserve, cumulativeReach, forecastBacktest, cusumChangepoint)
 }
