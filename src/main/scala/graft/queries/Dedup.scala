@@ -1415,10 +1415,64 @@ object Dedup {
              FROM walk GROUP BY doc_id""")
   )
 
+  /** q303 — DEDUP-METHOD CONSENSUS: the lexical pair table (q23's
+    * MinHash-verified artifact) full-outer-joined against the semantic
+    * pair table (q26's blocked embedding-cosine pairs) into one
+    * verdict-labeled relation — the ENSEMBLE view a production
+    * curation pipeline actually routes on, because the two detectors
+    * see DIFFERENT duplication: `both` (lexically and semantically
+    * close — drop with confidence), `lexical_only` (shared template/
+    * boilerplate wrapping different content — a cleaning target, not
+    * a dedup target), `semantic_only` (paraphrase — the rewrite-farm
+    * case n-gram methods structurally miss, route to the q117 family).
+    * Neither detector alone supports that triage; the disagreement
+    * SET is the signal.
+    *
+    * Scale shape: both inputs are already-bucketed pair relations
+    * (LSH bands / label blocks — never all-pairs), each pair-table
+    * sized; the consensus join keys on the canonical (a < b) id pair
+    * both sides emit, one shuffle over pair-scale data. Absent scores
+    * coalesce to −1 (never NULL — the compare hazard); jaccard and
+    * cos_sim are the inputs' own hash-verified doubles, untouched.
+    */
+  val dedupConsensus = Q(
+    "q303_dedup_consensus",
+    (s, d) => {
+      val lex = minhashPairsArtifact(s, d)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val sem = embeddingNearDup.fn(s, d)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      lex.join(sem,
+          col("doc_a") === col("vec_a") && col("doc_b") === col("vec_b"),
+          "full_outer")
+        .select(
+          coalesce(col("doc_a"), col("vec_a")).as("id_a"),
+          coalesce(col("doc_b"), col("vec_b")).as("id_b"),
+          when(col("doc_a").isNotNull && col("vec_a").isNotNull, "both")
+            .when(col("doc_a").isNotNull, "lexical_only")
+            .otherwise("semantic_only").as("verdict"),
+          coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
+          coalesce(col("cos_sim"), lit(-1.0)).as("cos_sim"))
+    },
+    Some(s"""WITH $sqlMinhashCtes,
+             lex AS ($sqlMinhashPairsSelect),
+             sem AS (${embeddingNearDup.oracle.get})
+             SELECT coalesce(l.doc_a, s.vec_a) AS id_a,
+                    coalesce(l.doc_b, s.vec_b) AS id_b,
+                    CASE WHEN l.doc_a IS NOT NULL AND s.vec_a IS NOT NULL
+                           THEN 'both'
+                         WHEN l.doc_a IS NOT NULL THEN 'lexical_only'
+                         ELSE 'semantic_only' END AS verdict,
+                    coalesce(l.jaccard, -1) AS jaccard,
+                    coalesce(s.cos_sim, -1) AS cos_sim
+             FROM lex l FULL JOIN sem s
+               ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
-      kCoreDense, containmentDedup, contaminationHops)
+      kCoreDense, containmentDedup, contaminationHops, dedupConsensus)
 }
