@@ -2262,6 +2262,70 @@ object EventWindows {
             FROM m""")
   )
 
+  /** q304 — DAILY TIME-WEIGHTED AVERAGE (TWAP) over irregular
+    * observations: each event's value HOLDS until the next observation
+    * (the LOCF step function q239 imputes with), so the honest daily
+    * average integrates value·dt instead of averaging rows — the
+    * finance/sensor-fleet statistic row-mean silently gets wrong
+    * whenever sampling is bursty (ten readings in a hot minute must
+    * not own the day). Self-contained per day: each value weights by
+    * micros until the NEXT same-day observation, the last held to
+    * midnight; the pre-first-observation gap carries no value.
+    * Exactness: cent-integers × microsecond durations summed in
+    * DECIMAL(38,0)/HUGEINT — both engines divide the IDENTICAL exact
+    * integers, so the one IEEE division is portable bit-for-bit
+    * (the q302 division-free discipline, division deferred to the
+    * last step). The window order is (ts, event_id) — a total order,
+    * because equal-ts rows swap zero-duration terms only if the
+    * tiebreak is deterministic.
+    *
+    * Scale shape: one corpus pass; the lead() window partitions by
+    * (event_type, day) — day-grain bounded partitions (the q289
+    * shape), never a per-type corpus-length history; the rollup is
+    * map-side-combined on the same key.
+    */
+  val dailyTwap = Q(
+    "q304_daily_twap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+      ev.withColumn("next_us",
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)),
+            unix_micros(col("day").cast("timestamp") + expr("INTERVAL 1 DAY"))))
+        .withColumn("dur", col("next_us") - unix_micros(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dur")).as("dur_us"),
+          sum((col("cents") * col("dur")).cast("decimal(38,0)")).as("num"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dur_us"),
+          (col("num").cast("double") / col("dur_us").cast("double")).as("twap_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            stepped AS (SELECT event_type, day, cents,
+                               coalesce(epoch_us(lead(ts, 1) OVER w),
+                                        epoch_us(CAST(day AS TIMESTAMP)
+                                                 + INTERVAL 1 DAY))
+                                 - epoch_us(ts) AS dur
+                        FROM ev
+                        WINDOW w AS (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id)),
+            agg AS (SELECT event_type, day,
+                           CAST(count(*) AS BIGINT) AS n_events,
+                           CAST(sum(dur) AS BIGINT) AS dur_us,
+                           sum(cents * dur) AS num
+                    FROM stepped GROUP BY 1, 2)
+            SELECT event_type, day, n_events, dur_us,
+                   CAST(num AS DOUBLE) / CAST(dur_us AS DOUBLE) AS twap_cents
+            FROM agg""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2272,5 +2336,6 @@ object EventWindows {
       transformWithMapState, streamFullOuterJoin, transformWithInitialState,
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
       transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
-      streamObserve, cumulativeReach, forecastBacktest, cusumChangepoint)
+      streamObserve, cumulativeReach, forecastBacktest, cusumChangepoint,
+      dailyTwap)
 }
