@@ -2833,6 +2833,72 @@ object Relational2 {
             FROM s""")
   )
 
+  /** q305 — QUANTILE NORMALIZATION across groups: replace each value
+    * with the POOLED distribution's value at the equivalent rank —
+    * after the transform every event_type has (up to rank rounding)
+    * the SAME marginal distribution, which is the property batch-
+    * effect correction needs and the one q134's z-score cannot give
+    * (z-scoring matches mean/variance but keeps each group's shape;
+    * quantile normalization matches the whole curve — the
+    * bioinformatics/feature-preprocessing classic). Rank-defined and
+    * division-free: target rank = ⌈r·N/n_g⌉ computed as
+    * (r·N + n_g − 1) div n_g in BIGINTs, and the normalized value is
+    * an existing cent-integer SELECTED from the pooled order (q133's
+    * no-interpolation discipline) — the whole query is exact.
+    *
+    * Scale shape: the pooled enumeration is the q98 two-phase
+    * range-repartition + zipWithIndex (O(partitions) driver state —
+    * never a partitionless window); within-group ranks are windows
+    * over event_type partitions (q133/q134's per-group frame); the
+    * rank→value mapping is an equi-join on the computed target rank.
+    */
+  val quantileNorm = Q(
+    "q305_quantile_norm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val ref = s.createDataset(
+          ev.select(col("cents"), col("event_id")).as[(Long, Long)]
+            .repartitionByRange(col("cents"), col("event_id"))
+            .sortWithinPartitions(col("cents"), col("event_id"))
+            .rdd.zipWithIndex()
+            .map { case ((c, _), i) => (i + 1L, c) })
+        .toDF("pos", "ref_cents")
+      val total = ref.agg(max(col("pos")).as("n"))
+      val ng = ev.groupBy("event_type").agg(count(lit(1)).as("n_g"))
+      val wg = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      ev.withColumn("r", row_number().over(wg).cast("long"))
+        .join(ng, Seq("event_type"))
+        .crossJoin(broadcast(total))
+        .withColumn("target", expr("(r * n + n_g - 1) div n_g"))
+        .join(ref, col("target") === col("pos"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("ref_cents").as("norm_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            ref AS (SELECT cents AS ref_cents,
+                           CAST(row_number() OVER (ORDER BY cents, event_id)
+                                AS BIGINT) AS pos
+                    FROM ev),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+            grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g
+                    FROM ev GROUP BY 1),
+            rk AS (SELECT event_id, event_type, cents,
+                          CAST(row_number() OVER (PARTITION BY event_type
+                                                  ORDER BY cents, event_id)
+                               AS BIGINT) AS r
+                   FROM ev)
+            SELECT rk.event_id, rk.event_type, rk.cents,
+                   ref.ref_cents AS norm_cents
+            FROM rk JOIN grp USING (event_type) CROSS JOIN tot
+            JOIN ref ON ref.pos = (rk.r * tot.n + grp.n_g - 1) // grp.n_g""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2845,5 +2911,5 @@ object Relational2 {
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
     floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll,
-    marketBasket, transposeQ)
+    marketBasket, transposeQ, quantileNorm)
 }
