@@ -1098,8 +1098,60 @@ object Profiling {
             FROM z""")
   )
 
+  /** q306 — COLUMN-LEVEL LINEAGE of a representative warehouse query
+    * ([[graft.plans.ColumnLineage]]): every output column mapped to
+    * the (source table, source column) leaves it transitively derives
+    * from, extracted by folding the ANALYZED Catalyst plan itself —
+    * the governance/compliance primitive (PII propagation maps,
+    * drop-impact analysis) that external tools (OpenLineage, Spline)
+    * re-derive by walking the same trees from outside; doing it on
+    * the optimizer's own plan means aliases, aggregates, windows, and
+    * joins resolve exactly as execution does. The target query spans
+    * the cases that matter: a join (both sides contribute), an
+    * aggregate alias (revenue ← o_totalprice), a DERIVED column whose
+    * ancestry resolves through two alias hops and drops the
+    * count-only input (avg_order = revenue / n_orders ⇒ just
+    * o_totalprice), a window function inheriting its order key's
+    * lineage, and a pure literal (total relation via '-'). The
+    * oracle is the hand-derived ground-truth edge list — the plan
+    * fold must land on it exactly.
+    *
+    * Scale shape: metadata-plane by nature — the walk is O(plan) on
+    * the driver and NOTHING executes (the target query is analyzed,
+    * never run); lineage of a 100 TB pipeline costs the same as at
+    * sf0.001.
+    */
+  val columnLineage = Q(
+    "q306_column_lineage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val target = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .where(col("c_acctbal") > 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        // bounded window: one row per market segment
+        .withColumn("rev_rank", rank().over(Window.orderBy(col("revenue").desc)))
+        .select(col("c_mktsegment").as("segment"), col("revenue"),
+          (col("revenue") / col("n_orders")).as("avg_order"),
+          col("rev_rank"), lit(1L).as("audit_flag"))
+      graft.plans.ColumnLineage.lineage(target)
+        .toDF("out_col", "src_table", "src_col")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('audit_flag', '-', '-'),
+              ('avg_order', 'orders', 'o_totalprice'),
+              ('rev_rank', 'orders', 'o_totalprice'),
+              ('revenue', 'orders', 'o_totalprice'),
+              ('segment', 'customer', 'c_mktsegment'))
+            AS t(out_col, src_table, src_col)""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
-      giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest)
+      giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
+      columnLineage)
 }
