@@ -1636,9 +1636,72 @@ object Similarity {
             QUALIFY rnk <= 10""")
   )
 
+  /** q307 — MUTUAL k-NN (reciprocal nearest neighbors) within IVF
+    * cells: keep pair (a,b) only when b is in a's top-3 AND a is in
+    * b's top-3 — the standard robust-match criterion (Lowe-style
+    * mutual matching, margin-based bitext mining, SemDeDup variants)
+    * that directional top-k cannot express: hub vectors sit in
+    * EVERYONE's neighbor list while their own list holds only other
+    * hubs, so asymmetric matches are systematically polluted near
+    * density peaks; mutuality is the cheap hubness filter. Distinct
+    * from q63 (directional serving), q117 (threshold dedup), q141
+    * (asymmetric by design — a hard negative needn't reciprocate).
+    *
+    * Scale shape: scoring is within-cell only (the IVF blocking — the
+    * q117 candidate discipline, never all-pairs); each direction's
+    * top-3 is a rank window over cell-bounded neighbor lists keyed by
+    * the source vector; the reciprocity check is a self-join of the
+    * top-k table on the SWAPPED pair — top-k-sized, k·corpus rows at
+    * worst. Cosine is symmetric bit-for-bit (identical fold order both
+    * argument orders), so the canonical a < b row carries one score;
+    * non-finite cosines (zero-norm/NaN-element vectors) are filtered
+    * on both engines before ranking (q26's rule).
+    */
+  val mutualKnn = Q(
+    "q307_mutual_knn",
+    (s, d) => {
+      val corpus = ivfWithCells(s, d, ivfCents(s, d))
+        .select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+      val scored = corpus.as("a")
+        .join(corpus.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        .where(!isnan(col("cos_sim")) &&
+          abs(col("cos_sim")) =!= lit(Double.PositiveInfinity))
+      val w = Window.partitionBy("src")
+        .orderBy(col("cos_sim").desc, col("dst").asc)
+      val top = scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+      top.as("f").join(top.as("r"),
+          col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+        .where(col("f.src") < col("f.dst"))
+        .select(col("f.src").as("vec_a"), col("f.dst").as("vec_b"),
+          col("f.cos_sim").as("cos_sim"),
+          col("f.rnk").as("rank_ab"), col("r.rnk").as("rank_ba"))
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            scored AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+              FROM assigned a JOIN assigned b
+                ON b.cell = a.cell AND b.vec_id <> a.vec_id
+              WHERE isfinite(list_cosine_similarity(a.v, b.v))),
+            top AS (
+              SELECT * FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY src
+                               ORDER BY cos_sim DESC, dst) AS BIGINT) AS rnk
+                FROM scored) t
+              WHERE rnk <= 3)
+            SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim AS cos_sim,
+                   f.rnk AS rank_ab, r.rnk AS rank_ba
+            FROM top f JOIN top r ON f.src = r.dst AND f.dst = r.src
+            WHERE f.src < f.dst""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
-      rrfFusion)
+      rrfFusion, mutualKnn)
 }
