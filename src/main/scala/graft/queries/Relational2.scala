@@ -2899,6 +2899,78 @@ object Relational2 {
             JOIN ref ON ref.pos = (rk.r * tot.n + grp.n_g - 1) // grp.n_g""")
   )
 
+  /** q308 — BITEMPORAL RESTATEMENT AUDIT (valid time × transaction
+    * time): q163's SCD2 tracks what an attribute was WHEN; this adds
+    * the second axis — what we BELIEVED at each ingest point — the
+    * regulator's question ("what did the dashboard say after batch 1")
+    * that a single-axis table cannot answer once late corrections
+    * restate history. Fixture: three deterministic transaction
+    * batches — originals, then batch-1 corrections (+1.00 for
+    * event_id % 5 = 0), then batch-2 corrections (+2.00 for
+    * event_id % 7 = 0; an event divisible by both carries three
+    * versions). For each as-of batch B, every event's believed value
+    * is its LATEST version with batch ≤ B (max(struct) keeper — the
+    * q89 skew-immune idiom, no window over version history), rolled
+    * up to (asof_batch, event_type, day) cent-sums with a corrected-
+    * row count. Restatement is visible as the SAME (type, day) cell
+    * changing across as-of batches — the audit trail itself.
+    *
+    * Scale shape: the version relation is events + delta-sized
+    * correction batches (never a rewritten corpus — exactly how a
+    * lakehouse accrues restatements); the ×3 as-of expansion is
+    * bounded by the number of audit points, not the data; everything
+    * downstream is map-side-combined integer aggregation. Exact
+    * cent/count arithmetic end-to-end — full hash oracle.
+    */
+  val bitemporalAsof = Q(
+    "q308_bitemporal_asof",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val versions = base.select(col("event_type"), col("day"), col("event_id"),
+          lit(0L).as("batch"), col("cents"))
+        .unionAll(base.where(col("event_id") % 5 === 0)
+          .select(col("event_type"), col("day"), col("event_id"),
+            lit(1L).as("batch"), (col("cents") + 100L).as("cents")))
+        .unionAll(base.where(col("event_id") % 7 === 0)
+          .select(col("event_type"), col("day"), col("event_id"),
+            lit(2L).as("batch"), (col("cents") + 200L).as("cents")))
+      versions
+        .crossJoin(broadcast(s.range(0, 3).select(col("id").as("asof_batch"))))
+        .where(col("batch") <= col("asof_batch"))
+        .groupBy("asof_batch", "event_type", "day", "event_id")
+        .agg(max(struct(col("batch"), col("cents"))).as("m"))
+        .groupBy("asof_batch", "event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("m.cents")).as("centsum"),
+          sum(when(col("m.batch") >= 1, 1L).otherwise(0L)).as("n_corrected"))
+    },
+    Some("""WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                          FROM events),
+            versions AS (
+              SELECT event_type, day, event_id, 0 AS batch, cents FROM base
+              UNION ALL
+              SELECT event_type, day, event_id, 1, cents + 100 FROM base
+              WHERE event_id % 5 = 0
+              UNION ALL
+              SELECT event_type, day, event_id, 2, cents + 200 FROM base
+              WHERE event_id % 7 = 0),
+            asof AS (SELECT unnest(generate_series(0, 2)) AS asof_batch),
+            believed AS (
+              SELECT a.asof_batch, v.event_type, v.day, v.event_id,
+                     max(struct_pack(batch := v.batch, cents := v.cents)) AS m
+              FROM versions v JOIN asof a ON v.batch <= a.asof_batch
+              GROUP BY 1, 2, 3, 4)
+            SELECT CAST(asof_batch AS BIGINT) AS asof_batch, event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum((m).cents) AS BIGINT) AS centsum,
+                   CAST(sum(CASE WHEN (m).batch >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_corrected
+            FROM believed GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2911,5 +2983,5 @@ object Relational2 {
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
     floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll,
-    marketBasket, transposeQ, quantileNorm)
+    marketBasket, transposeQ, quantileNorm, bitemporalAsof)
 }
