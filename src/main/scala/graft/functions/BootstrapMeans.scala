@@ -31,6 +31,9 @@ final case class BootstrapBuf(cents: Array[Long], ws: Array[Long])
   * previous explode formulation):
   *  - w_b = [[PoissonDraw.weight]](b, id) — the 60-bit-md5 Poisson(1)
   *    pmf thresholds, identical to the oracle's portable SQL chain;
+  *    drawn two-per-digest via [[PoissonDraw.weightPair]] (replicates
+  *    2p and 2p+1 read the two halves of md5("p|id")), so the per-row
+  *    digest count is B/2, not B;
   *  - each term replays `CAST(value * w AS DECIMAL(18,2))` exactly:
   *    the product in DOUBLE first, then half-up decimal quantization
   *    (`JBigDecimal.valueOf` is Double.toString-based, the same path
@@ -49,18 +52,25 @@ class BootstrapMeansAggregator(b: Int)(implicit
     BootstrapBuf(new Array[Long](b), new Array[Long](b))
 
   override def reduce(buf: BootstrapBuf, in: IdValue): BootstrapBuf = {
-    var i = 0
-    while (i < b) {
-      val w = PoissonDraw.weight(i.toLong, in.id)
-      if (w > 0L) {
-        val cents = JBigDecimal.valueOf(in.value * w)
-          .setScale(2, RoundingMode.HALF_UP)
-          .unscaledValue().longValueExact()
-        buf.cents(i) += cents
-        buf.ws(i) += w
-      }
-      i += 1
+    // one md5 per replicate PAIR (PoissonDraw.weightPair): 2 draws per
+    // digest → B/2 digests per row, half the round-10 kernel's cost
+    @inline def add(i: Int, w: Long): Unit = if (w > 0L) {
+      val cents = JBigDecimal.valueOf(in.value * w)
+        .setScale(2, RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      buf.cents(i) += cents
+      buf.ws(i) += w
     }
+    var p = 0
+    while (p < b / 2) {
+      val packed = PoissonDraw.weightPair(p.toLong, in.id)
+      add(2 * p, packed >>> 3)
+      add(2 * p + 1, packed & 7L)
+      p += 1
+    }
+    // odd B: the unpaired last replicate draws solo (B = 32 here, but
+    // the aggregator's contract doesn't require even B)
+    if ((b & 1) == 1) add(b - 1, PoissonDraw.weight((b - 1).toLong, in.id))
     buf
   }
 

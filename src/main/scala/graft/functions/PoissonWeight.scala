@@ -15,31 +15,60 @@ object PoissonDraw {
   private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** h = (first 60 bits of md5("b|id")) mod 1000, thresholded to the
-    * Poisson(1) pmf steps — EXACTLY the portable SQL chain
-    * `conv(substring(md5(concat(b,'|',id)),1,15),16,10) % 1000` +
-    * CASE ladder it replaces: 15 hex chars = the high 60 bits of the
-    * first 8 digest bytes, so `(BE64 >>> 4) % 1000` is the same value
-    * without materializing the hex string.
+  /** One md5 buys TWO independent 60-bit draws: replicates 2p and 2p+1
+    * share the digest of `"p|id"` — replicate 2p reads the high 60 bits
+    * of bytes 0–7 (hex chars 1–15), replicate 2p+1 the high 60 bits of
+    * bytes 8–15 (hex chars 17–31). md5's halves are independent for
+    * this purpose (each output bit depends on the whole input), so the
+    * draw quality is unchanged while the per-row digest count is
+    * HALVED — the q152 hot-loop cost was 32 digests/row, the suite's
+    * largest per-row constant (round-11 verdict task 3).
     */
-  def weight(b: Long, id: Long): Long = {
+  private def digestOfPair(pair: Long, id: Long): Array[Byte] = {
     val md = tlMd.get()
     md.reset()
-    val bytes = md.digest(
-      (java.lang.Long.toString(b) + "|" + java.lang.Long.toString(id))
+    md.digest(
+      (java.lang.Long.toString(pair) + "|" + java.lang.Long.toString(id))
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  /** 60 bits big-endian from `bytes(off..off+7)`, i.e. the first 15 hex
+    * chars of that 8-byte group — `(BE64 >>> 4) % 1000` is exactly
+    * `conv(substring(hex, 1 + 16*half, 15), 16, 10) % 1000` without
+    * materializing the hex string — thresholded to the Poisson(1) pmf
+    * steps (P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.061, P(4+)=.019).
+    */
+  private def draw(bytes: Array[Byte], off: Int): Long = {
     var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    var i = off
+    while (i < off + 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     val h = (v >>> 4) % 1000L
     if (h < 368L) 0L else if (h < 736L) 1L
     else if (h < 920L) 2L else if (h < 981L) 3L else 4L
+  }
+
+  /** w_b for a single replicate: digest of `"(b/2)|id"`, half b%2.
+    * Semantically identical to [[weightPair]]'s unpacking — the
+    * expression-API entry point ([[PoissonWeight]]) and any caller
+    * that wants one replicate at a time.
+    */
+  def weight(b: Long, id: Long): Long =
+    draw(digestOfPair(b >> 1, id), ((b & 1L) << 3).toInt)
+
+  /** Both replicates of pair p from ONE digest, packed
+    * `(w_{2p} << 3) | w_{2p+1}` (weights are 0..4, 3 bits each) — the
+    * [[BootstrapMeansAggregator]] hot path: 16 digests/row for B = 32.
+    */
+  def weightPair(pair: Long, id: Long): Long = {
+    val bytes = digestOfPair(pair, id)
+    (draw(bytes, 0) << 3) | draw(bytes, 8)
   }
 }
 
 /** Native Catalyst expression: the q152 deterministic Poisson-bootstrap
   * weight draw — `weight(b, id)` = the Poisson(1)-pmf threshold applied
-  * to a 60-bit md5 hash of `"b|id"`, as ONE codegen'd call.
+  * to a 60-bit slice of md5(`"(b/2)|id"`) (half selected by b % 2), as
+  * ONE codegen'd call.
   *
   * Why native: the portable spelling is a 6-expression interpreted-cost
   * chain per row (string concat → cast binary → md5 → 32-char hex
@@ -49,9 +78,11 @@ object PoissonDraw {
   * `NfcNormalize` precedent: same contract, fused kernel). The digest
   * bytes are consumed directly (no hex string, no parse) through a
   * thread-local MessageDigest; the draw distribution and every
-  * downstream CI bound are bit-identical to the SQL chain, which is
-  * exactly what the unchanged DuckDB oracle and `BootstrapCiSpec`'s
-  * independent plain-Scala replay pin.
+  * downstream CI bound are bit-identical to the portable SQL chain
+  * `conv(substring(md5(concat(b div 2,'|',id)), 1 + 16*(b%2), 15),16,10)
+  * % 1000`, which is exactly what the DuckDB oracle (moved in lockstep,
+  * round-11 verdict task 3) and `BootstrapCiSpec`'s independent
+  * plain-Scala replay pin.
   */
 case class PoissonWeight(left: Expression, right: Expression)
     extends BinaryExpression {

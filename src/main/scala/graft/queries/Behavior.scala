@@ -201,10 +201,12 @@ object Behavior {
 
   /** q152 — DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVALS for the
     * per-type mean event value: B = 32 Poisson-bootstrap resamples, each
-    * row's per-replicate weight drawn from a DETERMINISTIC hash (md5 of
-    * (replicate, event_id) → integer thresholds approximating the
+    * row's per-replicate weight drawn from a DETERMINISTIC hash — md5 of
+    * (replicate-pair, event_id), each digest feeding TWO replicates (its
+    * two 60-bit halves; 16 digests/row, not 32 — round-11 verdict
+    * task 3) → integer thresholds approximating the
     * Poisson(1) pmf: P(0) = .368, P(1) = .368, P(2) = .184, P(3) = .061,
-    * P(4+) = .019) — the uncertainty quantification a metrics pipeline
+    * P(4+) = .019 — the uncertainty quantification a metrics pipeline
     * attaches to every aggregate, reproducible across runs and engines
     * because nothing is actually random. Poisson bootstrap is THE
     * distributed form (each row draws independently — one narrow map,
@@ -260,7 +262,8 @@ object Behavior {
                             ELSE 4 END AS w, b
                 FROM (
                   SELECT event_type, "value",
-                         ('0x' || substr(md5(b || '|' || event_id), 1, 15))::BIGINT % 1000 AS h,
+                         ('0x' || substr(md5((b // 2) || '|' || event_id),
+                                         1 + 16 * (b % 2), 15))::BIGINT % 1000 AS h,
                          b
                   FROM events, (SELECT unnest(generate_series(0, 31)) AS b) bs) t1) t2
               GROUP BY 1, 2),

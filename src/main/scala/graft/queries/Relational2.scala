@@ -2957,11 +2957,11 @@ object Relational2 {
               UNION ALL
               SELECT event_type, day, event_id, 2, cents + 200 FROM base
               WHERE event_id % 7 = 0),
-            asof AS (SELECT unnest(generate_series(0, 2)) AS asof_batch),
+            asofb AS (SELECT unnest(generate_series(0, 2)) AS asof_batch),
             believed AS (
               SELECT a.asof_batch, v.event_type, v.day, v.event_id,
                      max(struct_pack(batch := v.batch, cents := v.cents)) AS m
-              FROM versions v JOIN asof a ON v.batch <= a.asof_batch
+              FROM versions v JOIN asofb a ON v.batch <= a.asof_batch
               GROUP BY 1, 2, 3, 4)
             SELECT CAST(asof_batch AS BIGINT) AS asof_batch, event_type, day,
                    CAST(count(*) AS BIGINT) AS n_events,

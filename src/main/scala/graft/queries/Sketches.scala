@@ -36,6 +36,19 @@ object Sketches {
     * `SketchSpec` widens the audit to the ENTIRE vocabulary at test
     * scale.
     */
+  /** (min, max) day of a just-written sketch store, failing LOUDLY on
+    * an empty store: min/max over zero rows is NULL, and a bare
+    * `getDate(0).toLocalDate` would NPE with no context (ADVICE r11).
+    * The fixture's events table is never empty, so this is a contract
+    * guard, not a reachable branch there.
+    */
+  private def dayBounds(days: org.apache.spark.sql.Row,
+      store: String): (java.time.LocalDate, java.time.LocalDate) = {
+    require(!days.isNullAt(0) && !days.isNullAt(1),
+      s"sketch store $store is empty: no day range to query")
+    (days.getDate(0).toLocalDate, days.getDate(1).toLocalDate)
+  }
+
   private val CmsEps = 0.001
   private[graft] def cmsSketch(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.util.sketch.CountMinSketch, Long) = {
@@ -110,11 +123,11 @@ object Sketches {
         .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
       val days = s.read.parquet(store).agg(min("day"), max("day")).head()
-      val lo = days.getDate(0).toLocalDate
+      val (lo, hiDay) = dayBounds(days, store)
       val ranges = Seq(
         ("day1", lo, lo),
         ("week1", lo, lo.plusDays(6)),
-        ("all", lo, days.getDate(1).toLocalDate))
+        ("all", lo, hiDay))
       ranges.map { case (tag, a, b) =>
         val est = s.read.parquet(store)
           .where(col("day").between(lit(a.toString), lit(b.toString)))
@@ -182,11 +195,11 @@ object Sketches {
         .agg(sk(col("value")).as("sk"), count(lit(1)).as("n"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
       val days = s.read.parquet(store).agg(min("day"), max("day")).head()
-      val lo = days.getDate(0).toLocalDate
+      val (lo, hiDay) = dayBounds(days, store)
       val ranges = Seq(
         ("day1", lo, lo),
         ("week1", lo, lo.plusDays(6)),
-        ("all", lo, days.getDate(1).toLocalDate))
+        ("all", lo, hiDay))
       val rows = ranges.flatMap { case (tag, a, b) =>
         val merged = s.read.parquet(store)
           .where(col("day").between(lit(a.toString), lit(b.toString)))
@@ -339,11 +352,11 @@ object Sketches {
         .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
       val days = s.read.parquet(store).agg(min("day"), max("day")).head()
-      val lo = days.getDate(0).toLocalDate
+      val (lo, hiDay) = dayBounds(days, store)
       val ranges = Seq(
         ("day1", lo, lo),
         ("week1", lo, lo.plusDays(6)),
-        ("all", lo, days.getDate(1).toLocalDate))
+        ("all", lo, hiDay))
       ranges.map { case (tag, a, b) =>
         val inRange = s.read.parquet(store)
           .where(col("day").between(lit(a.toString), lit(b.toString)))
@@ -405,11 +418,11 @@ object Sketches {
         .agg(expr("approx_top_k_accumulate(user_id, 4096)").as("sk"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
       val days = s.read.parquet(store).agg(min("day"), max("day")).head()
-      val lo = days.getDate(0).toLocalDate
+      val (lo, hiDay) = dayBounds(days, store)
       val ranges = Seq(
         ("day1", lo, lo),
         ("week1", lo, lo.plusDays(6)),
-        ("all", lo, days.getDate(1).toLocalDate))
+        ("all", lo, hiDay))
       ranges.map { case (tag, a, b) =>
         s.read.parquet(store)
           .where(col("day").between(lit(a.toString), lit(b.toString)))

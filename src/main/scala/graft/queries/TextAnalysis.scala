@@ -1539,10 +1539,16 @@ object TextAnalysis {
     (s, d) => {
       val pairs = Tables.documents(s, d)
         .select(TextFns.tokens(col("text")).as("ws"))
+        // greatest(n-k, 0): Spark's slice THROWS on negative length, so
+        // a <2-token document would crash the query where the oracle's
+        // generate_series guard yields zero pairs — mirror it (ADVICE
+        // r11; latent on the fixture, whose minimum is 10 tokens)
         .select(explode(concat(
-          expr("""zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          expr("""zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+                           slice(ws, 2, greatest(size(ws) - 1, 0)),
                   (a, b) -> named_struct('wa', a, 'wb', b))"""),
-          expr("""zip_with(slice(ws, 1, size(ws) - 2), slice(ws, 3, size(ws) - 2),
+          expr("""zip_with(slice(ws, 1, greatest(size(ws) - 2, 0)),
+                           slice(ws, 3, greatest(size(ws) - 2, 0)),
                   (a, b) -> named_struct('wa', a, 'wb', b))"""))).as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
         .where(col("wa") =!= "" && col("wb") =!= "")

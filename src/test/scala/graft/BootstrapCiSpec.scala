@@ -20,11 +20,15 @@ class BootstrapCiSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value"),
         r.getAs[Long]("event_id")))
 
+    // pair scheme (round-11 verdict task 3): replicates 2p and 2p+1
+    // share md5("p|id") — b even reads hex chars 1-15, b odd chars
+    // 17-31 (the digest's two independent 60-bit halves)
     val md = java.security.MessageDigest.getInstance("MD5")
     def weight(b: Int, id: Long): Long = {
       md.reset()
-      val hex = md.digest(s"$b|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.take(15), 16) % 1000
+      val hex = md.digest(s"${b / 2}|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val off = 16 * (b % 2)
+      val h = java.lang.Long.parseLong(hex.slice(off, off + 15), 16) % 1000
       if (h < 368) 0L else if (h < 736) 1L else if (h < 920) 2L
       else if (h < 981) 3L else 4L
     }
