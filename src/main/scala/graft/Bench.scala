@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_DEBUG=1 prints per-pass timings + GC/heap telemetry
   * to stderr; SPARK_GRAFT_BENCH_CLEAN=0 disables the between-query
   * catalog/stream cleanup (diagnosis only).
+  *
+  * Besides the one stdout JSON line (which adds `slowest10_passes`, the
+  * per-pass seconds behind the tail medians), every run writes a FULL
+  * artifact — all medians + all per-pass times + telemetry — to
+  * SPARK_GRAFT_BENCH_ARTIFACT (default ./BENCH_local_latest.json): the
+  * driver's stdout tail keeps ~2000 chars, and the middle of the
+  * 308-query distribution was invisible to round-over-round diffs.
   */
 object Bench {
   private def gcMillis: Long = {
@@ -177,7 +184,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val telemetry = passTelemetry.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}""")
+    // Per-pass seconds for the slowest10 ride in the PUBLISHED JSON
+    // (round-11 verdict task 3): when one pass runs under heavy CPU
+    // steal, the adjudicator can see exactly which medians it fed —
+    // e.g. a 3-pass [1.4, 11.2, 1.5] median is 1.5, but [1.4, 11.2,
+    // 10.9] medians to 10.9 and the telemetry's steal_frac explains it.
+    def passesOf(name: String): String = {
+      val i = names.indexOf(name)
+      samples.map(p => f"${p(i)}%.3f").mkString("[", ",", "]")
+    }
+    val slowNames = results.sortBy(-_._2).take(10).map(_._1)
+    val slowPasses = slowNames
+      .map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses}""")
+    // Full per-query artifact ON DISK (round-11 verdict task 6): the
+    // driver's stdout tail capture keeps ~2000 chars, which loses ~270
+    // of 308 medians; this file keeps every median AND every per-pass
+    // time, so round-over-round regression diffs cover the whole
+    // distribution. Best-effort: a read-only cwd must not fail the run.
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACT", "BENCH_local_latest.json")
+    try {
+      val allPasses = names.map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
+          s""""queries":$qs,"per_pass":$allPasses,"telemetry":$telemetry}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write $artifact failed: ${e.getMessage}")
+    }
     // Compact trailer AFTER the full JSON: the driver's output capture
     // keeps only the last N chars, and round 4's full line lost its own
     // head (total + q01..q39) to that truncation. Any tail capture that

@@ -1532,6 +1532,90 @@ object Sources {
             UNION ALL SELECT 'ndv_within_10pct', 1""")
   )
 
+  /** The q309 catalog fixture: three cataloged, ANALYZEd tables derived
+    * from events — the full fact table, a ~1 % side table (every 97th
+    * event), and a 2-of-5 selective type dim (the lexicographically
+    * smallest two types — deterministic, unlike a bare LIMIT). Memoized
+    * per (JVM × sf dir) like [[bucketStore]]; ANALYZE re-runs per call
+    * (idempotent, one aggregation pass over test-scale data).
+    */
+  private[graft] def cboStore(s: SparkSession, d: String): (String, String, String) = {
+    val suf = java.lang.Integer.toHexString(d.hashCode)
+    val ev = Tables.events(s, d)
+    def reg(name: String, df: => DataFrame): String = {
+      val tbl = s"${name}_$suf"
+      if (!s.catalog.tableExists(tbl)) {
+        df.write.mode(SaveMode.Overwrite)
+          .option("path", leaf(d, name)).saveAsTable(tbl)
+      }
+      tbl
+    }
+    val facts = reg("cbo_facts", ev.select(col("event_id"), col("user_id"), col("event_type")))
+    val sides = reg("cbo_sides", ev.where(col("event_id") % 97 === 0)
+      .select(col("event_id").as("side_id"), col("user_id")))
+    val dim = reg("cbo_dim", ev.select("event_type").distinct()
+      .orderBy("event_type").limit(2))
+    // ANALYZE once per (JVM × sf dir): the fixture tables are immutable
+    // after registration, so re-running three aggregation passes per
+    // bench rep would time stats COLLECTION when the query's contract
+    // is stats CONSUMPTION (the ivmStoreMemo precedent in Sketches)
+    cboAnalyzed.getOrElseUpdate(suf, {
+      s.sql(s"ANALYZE TABLE $facts COMPUTE STATISTICS FOR COLUMNS user_id, event_type")
+      s.sql(s"ANALYZE TABLE $sides COMPUTE STATISTICS FOR COLUMNS user_id")
+      s.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS FOR COLUMNS event_type")
+      true
+    })
+    (facts, sides, dim)
+  }
+  private val cboAnalyzed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** q309 — COST-BASED JOIN REORDER under the correctness gate: the
+    * CONSUMPTION side of q226's catalog statistics, registered as a
+    * query so the optimizer-acts-on-stats story sits under the driver's
+    * DuckDB hash gate like everything else (round-11 verdict task 7;
+    * `CboReorderSpec` keeps the plan-shape assertion — selective dim
+    * pulled ahead of the fact-fact join — which a result hash cannot
+    * see). The join is written in a deliberately BAD syntactic order:
+    * fact ⋈ side-fact on user_id first (the blowup), the 2-of-5
+    * selective type dim last; with `spark.sql.cbo.joinReorder.enabled`
+    * and ANALYZEd stats the optimizer must realize the dim join is the
+    * cheap reducer and commute it inward — and reordering is a physics
+    * change only, so the rolled-up answer must hash-match an oracle
+    * that never reorders anything.
+    *
+    * Scale shape: this is exactly the plan class where 100 TB lives or
+    * dies — a syntactically-first fact-fact join that stats-blind
+    * planning would execute as written. Broadcast is disabled
+    * (q220/q92 session-conf isolation) so join ORDER, not join
+    * strategy, is the variable under test; the rollup is
+    * map-side-combined counts.
+    */
+  val cboReorder = Q(
+    "q309_cbo_reorder",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (facts, sides, dim) = cboStore(s, d)
+      s.sql(s"""SELECT f.event_type, count(*) AS n_pairs
+                FROM $facts f
+                JOIN $sides x ON x.user_id = f.user_id
+                JOIN $dim t ON t.event_type = f.event_type
+                GROUP BY f.event_type""")
+    },
+    Some("""WITH dim AS (SELECT DISTINCT event_type FROM events
+                         ORDER BY event_type LIMIT 2),
+            sides AS (SELECT event_id AS side_id, user_id FROM events
+                      WHERE event_id % 97 = 0)
+            SELECT f.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events f
+            JOIN sides x ON x.user_id = f.user_id
+            JOIN dim t ON t.event_type = f.event_type
+            GROUP BY 1""")
+  )
+
   /** q235 — COLUMN DEFAULT VALUES (SQL:2011 DDL surface): a cataloged
     * parquet table whose `tag` column declares `DEFAULT 'legacy'`, fed
     * by the two INSERT shapes the feature exists for — an INSERT that
@@ -1641,7 +1725,7 @@ object Sources {
       zorderPrunedRead, schemaEvolution, timeTravel, docgenScan, docgenStream, gdprDelete,
       deletionVectors, vacuum, blobSink, blobStreamSink, bloomSkipLookup, hilbertPrunedRead,
       dynamicPartitionOverwrite, xmlRoundTrip, fileMetadataLineage, codecMatrix,
-      bucketPrunedRead, smbJoin, analyzeStats, columnDefaults,
+      bucketPrunedRead, smbJoin, analyzeStats, cboReorder, columnDefaults,
       docgenAggPushdown, docgenTopNPushdown, docgenKeyGroupedAgg, docgenSpjJoin,
       corruptFileSkip)
 }

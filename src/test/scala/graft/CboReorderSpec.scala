@@ -91,4 +91,15 @@ class CboReorderSpec extends AnyFunSuite {
     assert(orderCbo.indexWhere(_.startsWith("cbo_dim")) < 2,
       s"CBO did not pull the selective dim ahead of the fact-fact join: $orderCbo")
   }
+
+  test("q309's registered plan pulls the dim ahead — the gate query exercises the reorder") {
+    // the driver's hash gate proves q309's ANSWER; this proves the
+    // registered query's PLAN actually rode the stats-driven reorder
+    // (a correct answer through the syntactic order would be vacuous)
+    val df = SparkEntry.queries("q309_cbo_reorder")(spark, d)
+    val order = activeStats(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.SparkSession])(leafOrder(df))
+    assert(order.indexWhere(_.startsWith("cbo_dim")) < 2,
+      s"q309 did not reorder the selective dim inward: $order")
+  }
 }

@@ -44,13 +44,85 @@ class DeterminismSpec extends AnyFunSuite {
     canon(SparkEntry.queries(name)(spark, d)) // default layout
   )
 
+  // round-10 set + the round-11 tie-sensitive entries (verdict task 5):
+  // q302's earliest-day argmax struct, q305's rank→value equi-join over
+  // a zipWithIndex enumeration, q307's reciprocal top-k at the rank
+  // boundary, q297's pair emission under the df cap
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
-      "q230_weighted_median", "q236_intersect_all")) {
+      "q230_weighted_median", "q236_intersect_all",
+      "q297_containment_dedup", "q302_cusum_changepoint",
+      "q305_quantile_norm", "q307_mutual_knn")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
         s"$q result depends on physical layout")
     }
+  }
+
+  test("q305: duplicate cents exist within a type (the event_id tiebreak is load-bearing)") {
+    import org.apache.spark.sql.functions._
+    val dups = Tables.events(spark, d)
+      .groupBy(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .count().where(col("count") > 1)
+    assert(dups.count() > 0,
+      "no duplicate cent values at sf0.001 — the rank tiebreak claim is vacuous")
+  }
+
+  test("q302: the (-t) struct leg picks the EARLIEST day on an exact |C| tie") {
+    // the fixture has no abs-cusum ties at sf0.001 (checked via the
+    // oracle engine), so the tiebreak leg is pinned synthetically: a
+    // 4-day series x = +1,-1,+1,-1 cents has C_t = n·pfx_t − total·t =
+    // [4,0,4,0] — days 1 and 3 tie at |C| = 4; earliest must win
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val daily = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 1L),
+      ("a", java.sql.Date.valueOf("2024-01-02"), 2L, -1L, 0L),
+      ("a", java.sql.Date.valueOf("2024-01-03"), 3L, 1L, 1L),
+      ("a", java.sql.Date.valueOf("2024-01-04"), 4L, -1L, 0L))
+      .toDF("event_type", "day", "t", "x", "pfx")
+      .withColumn("c", lit(4L) * col("pfx") - lit(0L) * col("t"))
+    val m = daily.groupBy("event_type")
+      .agg(max(struct(abs(col("c")).as("a"), (-col("t")).as("nt"),
+        col("day"), col("c"))).as("m"))
+      .select(col("m.day")).head().getDate(0)
+    assert(m.toString == "2024-01-01", s"tie broke to $m, not the earliest day")
+  }
+
+  test("q297: pairs emit on the fixture; the asymmetric branch catches a short-in-long quote") {
+    // the fixture's near-dups are whole-document copies (both
+    // directions ≥ 0.7 — verified against the oracle engine at sf0.001
+    // and sf0.01), so the short-inside-long branch — the operator's
+    // reason to exist over Jaccard — is pinned synthetically through
+    // the SAME production gram + containment math
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(SparkEntry.queries("q297_containment_dedup")(spark, d).count() > 0,
+      "no containment pairs at sf0.001")
+    val short = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (11 to 60).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val g = graft.functions.TextFns.wordGrams(docs, 3)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val row = g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select((col("c").cast("double") / col("sa.n")).as("ca"),
+        (col("c").cast("double") / col("sb.n")).as("cb"))
+      .head()
+    assert(row.getDouble(0) >= 0.7 && row.getDouble(1) < 0.7,
+      s"short-in-long quote not caught asymmetrically: $row")
+  }
+
+  test("q307: mutual pairs exist and some carry unequal ranks (reciprocity is nontrivial)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q307_mutual_knn")(spark, d)
+    assert(out.count() > 0, "no mutual k-NN pairs at sf0.001")
+    assert(out.where(col("rank_ab") =!= col("rank_ba")).count() > 0,
+      "every mutual pair has symmetric ranks — the two directional rankings are vacuously equal")
   }
 
   test("q217: mode ties really exist in the fixture (the flag is load-bearing)") {
