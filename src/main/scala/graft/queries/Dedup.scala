@@ -1469,10 +1469,88 @@ object Dedup {
                ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b""")
   )
 
+  /** q310 — MINHASH ESTIMATOR ERROR AUDIT: for every verified near-dup
+    * pair, put the SKETCH's own Jaccard estimate (the fraction of the
+    * K = 12 signature slots that agree — the estimator LSH banding
+    * implicitly thresholds) next to the exact Jaccard the verify step
+    * computed, with the binomial 3σ band |est − J| ≤
+    * 3·√(J(1−J)/K) + 1/K folded to a boolean. This is the q172/q290
+    * sketch-then-verify discipline applied to the dedup family's own
+    * sketch: at 100 TB the estimator IS the recall/precision knob
+    * (bands × rows trade against it), and an audit table of est-vs-
+    * exact on the verified pairs is how a pipeline notices its
+    * signature scheme drifting (bad hash mixing, K too small for the
+    * threshold) — BEFORE it silently under-merges a corpus. Seventh
+    * consumer of the shared pair artifact (detection ran once; this
+    * reads the stored pairs).
+    *
+    * Exactness: signatures are the q23 md5/LCG chain (integers mod the
+    * Mersenne prime); n_agree is an integer; estimate = n_agree/12 and
+    * the band are fixed-order IEEE ops on identical inputs, so every
+    * double and the boolean hash-match. The deterministic estimator is
+    * auditable where q19's HLL is rows-only: nothing here is
+    * implementation-defined.
+    *
+    * Scale shape: signatures are recomputed for PAIR DOCS ONLY (semi-
+    * join against the pair table's doc set — candidate-scoped, the q23
+    * verify discipline); the audit join is pair-table-sized. At 100 TB
+    * the signatures would be read from the LSH index artifact instead
+    * of recomputed; the audit cost stays O(pairs · K) either way.
+    */
+  val minhashEstimatorAudit = Q(
+    "q310_minhash_estimator_audit",
+    (s, d) => {
+      val pairs = minhashPairsArtifact(s, d)
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+        .join(pairDocs, "doc_id")
+      val withH = grams.withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          % MinhashP)
+      val sigCols = (0 until MinhashK)
+        .map(i => min((lit(mixA(i)) * col("h") + lit(mixB(i))) % MinhashP).as(s"mh$i"))
+      val sig = withH.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val agree = (0 until MinhashK).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val k = lit(MinhashK.toDouble)
+      pairs
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), agree.as("n_agree"))
+        .withColumn("estimate", col("n_agree").cast("double") / k)
+        .withColumn("abs_err", abs(col("estimate") - col("jaccard")))
+        .withColumn("within_band", col("abs_err") <=
+          lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / k)
+            + lit(1.0) / k)
+    },
+    Some(s"""WITH $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             ag AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+                           CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_agree
+                    FROM pairs p
+                    JOIN mh ma ON ma.doc_id = p.doc_a
+                    JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed
+                    GROUP BY 1, 2, 3)
+             SELECT doc_a, doc_b, jaccard, n_agree,
+                    CAST(n_agree AS DOUBLE) / CAST($MinhashK AS DOUBLE) AS estimate,
+                    abs(CAST(n_agree AS DOUBLE) / CAST($MinhashK AS DOUBLE) - jaccard)
+                      AS abs_err,
+                    abs(CAST(n_agree AS DOUBLE) / CAST($MinhashK AS DOUBLE) - jaccard)
+                      <= CAST(3 AS DOUBLE)
+                           * sqrt(jaccard * (CAST(1 AS DOUBLE) - jaccard)
+                                  / CAST($MinhashK AS DOUBLE))
+                         + CAST(1 AS DOUBLE) / CAST($MinhashK AS DOUBLE)
+                      AS within_band
+             FROM ag""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
-      kCoreDense, containmentDedup, contaminationHops, dedupConsensus)
+      kCoreDense, containmentDedup, contaminationHops, dedupConsensus,
+      minhashEstimatorAudit)
 }

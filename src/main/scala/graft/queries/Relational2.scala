@@ -2971,6 +2971,108 @@ object Relational2 {
             FROM believed GROUP BY 1, 2, 3""")
   )
 
+  /** q311 — CDC NET-EFFECT COMPACTION: fold a change-data-capture op
+    * log (INSERT/UPDATE/DELETE per key, ordered by sequence number)
+    * into the NET action per key versus the initial snapshot — the
+    * "net changes" mode every lakehouse change feed (Delta CDF,
+    * Iceberg changelogs, Debezium compaction) offers so a downstream
+    * MERGE applies one row per key instead of replaying every
+    * intermediate op. q88 applies a single-batch upsert and q130
+    * diffs two fixed versions; this nets an arbitrary op SEQUENCE —
+    * delete-then-reinsert collapses to an update, update-after-delete
+    * is a no-op, touched-but-identical nets to unchanged.
+    *
+    * The fold is CLOSED-FORM, not sequential: presence after the log =
+    * (last INSERT seq) > (last DELETE seq) — the initial snapshot rides
+    * as INSERT@0, a DELETE-free key defaults to −1 — and the final
+    * value is the max-(seq)-struct over value-carrying ops AFTER the
+    * last delete (an UPDATE on an absent row is automatically
+    * overridden: any later re-INSERT has a higher seq, and with no
+    * re-INSERT presence is false so the value is never read). Two
+    * skew-immune aggregates replace a per-key ordered replay — the
+    * q89/q308 keeper idiom, no window over op history.
+    *
+    * Fixture (deterministic from orders): U@1 sets cents+100 on
+    * key%10, D@2 drops key%17, U@3 sets cents+200 on key%13 (a no-op
+    * for already-deleted %221 keys), I@4 re-inserts key%34 at 50,
+    * I@5 inserts BRAND-NEW keys (key+10^9 for key%23) at 75 — every
+    * net class is populated, including the delete+reinsert collapse.
+    *
+    * Scale shape: the op log is delta-sized (how a change feed
+    * actually arrives — never a rewritten corpus); both aggregates
+    * are map-side-combined on the key; the snapshot join is
+    * one equi-join; the rollup output is 4 rows of exact integers.
+    */
+  val cdcNetEffect = Q(
+    "q311_cdc_net_effect",
+    (s, d) => {
+      val snap = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("base"))
+      val ops = snap.select(col("k"), lit(0L).as("seq"), lit("I").as("op"), col("base").as("cents"))
+        .unionAll(snap.where(col("k") % 10 === 0)
+          .select(col("k"), lit(1L).as("seq"), lit("U").as("op"), (col("base") + 100L).as("cents")))
+        .unionAll(snap.where(col("k") % 17 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("D").as("op"), lit(0L).as("cents")))
+        .unionAll(snap.where(col("k") % 13 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("U").as("op"), (col("base") + 200L).as("cents")))
+        .unionAll(snap.where(col("k") % 34 === 0)
+          .select(col("k"), lit(4L).as("seq"), lit("I").as("op"), lit(50L).as("cents")))
+        .unionAll(snap.where(col("k") % 23 === 0)
+          .select((col("k") + 1000000000L).as("k"), lit(5L).as("seq"), lit("I").as("op"), lit(75L).as("cents")))
+      val bounds = ops.groupBy("k").agg(
+        max(when(col("op") === "I", col("seq"))).as("mi"),
+        coalesce(max(when(col("op") === "D", col("seq"))), lit(-1L)).as("md"))
+      val fin = ops.join(bounds, "k")
+        .where(col("op") =!= "D" && col("seq") > col("md"))
+        .groupBy("k", "mi", "md")
+        .agg(max(struct(col("seq"), col("cents"))).as("v"))
+        .where(col("mi") > col("md"))
+        .select(col("k"), col("v.cents").as("after"))
+      snap.join(fin, Seq("k"), "full_outer")
+        .select(col("k"), col("base"), col("after"))
+        .withColumn("net_action",
+          when(col("base").isNotNull && col("after").isNull, "deleted")
+            .when(col("base").isNull, "inserted")
+            .when(col("base") === col("after"), "unchanged")
+            .otherwise("updated"))
+        .groupBy("net_action")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(coalesce(col("after"), lit(0L)) - coalesce(col("base"), lit(0L)))
+            .as("net_cents_delta"))
+    },
+    Some("""WITH snap AS (SELECT o_orderkey AS k,
+                                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS base
+                          FROM orders),
+            ops AS (
+              SELECT k, 0 AS seq, 'I' AS op, base AS cents FROM snap
+              UNION ALL SELECT k, 1, 'U', base + 100 FROM snap WHERE k % 10 = 0
+              UNION ALL SELECT k, 2, 'D', 0 FROM snap WHERE k % 17 = 0
+              UNION ALL SELECT k, 3, 'U', base + 200 FROM snap WHERE k % 13 = 0
+              UNION ALL SELECT k, 4, 'I', 50 FROM snap WHERE k % 34 = 0
+              UNION ALL SELECT k + 1000000000, 5, 'I', 75 FROM snap WHERE k % 23 = 0),
+            bounds AS (SELECT k,
+                              max(CASE WHEN op = 'I' THEN seq END) AS mi,
+                              coalesce(max(CASE WHEN op = 'D' THEN seq END), -1) AS md
+                       FROM ops GROUP BY 1),
+            fin AS (SELECT o.k,
+                           (max(struct_pack(seq := o.seq, cents := o.cents))).cents
+                             AS after
+                    FROM ops o JOIN bounds b ON b.k = o.k
+                    WHERE o.op <> 'D' AND o.seq > b.md AND b.mi > b.md
+                    GROUP BY 1),
+            net AS (SELECT coalesce(s.k, f.k) AS k, s.base, f.after,
+                           CASE WHEN s.base IS NOT NULL AND f.after IS NULL
+                                  THEN 'deleted'
+                                WHEN s.base IS NULL THEN 'inserted'
+                                WHEN s.base = f.after THEN 'unchanged'
+                                ELSE 'updated' END AS net_action
+                    FROM snap s FULL JOIN fin f ON f.k = s.k)
+            SELECT net_action, CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(coalesce(after, 0) - coalesce(base, 0)) AS BIGINT)
+                     AS net_cents_delta
+            FROM net GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -2983,5 +3085,5 @@ object Relational2 {
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
     floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll,
-    marketBasket, transposeQ, quantileNorm, bitemporalAsof)
+    marketBasket, transposeQ, quantileNorm, bitemporalAsof, cdcNetEffect)
 }

@@ -534,7 +534,97 @@ object Sampling {
             FROM bb CROSS JOIN nv""")
   )
 
+  /** q312 — SPLIT-CONFORMAL CALIBRATION + COVERAGE AUDIT: the
+    * distribution-free uncertainty wrapper every deployed predictor
+    * should ship with (Vovk's conformal prediction, the modern ML-eval
+    * standard): hold out a CALIBRATION set, score its nonconformity
+    * against a point predictor, take the ⌈(n+1)(1−α)⌉-th smallest
+    * score as the band half-width q̂, and AUDIT the promised ≥ 1−α
+    * coverage on a disjoint TEST split. Complements q152 (bootstrap
+    * CIs quantify the MEAN's uncertainty; conformal bounds each
+    * PREDICTION) and q298 (allocation plans the labels; this spends
+    * them). Splits are the q79 deterministic-hash discipline
+    * (event_id % 5: 0 = calibration, 1 = test — id-derived, stable,
+    * joinable); predictor = per-type calibration MEDIAN in cents
+    * (rank-selected lower median — an integer, so every nonconformity
+    * score |cents − med| is pure BIGINT); q̂ is rank-SELECTED from the
+    * actual scores (the q120/q305 no-interpolation rule) at rank
+    * ⌈(n+1)·0.9⌉ = ((n+1)·9 + 9) div 10 in integers — no floating
+    * quantile anywhere; the only doubles are the final coverage
+    * divisions of identical exact integers.
+    *
+    * Scale shape: the per-type sorts run over the CALIBRATION split
+    * only — a deliberate 1-in-5 hash sample standing in for the
+    * labeling budget that bounds any real calibration set (at 100 TB
+    * you calibrate on what you can label, never the corpus); the test
+    * sweep is one map-side-combined aggregate after a dim-sized join
+    * of (median, q̂) per type.
+    */
+  val conformalCoverage = Q(
+    "q312_conformal_coverage",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val cal = ev.where(col("event_id") % 5 === 0)
+      val test = ev.where(col("event_id") % 5 === 1)
+      val wMed = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val med = cal.withColumn("rn", row_number().over(wMed).cast("long"))
+        .join(nCal, "event_type")
+        .where(col("rn") === expr("(n_cal + 1L) div 2L"))
+        .select(col("event_type"), col("cents").as("med_cents"), col("n_cal"))
+      val wQ = Window.partitionBy("event_type").orderBy("score", "event_id")
+      val qhat = cal.join(med, "event_type")
+        .withColumn("score", abs(col("cents") - col("med_cents")))
+        .withColumn("rn", row_number().over(wQ).cast("long"))
+        .where(col("rn") === expr("((n_cal + 1L) * 9L + 9L) div 10L"))
+        .select(col("event_type"), col("score").as("qhat"))
+      test.join(med, "event_type").join(qhat, "event_type")
+        .groupBy(col("event_type"), col("n_cal"), col("med_cents"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - col("med_cents")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("n_covered"))
+        .select(col("event_type"), col("n_cal"), col("n_test"),
+          col("med_cents"), col("qhat"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            cal AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+            tst AS (SELECT * FROM ev WHERE event_id % 5 = 1),
+            nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+                   FROM cal GROUP BY 1),
+            med AS (SELECT c.event_type, c.cents AS med_cents, nc.n_cal
+                    FROM (SELECT event_type, cents,
+                                 CAST(row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS BIGINT) AS rn
+                          FROM cal) c
+                    JOIN nc ON nc.event_type = c.event_type
+                    WHERE c.rn = (nc.n_cal + 1) // 2),
+            qh AS (SELECT event_type, score AS qhat FROM (
+                     SELECT c.event_type, abs(c.cents - m.med_cents) AS score,
+                            m.n_cal,
+                            CAST(row_number() OVER (PARTITION BY c.event_type
+                                 ORDER BY abs(c.cents - m.med_cents), c.event_id)
+                                 AS BIGINT) AS rn
+                     FROM cal c JOIN med m ON m.event_type = c.event_type) t
+                   WHERE rn = ((n_cal + 1) * 9 + 9) // 10)
+            SELECT t.event_type, m.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+                   m.med_cents, q.qhat,
+                   CAST(sum(CASE WHEN abs(t.cents - m.med_cents) <= q.qhat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                   CAST(sum(CASE WHEN abs(t.cents - m.med_cents) <= q.qhat
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS coverage
+            FROM tst t
+            JOIN med m ON m.event_type = t.event_type
+            JOIN qh q ON q.event_type = t.event_type
+            GROUP BY 1, 2, 4, 5""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
     splitLeakage, consistentSample, weightedSample, fanoutWrite, neymanAllocation,
-    lengthBuckets)
+    lengthBuckets, conformalCoverage)
 }
