@@ -1149,9 +1149,86 @@ object Profiling {
             AS t(out_col, src_table, src_col)""")
   )
 
+  /** q314 — CHI-SQUARE INDEPENDENCE TEST between two categorical
+    * columns (documents' lang × source): the classic contingency-table
+    * statistic completing the hypothesis-test family — q269 (KS,
+    * continuous two-sample), q271 (Mann–Whitney, ordinal), q285
+    * (two-proportion z) — for the categorical×categorical case, and
+    * the frequentist sibling of q279's MI on the same table shape
+    * (MI measures dependence in nats; χ² scores it against a null).
+    * Emits χ², degrees of freedom, and Cramér's V (the [0,1]
+    * effect-size normalization that makes χ² comparable across table
+    * sizes — the feature-screen number). The cell grid is the FULL
+    * |lang|×|source| cross product, zero-observed cells included
+    * (dropping structural zeros understates the statistic — the
+    * textbook mistake): each term (O − E)²/E is computed
+    * division-late as (N·O − R·C)² / (N·R·C) — one IEEE division of
+    * exact BIGINTs per cell (the q302 multiply-through discipline;
+    * at 100 TB row counts the numerator would promote to
+    * DECIMAL(38,0), noted here because (N·O)² overflows int64 past
+    * N ≈ 3·10⁹) — then quantized to an INTEGER at 1e-9 and summed
+    * order-free (the q279 rule; never a raw double sum across cells).
+    *
+    * Scale shape: one map-side-combined (lang, source) count is the
+    * only corpus-sized pass; marginals, the zero-filled grid (a
+    * dims-sized cross join), and the statistic all live at
+    * contingency-table grain.
+    */
+  val chiSquare = Q(
+    "q314_chi_square",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rTot = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+      val cTot = cells.groupBy("source").agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      val grid = rTot.select("lang").crossJoin(cTot.select("source"))
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), coalesce(col("o"), lit(0L)).as("o"))
+      val termQ = floor(
+        ((col("n") * col("o") - col("r") * col("c"))
+          * (col("n") * col("o") - col("r") * col("c"))).cast("double")
+          / (col("n") * col("r") * col("c")).cast("double") * lit(1e9) + lit(0.5))
+        .cast("long")
+      grid.join(rTot, "lang").join(cTot, "source").crossJoin(broadcast(n))
+        .withColumn("term_q", termQ)
+        .groupBy(col("n"), col("nl"), col("ns"))
+        .agg((sum(col("term_q")).cast("double") / lit(1e9)).as("chi2"))
+        .select(col("n"), col("nl"), col("ns"),
+          ((col("nl") - 1L) * (col("ns") - 1L)).as("dof"), col("chi2"),
+          sqrt(col("chi2") / (col("n") * (least(col("nl"), col("ns")) - 1L))
+            .cast("double")).as("cramers_v"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                           FROM documents GROUP BY 1, 2),
+            rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+            ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+            nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                          CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+                          CAST(count(DISTINCT source) AS BIGINT) AS ns
+                   FROM cells),
+            grid AS (SELECT rt.lang, ct.source, coalesce(cells.o, 0) AS o, rt.r, ct.c
+                     FROM rt CROSS JOIN ct
+                     LEFT JOIN cells ON cells.lang = rt.lang
+                                    AND cells.source = ct.source),
+            q AS (SELECT CAST(floor(
+                           CAST((nn.n * g.o - g.r * g.c) * (nn.n * g.o - g.r * g.c)
+                                AS DOUBLE)
+                           / CAST(nn.n * g.r * g.c AS DOUBLE) * 1e9 + 0.5)
+                         AS BIGINT) AS term_q, nn.n, nn.nl, nn.ns
+                  FROM grid g CROSS JOIN nn)
+            SELECT n, nl, ns, (nl - 1) * (ns - 1) AS dof,
+                   CAST(sum(term_q) AS DOUBLE) / 1e9 AS chi2,
+                   sqrt((CAST(sum(term_q) AS DOUBLE) / 1e9)
+                        / CAST(n * (least(nl, ns) - 1) AS DOUBLE)) AS cramers_v
+            FROM q GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
-      columnLineage)
+      columnLineage, chiSquare)
 }

@@ -2778,6 +2778,80 @@ object Relational2 {
                        JOIN sup sb ON sb.pk = t.pb CROSS JOIN n""")
   )
 
+  /** q316 — APRIORI LEVEL-3 FREQUENT ITEMSETS: extend q282's frequent
+    * pairs to frequent TRIPLES through the Apriori candidate
+    * generate-and-prune step (Agrawal & Srikant 1994) — the part of
+    * frequent-itemset mining that is an ALGORITHM rather than a
+    * groupBy, and the classic demonstration of the downward-closure
+    * principle: a triple can only be frequent if ALL THREE of its
+    * pairs are, so candidates are generated by joining L2 pairs
+    * sharing their first item ((a,b) ⋈ (a,c), b < c) and pruned by
+    * requiring (b,c) ∈ L2 — BEFORE any support counting touches the
+    * basket data. The support count then extends only L2-restricted
+    * basket-pair occurrences by a third in-basket item that itself
+    * pair-qualifies with both — at 100 TB this pruning is the
+    * difference between counting |L2-candidates| triples and the
+    * combinatorial all-triples blowup no cluster survives (the df-cap
+    * family's argument, expressed as an anti-monotone bound instead
+    * of a cap).
+    *
+    * Exactness: supports are integers end-to-end; ordering columns
+    * (pa < pb < pc) make each triple canonical; output is every
+    * surviving triple with its support — no doubles anywhere.
+    *
+    * Scale shape: the basket-pair relation is q282's self-join
+    * restricted to L2 survivors (support ≥ 2 — a small fraction);
+    * the third-item extension is one equi-join on the basket key with
+    * two broadcast-sized L2 semi-joins; the final count is map-side-
+    * combined on the canonical triple.
+    */
+  val aprioriTriples = Q(
+    "q316_apriori_triples",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val l2 = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("sup2"))
+        .where(col("sup2") >= 2)
+        .select("pa", "pb")
+      // basket occurrences of L2 pairs only (the prune applied to data)
+      val bp = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .join(l2, Seq("pa", "pb"))
+      // extend by a third in-basket item c > b, requiring (a,c) and
+      // (b,c) frequent — downward closure, enforced pre-count
+      val tri = bp.as("bp")
+        .join(items.as("c"), col("c.ok") === col("bp.ok") && col("c.pk") > col("bp.pb"))
+        .select(col("bp.ok").as("ok"), col("bp.pa").as("pa"),
+          col("bp.pb").as("pb"), col("c.pk").as("pc"))
+        .join(l2.select(col("pa"), col("pb").as("pc")), Seq("pa", "pc"))
+        .join(l2.select(col("pa").as("pb"), col("pb").as("pc")), Seq("pb", "pc"))
+      tri.groupBy("pa", "pb", "pc")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                           FROM lineitem),
+            l2 AS (SELECT pa, pb FROM (
+                     SELECT a.pk AS pa, b.pk AS pb, count(*) AS sup2
+                     FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2) t
+                   WHERE sup2 >= 2),
+            bp AS (SELECT a.ok, a.pk AS pa, b.pk AS pb
+                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   JOIN l2 ON l2.pa = a.pk AND l2.pb = b.pk),
+            tri AS (SELECT bp.ok, bp.pa, bp.pb, c.pk AS pc
+                    FROM bp JOIN items c ON c.ok = bp.ok AND c.pk > bp.pb
+                    JOIN l2 x ON x.pa = bp.pa AND x.pb = c.pk
+                    JOIN l2 y ON y.pa = bp.pb AND y.pb = c.pk)
+            SELECT pa, pb, pc, CAST(count(*) AS BIGINT) AS support
+            FROM tri GROUP BY 1, 2, 3
+            HAVING count(*) >= 2""")
+  )
+
   /** q283 — `Dataset.transpose` (Spark 4's new first-class API): rows
     * become columns keyed by an index column — the "metrics wide ↔
     * long" flip analysts do to eyeball a per-group summary, previously
@@ -3073,6 +3147,183 @@ object Relational2 {
             FROM net GROUP BY 1""")
   )
 
+  /** q313 — FELLEGI–SUNTER RECORD-LINKAGE SCORING: probabilistic
+    * entity resolution's canonical weight model (Fellegi & Sunter
+    * 1969, the engine inside Splink/dedupe.io): each blocked candidate
+    * pair gets an AGREEMENT VECTOR over comparison fields, and each
+    * field contributes ln(m/u) on agreement or ln((1−m)/(1−u)) on
+    * disagreement — m the match-agreement rate (here fixed priors),
+    * u the CHANCE agreement rate among non-matches, estimated from
+    * the field's value-frequency distribution as Σ n_v²/N² (the
+    * standard frequency-based u). The log-likelihood-ratio score is
+    * what q144's single-field fuzzy threshold cannot give: a
+    * calibrated multi-evidence ranking where a rare-value agreement
+    * outweighs a common-value one. Fields: market segment, account-
+    * balance bucket (shifted before integer division so negative
+    * balances bucket identically on both engines), key last digit.
+    *
+    * Portability: u is one division of exact integers; each ln weight
+    * is quantized to MICRO-UNITS as a BIGINT (the q279 libm rule,
+    * then integers all the way); a pair's score is an integer SUM of
+    * its three weight micros — order-free by construction — divided
+    * once for display. Blocking on (nation, key mod 7) bounds the
+    * pair space; ordering on (score desc, keys) is total because the
+    * score is an integer in disguise.
+    *
+    * Scale shape: the u estimation is three map-side-combined
+    * value-frequency aggregates; the weight table is a 1-row
+    * broadcast artifact (train-once — the q279 mount); candidate
+    * generation is the blocked self-join every production linker
+    * runs (never all-pairs), and the score is a narrow projection
+    * over it.
+    */
+  val recordLinkage = Q(
+    "q313_record_linkage",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal"))
+        .withColumn("balb", expr("(bal + 100000L) div 100000L"))
+        .withColumn("dig", col("k") % 10)
+        .withColumn("blk", col("k") % 7)
+      def uOf(c: String): org.apache.spark.sql.DataFrame =
+        cust.groupBy(c).agg(count(lit(1)).as("nv"))
+          .agg(sum(col("nv") * col("nv")).as("ss"), sum(col("nv")).as("nn"))
+          .select((col("ss").cast("double")
+            / (col("nn") * col("nn")).cast("double")).as(s"u_$c"))
+      def wPair(u: org.apache.spark.sql.Column, m: Double, mc: Double, tag: String) = Seq(
+        floor(log(lit(m) / u) * lit(1e6) + lit(0.5)).cast("long").as(s"wa_$tag"),
+        floor(log(lit(mc) / (lit(1.0) - u)) * lit(1e6) + lit(0.5)).cast("long").as(s"wd_$tag"))
+      val weights = uOf("seg").crossJoin(uOf("balb")).crossJoin(uOf("dig"))
+        .select(wPair(col("u_seg"), 0.95, 0.05, "seg")
+          ++ wPair(col("u_balb"), 0.9, 0.1, "bal")
+          ++ wPair(col("u_dig"), 0.85, 0.15, "dig"): _*)
+      cust.as("x").join(cust.as("y"),
+          col("x.nat") === col("y.nat") && col("x.blk") === col("y.blk")
+            && col("x.k") < col("y.k"))
+        .select(col("x.k").as("key_a"), col("y.k").as("key_b"),
+          (col("x.seg") === col("y.seg")).as("ag_seg"),
+          (col("x.balb") === col("y.balb")).as("ag_bal"),
+          (col("x.dig") === col("y.dig")).as("ag_dig"))
+        .crossJoin(broadcast(weights))
+        .withColumn("score_u",
+          when(col("ag_seg"), col("wa_seg")).otherwise(col("wd_seg"))
+            + when(col("ag_bal"), col("wa_bal")).otherwise(col("wd_bal"))
+            + when(col("ag_dig"), col("wa_dig")).otherwise(col("wd_dig")))
+        .select(col("key_a"), col("key_b"), col("ag_seg"), col("ag_bal"),
+          col("ag_dig"), (col("score_u").cast("double") / lit(1e6)).as("score"))
+        .orderBy(col("score").desc, col("key_a").asc, col("key_b").asc)
+        .limit(50)
+    },
+    Some("""WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                                 CAST(c_nationkey AS BIGINT) AS nat,
+                                 c_mktsegment AS seg,
+                                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                                  + 100000) // 100000 AS balb,
+                                 CAST(c_custkey AS BIGINT) % 10 AS dig,
+                                 CAST(c_custkey AS BIGINT) % 7 AS blk
+                          FROM customer),
+            useg AS (SELECT CAST(sum(nv*nv) AS DOUBLE)
+                            / CAST(sum(nv)*sum(nv) AS DOUBLE) AS u
+                     FROM (SELECT count(*) AS nv FROM cust GROUP BY seg) t),
+            ubal AS (SELECT CAST(sum(nv*nv) AS DOUBLE)
+                            / CAST(sum(nv)*sum(nv) AS DOUBLE) AS u
+                     FROM (SELECT count(*) AS nv FROM cust GROUP BY balb) t),
+            udig AS (SELECT CAST(sum(nv*nv) AS DOUBLE)
+                            / CAST(sum(nv)*sum(nv) AS DOUBLE) AS u
+                     FROM (SELECT count(*) AS nv FROM cust GROUP BY dig) t),
+            w AS (SELECT
+                    CAST(floor(ln(0.95 / useg.u) * 1e6 + 0.5) AS BIGINT) AS wa_seg,
+                    CAST(floor(ln(0.05 / (1.0 - useg.u)) * 1e6 + 0.5) AS BIGINT) AS wd_seg,
+                    CAST(floor(ln(0.9 / ubal.u) * 1e6 + 0.5) AS BIGINT) AS wa_bal,
+                    CAST(floor(ln(0.1 / (1.0 - ubal.u)) * 1e6 + 0.5) AS BIGINT) AS wd_bal,
+                    CAST(floor(ln(0.85 / udig.u) * 1e6 + 0.5) AS BIGINT) AS wa_dig,
+                    CAST(floor(ln(0.15 / (1.0 - udig.u)) * 1e6 + 0.5) AS BIGINT) AS wd_dig
+                  FROM useg, ubal, udig)
+            SELECT x.k AS key_a, y.k AS key_b,
+                   x.seg = y.seg AS ag_seg,
+                   x.balb = y.balb AS ag_bal,
+                   x.dig = y.dig AS ag_dig,
+                   CAST((CASE WHEN x.seg = y.seg THEN w.wa_seg ELSE w.wd_seg END
+                       + CASE WHEN x.balb = y.balb THEN w.wa_bal ELSE w.wd_bal END
+                       + CASE WHEN x.dig = y.dig THEN w.wa_dig ELSE w.wd_dig END)
+                        AS DOUBLE) / 1e6 AS score
+            FROM cust x JOIN cust y
+              ON y.nat = x.nat AND y.blk = x.blk AND x.k < y.k
+            CROSS JOIN w
+            ORDER BY score DESC, key_a ASC, key_b ASC LIMIT 50""")
+  )
+
+  /** q315 — DIFFERENTIAL-PRIVACY NOISE MECHANISM (deterministic
+    * Laplace audit): per-type event counts released through the
+    * ε = 1 Laplace mechanism — the other half of the privacy toolkit
+    * beside q240 (k-anonymity suppresses small groups; DP perturbs
+    * every release with calibrated noise so membership is deniable at
+    * ANY group size, the aggregate-release standard from census
+    * tables to training-data telemetry). The Laplace draw is the
+    * textbook inverse-CDF transform X = −(Δf/ε)·sgn(u−½)·ln(1−2|u−½|)
+    * applied to a DETERMINISTIC uniform u = (h + ½)/2⁶⁰ from the
+    * seeded 60-bit md5 of the release key (the q79/q152 hash-draw
+    * discipline — reproducible across runs and engines, so the
+    * mechanism itself is hash-auditable where a true RNG would force
+    * rows-only; a production release would swap in a real entropy
+    * source and KEEP this exact plan). Sensitivity Δf = 1 (one event
+    * changes one count by one). The true count rides beside the
+    * noised release as the AUDIT column — this is the mechanism's
+    * calibration table, not the public artifact.
+    *
+    * Portability: h is exact; u is one division by the exact power
+    * 2⁶⁰; sgn is a CASE (DuckDB's sign() return type differs — the
+    * CASE sidesteps it); ln is quantized to integer micros (q279
+    * libm rule); the noised count is exact-count-as-double + quantized
+    * noise. Scale shape: one map-side-combined count; the mechanism
+    * is a narrow projection at GROUP grain — noise cost is O(releases),
+    * independent of corpus size, which is exactly why DP releases
+    * scale.
+    */
+  val dpNoisedCounts = Q(
+    "q315_dp_noised_counts",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("h", expr("CAST(conv(substring(md5(CAST(concat('dp|', " +
+          "event_type) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("u", (col("h").cast("double") + lit(0.5))
+          / lit(1152921504606846976L))
+        .withColumn("sgn", when(col("u") >= 0.5, lit(1.0)).otherwise(lit(-1.0)))
+        .withColumn("noise_q", floor(-col("sgn")
+          * log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5)))
+          * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("event_type"), col("n"), lit(1.0).as("epsilon"),
+          (col("noise_q").cast("double") / lit(1e6)).as("noise"),
+          (col("n").cast("double") + col("noise_q").cast("double") / lit(1e6))
+            .as("noised_count"))
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            h AS (SELECT event_type, n,
+                         ('0x' || substr(md5('dp|' || event_type), 1, 15))::BIGINT
+                           AS h
+                  FROM c),
+            u AS (SELECT event_type, n,
+                         (CAST(h AS DOUBLE) + 0.5) / 1152921504606846976 AS u
+                  FROM h),
+            z AS (SELECT event_type, n,
+                         CAST(floor(-(CASE WHEN u >= 0.5 THEN CAST(1 AS DOUBLE)
+                                           ELSE CAST(-1 AS DOUBLE) END)
+                                    * ln(1.0 - 2.0 * abs(u - 0.5))
+                                    * 1e6 + 0.5) AS BIGINT) AS noise_q
+                  FROM u)
+            SELECT event_type, n, CAST(1 AS DOUBLE) AS epsilon,
+                   CAST(noise_q AS DOUBLE) / 1e6 AS noise,
+                   CAST(n AS DOUBLE) + CAST(noise_q AS DOUBLE) / 1e6
+                     AS noised_count
+            FROM z""")
+  )
+
   val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
@@ -3085,5 +3336,6 @@ object Relational2 {
     timestampNtz, intersectAll, pivotMulti, kAnonymity, sqlPipe, notInNulls,
     sqlScripting, parameterizedSql, keysetPagination, filterClause,
     floatSemantics, rebalanceWrite, aqeJoinDemotion, groupByAll,
-    marketBasket, transposeQ, quantileNorm, bitemporalAsof, cdcNetEffect)
+    marketBasket, transposeQ, quantileNorm, bitemporalAsof, cdcNetEffect,
+    recordLinkage, dpNoisedCounts, aprioriTriples)
 }
