@@ -600,7 +600,89 @@ object Behavior {
             FROM s""")
   )
 
+  /** q320 — POSITION-WEIGHTED MULTI-TOUCH ATTRIBUTION (U-shaped
+    * 40/20/40): q149 gives the whole purchase to the LAST touch; the
+    * U-shaped model every marketing/growth stack also runs credits
+    * discovery AND closing — 40 % to the first touch in the 7-day
+    * window, 40 % to the last, 20 % split across the middles — which
+    * is a different operator shape: one purchase fans out to ALL its
+    * window touches with position-dependent weights that must sum to
+    * exactly 1. Credits are INTEGER MICRO-SHARES of 1 000 000:
+    * middles get 200000 div (n−2) each and the integer REMAINDER goes
+    * to the first touch (documented rule — exact conservation beats a
+    * pretty split; n = 2 puts the whole middle pool there, n = 1 and
+    * touchless purchases carry the full million, the latter under
+    * 'none'). Attributed value = Σ credit·cents in DECIMAL(38,0),
+    * ONE division for display — conservation is exact by
+    * construction, never a float residue (the q302/q317 discipline;
+    * a 0.4·value float split leaks cents at every purchase).
+    *
+    * Scale shape: the touch join is user-equi + a 7-day range
+    * predicate (bounded window — never a user's full history); the
+    * position window partitions by PURCHASE (window-bounded
+    * partitions, q42's per-key frame argument); the rollup is
+    * map-side-combined. Ordering key (t_ts, event_id) is total.
+    */
+  val multiTouchAttribution = Q(
+    "q320_multitouch_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("u"),
+          col("ts").as("pts"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val t = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("tu"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("touch_type"))
+      val wp = Window.partitionBy("pid")
+      val wr = Window.partitionBy("pid").orderBy("tts", "tid")
+      p.join(t, col("tu") === col("u") && col("tts") <= col("pts")
+          && col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"), "left")
+        .withColumn("n", count(col("tid")).over(wp))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("mid", expr("CASE WHEN n > 2 THEN 200000L div (n - 2L) ELSE 0L END"))
+        .withColumn("credit",
+          when(col("n") <= 1L, 1000000L)
+            .when(col("rn") === 1L,
+              lit(400000L) + (lit(200000L) - col("mid") * (col("n") - 2L)))
+            .when(col("rn") === col("n"), 400000L)
+            .otherwise(col("mid")))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          (sum((col("credit") * col("cents")).cast("decimal(38,0)"))
+            .cast("double") / lit(1e6)).as("attributed_cents"))
+    },
+    Some("""WITH p AS (SELECT event_id AS pid, user_id AS u, ts AS pts,
+                              CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            t AS (SELECT user_id AS tu, ts AS tts, event_id AS tid,
+                         event_type AS touch_type
+                  FROM events WHERE event_type IN ('view', 'click')),
+            j AS (SELECT p.pid, p.cents, t.tts, t.tid, t.touch_type
+                  FROM p LEFT JOIN t ON t.tu = p.u AND t.tts <= p.pts
+                                    AND t.tts >= p.pts - INTERVAL 7 DAY),
+            r AS (SELECT *,
+                         CAST(count(tid) OVER (PARTITION BY pid) AS BIGINT) AS n,
+                         CAST(row_number() OVER (PARTITION BY pid
+                              ORDER BY tts, tid) AS BIGINT) AS rn
+                  FROM j),
+            c AS (SELECT pid, cents, coalesce(touch_type, 'none') AS touch_type,
+                         CASE WHEN n <= 1 THEN 1000000
+                              WHEN rn = 1 THEN 400000 + (200000 -
+                                (CASE WHEN n > 2 THEN 200000 // (n - 2) ELSE 0 END)
+                                  * (n - 2))
+                              WHEN rn = n THEN 400000
+                              ELSE CASE WHEN n > 2 THEN 200000 // (n - 2) ELSE 0 END
+                         END AS credit
+                  FROM r)
+            SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+                   CAST(sum(credit * cents) AS DOUBLE) / 1e6 AS attributed_cents
+            FROM c GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency, streaks, rfm, runningTopK)
+      peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution)
 }

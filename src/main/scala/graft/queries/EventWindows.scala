@@ -2326,6 +2326,63 @@ object EventWindows {
             FROM agg""")
   )
 
+  /** q317 — EXACT EXPONENTIAL TIME-DECAY SCORING: recency-weighted
+    * per-type revenue with a 7-day half-life — the ranking signal
+    * (trending content, feature freshness, popularity serving) that is
+    * usually computed with float pow() and silently drifts across
+    * engines and reruns. Here it is EXACT: with half-life h, the decay
+    * for an event a days old is 2^(−a/h); restricting weights to the
+    * integer-exponent grid k = ⌈a/h⌉ (the staircase every production
+    * half-life score quantizes to anyway) makes each term
+    * cents · 2^(30−k) a pure BIGINT (a shiftleft, not a pow), the
+    * per-type total an exact DECIMAL sum, and the published score ONE
+    * division by 2^30 — the q302/q304 division-late discipline applied
+    * to the one statistic people assume NEEDS floats. Terms older than
+    * 30 half-lives carry weight < 1e-9 of fresh ones and are DEFINED
+    * to zero (the documented truncation; at a 7-day half-life that is
+    * 210 days — far beyond any trending window).
+    *
+    * Scale shape: one narrow projection computes k from the day grain
+    * (horizon = max day, a 1-row broadcast), one map-side-combined
+    * aggregate per type; no window, no sort, no doubles until the
+    * final division. At 100 TB the same staircase serves incremental
+    * maintenance (q300): yesterday's store re-weights by one shift.
+    */
+  val decayScore = Q(
+    "q317_decay_score",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val horizon = ev.agg(max(col("day")).as("h"))
+      ev.crossJoin(broadcast(horizon))
+        .withColumn("age", datediff(col("h"), col("day")).cast("long"))
+        .withColumn("k", expr("(age + 6L) div 7L"))
+        .withColumn("term",
+          when(col("k") <= 30L,
+            col("cents") * expr("shiftleft(1L, CAST(30 - k AS INT))"))
+            .otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("term").cast("decimal(38,0)")).as("scaled"))
+        .select(col("event_type"), col("n_events"),
+          (col("scaled").cast("double") / lit(1073741824.0)).as("decayed_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            hz AS (SELECT max(day) AS h FROM ev),
+            t AS (SELECT event_type, cents,
+                         (CAST(date_diff('day', day, hz.h) AS BIGINT) + 6) // 7 AS k
+                  FROM ev CROSS JOIN hz)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN k <= 30
+                                 THEN cents * (CAST(1 AS BIGINT) << CAST(30 - k AS INT))
+                                 ELSE 0 END) AS DOUBLE) / 1073741824.0
+                     AS decayed_cents
+            FROM t GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
@@ -2337,5 +2394,5 @@ object EventWindows {
       dynamicSessionGap, locfImpute, autocorr, transformWithListState,
       transformWithTtlState, streamSemiJoin, streamTumblingUpdate, theilSen,
       streamObserve, cumulativeReach, forecastBacktest, cusumChangepoint,
-      dailyTwap)
+      dailyTwap, decayScore)
 }

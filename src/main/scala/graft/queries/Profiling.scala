@@ -1226,9 +1226,85 @@ object Profiling {
             FROM q GROUP BY 1, 2, 3""")
   )
 
+  /** q319 — JOIN-CARDINALITY AUDIT (explosion pre-flight): before
+    * paying for a join, profile both key columns and compute the
+    * EXACT output size it would produce — Σ over matched keys of
+    * n_left·n_right — plus the per-side fanout profile and the
+    * inferred relationship class (1:1 / 1:N / N:1 / N:M). This is the
+    * audit every pipeline that ever melted on an unexpected N:M join
+    * runs first (dbt test + relationship assertions, Deequ
+    * uniqueness): at 100 TB a key whose duplication quietly drifted
+    * from 1:N to N:M turns a join into a row bomb, and the multiset
+    * profile — two map-side-combined counts plus a key-grain join —
+    * costs a tiny fraction of the join it predicts (the q226 theme:
+    * plan from evidence, not hope; this is the join-shaped ANALYZE).
+    * Audited pair: orders.o_custkey → customer.c_custkey across the
+    * full key union — also surfacing unmatched keys on both sides
+    * (the referential-integrity counts q146's constraints check
+    * per-row).
+    *
+    * Exactness: everything is counts and products of counts — BIGINT
+    * end-to-end (the predicted row count is summed in DECIMAL(38,0):
+    * per-key products bound by max_fanout², but the SUM is
+    * corpus-scale²/keys and must not trust int64 at 100 TB).
+    */
+  val joinCardinalityAudit = Q(
+    "q319_join_cardinality_audit",
+    (s, d) => {
+      val l = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("nl"))
+      val r = Tables.customer(s, d).groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("nr"))
+      l.join(r, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("nl"), lit(0L)).as("nl"),
+          coalesce(col("nr"), lit(0L)).as("nr"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nl") > 0 && col("nr") > 0, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("nl") > 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_left_only"),
+          sum(when(col("nl") === 0 && col("nr") > 0, 1L).otherwise(0L)).as("n_right_only"),
+          max(col("nl")).as("max_left_fanout"),
+          max(col("nr")).as("max_right_fanout"),
+          sum((col("nl") * col("nr")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("predicted_rows"))
+        .select(col("n_keys"), col("n_matched"), col("n_left_only"),
+          col("n_right_only"), col("max_left_fanout"), col("max_right_fanout"),
+          col("predicted_rows").cast("double").as("predicted_join_rows"),
+          when(col("max_left_fanout") <= 1 && col("max_right_fanout") <= 1, "1:1")
+            .when(col("max_right_fanout") <= 1, "N:1")
+            .when(col("max_left_fanout") <= 1, "1:N")
+            .otherwise("N:M").as("relationship"))
+    },
+    Some("""WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nl
+                       FROM orders GROUP BY 1),
+            r AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nr
+                  FROM customer GROUP BY 1),
+            u AS (SELECT coalesce(l.k, r.k) AS k,
+                         coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr
+                  FROM l FULL JOIN r ON r.k = l.k),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(CASE WHEN nl > 0 AND nr > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_matched,
+                         CAST(sum(CASE WHEN nl > 0 AND nr = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_left_only,
+                         CAST(sum(CASE WHEN nl = 0 AND nr > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_right_only,
+                         CAST(max(nl) AS BIGINT) AS max_left_fanout,
+                         CAST(max(nr) AS BIGINT) AS max_right_fanout,
+                         CAST(sum(nl * nr) AS DOUBLE) AS predicted_join_rows
+                  FROM u)
+            SELECT n_keys, n_matched, n_left_only, n_right_only,
+                   max_left_fanout, max_right_fanout, predicted_join_rows,
+                   CASE WHEN max_left_fanout <= 1 AND max_right_fanout <= 1 THEN '1:1'
+                        WHEN max_right_fanout <= 1 THEN 'N:1'
+                        WHEN max_left_fanout <= 1 THEN '1:N'
+                        ELSE 'N:M' END AS relationship
+            FROM a""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
-      columnLineage, chiSquare)
+      columnLineage, chiSquare, joinCardinalityAudit)
 }

@@ -996,7 +996,11 @@ object Similarity {
     * corpus encoding by per-subspace argmin, per-probe LUT, the
     * m-ordered ADC fold, candidate cut, exact rerank.
     */
-  private def pqOracle(coarseSteps: Int, pqSteps: Int): String = {
+  /** The PQ training + encode oracle chain through `xcodes` (every
+    * vector's per-subspace code), shared by q111/q114's ADC search
+    * tail and q318's distortion audit.
+    */
+  private def pqChainCtes(coarseSteps: Int, pqSteps: Int): String = {
     val sub = (v: String) => s"list_transform(generate_series(1, $PqSubDim), i -> $v[m * $PqSubDim + i])"
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
@@ -1037,7 +1041,14 @@ object Similarity {
                            ORDER BY 0.5 * ${dot("p.c", "p.c")}
                                     - ${dot(s"${sub("a.v")}", "p.c")} ASC, p.k ASC) AS r
                 FROM assigned a CROSS JOIN pq$pqSteps p) q
-              WHERE r = 1),
+              WHERE r = 1)"""
+  }
+
+  private def pqOracle(coarseSteps: Int, pqSteps: Int): String = {
+    val sub = (v: String) => s"list_transform(generate_series(1, $PqSubDim), i -> $v[m * $PqSubDim + i])"
+    val dot = (a: String, b: String) =>
+      s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
+    s"""${pqChainCtes(coarseSteps, pqSteps)},
             lutc AS (
               SELECT q.vec_id AS probe_id, p.m, p.k,
                      ${dot(s"${sub("q.v")}", "p.c")} AS lv
@@ -1699,9 +1710,88 @@ object Similarity {
             WHERE f.src < f.dst""")
   )
 
+  /** q318 — PQ DISTORTION AUDIT: per-IVF-cell quantization error of
+    * the q111 codebooks — mean and max ‖sv − c_code‖² summed over the
+    * 8 subspaces — the sketch-then-verify discipline (q172/q290/q310)
+    * applied to the ANN memory story itself: PQ's 64× compression is
+    * only safe while reconstruction error stays small relative to the
+    * score gaps ADC ranks by, and distortion drifting up in one cell
+    * (a codebook trained before that region densified) is how recall
+    * silently rots in production. Serving-side recall contracts
+    * (PqSpec) catch the symptom; this table names the cell and the
+    * magnitude — what a re-train trigger consumes.
+    *
+    * Exactness: per-subspace error uses the SAME ½‖c‖²−⟨sv,c⟩ argmin
+    * fold as the encoder (`pqEncode`), so dist_m = ⟨sv,sv⟩ + 2·nd_min
+    * with identical IEEE ops both engines; the 8 subspace errors fold
+    * in subspace order (the ADC bit-parity precedent), each vector's
+    * total is quantized to an INTEGER at 1e-9 (q279 rule) and the
+    * per-cell mean/max are exact-integer aggregates divided once for
+    * display — full hash oracle over the shared coarse+PQ CTE chain.
+    *
+    * Scale shape: one pass over the encoded corpus with the bounded
+    * codebook row broadcast (the pqEncode plan — no shuffle before
+    * the cell-grain aggregate); audit cost O(corpus · M · K) exactly
+    * like encoding, amortized to zero when run alongside it.
+    */
+  val pqDistortionAudit = Q(
+    "q318_pq_distortion_audit",
+    (s, d) => {
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      val booksRow = pqBooksRow(pqBooks(s, d))
+      corpus.crossJoin(broadcast(booksRow))
+        .withColumn("dists", transform(col("books"), mb => {
+          val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
+          val best = element_at(array_sort(transform(mb.getField("cs"), sc =>
+            struct((lit(0.5) * SeqDot(sc.getField("c"), sc.getField("c"))
+              - SeqDot(sub, sc.getField("c"))).as("nd"),
+              sc.getField("cell").as("j")))), 1)
+          SeqDot(sub, sub) + lit(2.0) * best("nd")
+        }))
+        .withColumn("dist_q", floor(expr(
+          "aggregate(dists, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist_q")).as("sum_q"), max(col("dist_q")).as("max_q"))
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          (col("sum_q").cast("double") / lit(1e9)
+            / col("n_vecs").cast("double")).as("mean_distortion"),
+          (col("max_q").cast("double") / lit(1e9)).as("max_distortion"))
+    },
+    Some {
+      // `m` must be qualified: the dm CTE joins xcodes and the codebook,
+      // both carrying an m column (DuckDB binder ambiguity)
+      val sub = (v: String) =>
+        s"list_transform(generate_series(1, $PqSubDim), i -> $v[xc.m * $PqSubDim + i])"
+      val dot = (a: String, b: String) =>
+        s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
+      s"""${pqChainCtes(IvfLloydSteps, PqLloydSteps)},
+            dm AS (
+              SELECT a.vec_id, a.cell, xc.m,
+                     ${dot(s"${sub("a.v")}", s"${sub("a.v")}")}
+                       + 2 * (0.5 * ${dot("p.c", "p.c")}
+                              - ${dot(s"${sub("a.v")}", "p.c")}) AS dmv
+              FROM assigned a
+              JOIN xcodes xc ON xc.vec_id = a.vec_id
+              JOIN pq$PqLloydSteps p ON p.m = xc.m AND p.k = xc.code),
+            pv AS (SELECT vec_id, cell,
+                          CAST(floor(list_aggregate(list(dmv ORDER BY m), 'sum')
+                                     * 1e9 + 0.5) AS BIGINT) AS dist_q
+                   FROM dm GROUP BY 1, 2)
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(dist_q) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+                     AS mean_distortion,
+                   CAST(max(dist_q) AS DOUBLE) / 1e9 AS max_distortion
+            FROM pv GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
-      rrfFusion, mutualKnn)
+      rrfFusion, mutualKnn, pqDistortionAudit)
 }
