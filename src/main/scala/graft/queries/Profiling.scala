@@ -1302,9 +1302,127 @@ object Profiling {
             FROM a""")
   )
 
+  /** q321 — QQ VENTILE TABLE (quantile–quantile comparison): the
+    * CURVE behind q269's single number — KS reports the maximum CDF
+    * gap between two samples; a QQ table shows WHERE the
+    * distributions diverge (a heavy right tail, a shifted median, a
+    * truncated floor look identical to KS-significance but opposite
+    * for remediation). For each ventile q = 1..19, both groups' rank-
+    * SELECTED values at rank ⌈q·n/20⌉ — integers picked from the
+    * actual data (q120/q305/q312's no-interpolation rule, integer
+    * rank formula (q·n+19) div 20) — side by side with their exact
+    * difference. Everything is BIGINT; there are no doubles at all.
+    *
+    * Scale shape: per-group rank windows (the q305/q133 per-group
+    * frame; at extreme scale the q98 two-phase enumeration swaps in);
+    * the 19 probe ranks ride as a broadcast relation against the
+    * ranked rows (a 19-way comparison per row, map-side, no extra
+    * shuffle); output is 19 rows.
+    */
+  val qqVentiles = Q(
+    "q321_qq_ventiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val ng = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+        .join(ng, "event_type")
+      val qs = s.range(1, 20).select(col("id").as("q"))
+      val sel = ranked.join(broadcast(qs), col("rn") === expr("(q * n + 19L) div 20L"))
+      sel.where(col("event_type") === "view")
+        .select(col("q"), col("n").as("n_view"), col("cents").as("v_view"))
+        .join(sel.where(col("event_type") === "purchase")
+          .select(col("q"), col("n").as("n_purchase"), col("cents").as("v_purchase")),
+          "q")
+        .select(col("q"), col("n_view"), col("n_purchase"), col("v_view"),
+          col("v_purchase"), (col("v_purchase") - col("v_view")).as("qq_diff"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events WHERE event_type IN ('view', 'purchase')),
+            ng AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM ev GROUP BY 1),
+            rk AS (SELECT e.event_type, e.cents, ng.n,
+                          CAST(row_number() OVER (PARTITION BY e.event_type
+                               ORDER BY e.cents, e.event_id) AS BIGINT) AS rn
+                   FROM ev e JOIN ng USING (event_type)),
+            qs AS (SELECT unnest(generate_series(1, 19)) AS q),
+            sel AS (SELECT rk.event_type, CAST(qs.q AS BIGINT) AS q, rk.n, rk.cents
+                    FROM rk JOIN qs ON rk.rn = (qs.q * rk.n + 19) // 20)
+            SELECT a.q, a.n AS n_view, b.n AS n_purchase,
+                   a.cents AS v_view, b.cents AS v_purchase,
+                   b.cents - a.cents AS qq_diff
+            FROM sel a JOIN sel b ON b.q = a.q
+            WHERE a.event_type = 'view' AND b.event_type = 'purchase'""")
+  )
+
+  /** q322 — TRIMMED MEAN: the third classic robust location estimate
+    * completing q157 (MAD flags outliers) and q133 (winsorize CLAMPS
+    * them) — trimming DROPS the extreme 10 % on each side entirely,
+    * the estimator of choice when tails are corrupt rather than
+    * merely heavy (judging panels, latency SLOs, crowd labels). Kept
+    * range is rank-defined in integers (lo = n div 10, keep
+    * lo < rn ≤ n − lo — symmetric by construction), the kept sum is
+    * exact cents, and the untrimmed mean rides beside it so the
+    * output quantifies exactly what the tails were doing to the
+    * estimate. Two divisions of exact integers are the only doubles.
+    *
+    * Scale shape: one per-type rank window over the q305/q133
+    * per-group frame, one map-side-combined aggregate; output is
+    * type-grain.
+    */
+  val trimmedMean = Q(
+    "q322_trimmed_mean",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val ng = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      ev.withColumn("rn", row_number().over(w).cast("long"))
+        .join(ng, "event_type")
+        .withColumn("lo", expr("n div 10L"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"),
+            col("cents")).otherwise(0L)).as("kept_cents"),
+          sum(col("cents")).as("all_cents"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          (col("kept_cents").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean_cents"),
+          (col("all_cents").cast("double") / col("n").cast("double"))
+            .as("raw_mean_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            ng AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM ev GROUP BY 1),
+            rk AS (SELECT e.event_type, e.cents, ng.n, ng.n // 10 AS lo,
+                          CAST(row_number() OVER (PARTITION BY e.event_type
+                               ORDER BY e.cents, e.event_id) AS BIGINT) AS rn
+                   FROM ev e JOIN ng USING (event_type))
+            SELECT event_type, n,
+                   CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents
+                                 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS trimmed_mean_cents,
+                   CAST(sum(cents) AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean_cents
+            FROM rk GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
-      columnLineage, chiSquare, joinCardinalityAudit)
+      columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean)
 }

@@ -624,7 +624,130 @@ object Sampling {
             GROUP BY 1, 2, 4, 5""")
   )
 
+  /** q323 — AQP SAMPLE-ESTIMATE AUDIT (approximate query processing,
+    * the BlinkDB trade): answer the per-type revenue rollup from a
+    * deterministic 1-in-16 hash sample (seeded md5 over event_id —
+    * the q79/q229 discipline: stable across reruns and cluster
+    * sizes, joinable, oracle-replayable where a Bernoulli RNG sample
+    * would force rows-only), scale by 16, and put the ESTIMATE beside
+    * the exact answer with its realized relative error — the audit
+    * table that tells a dashboard owner whether the 16× scan saving
+    * is worth the error for THEIR metric (skewed cents columns
+    * degrade; counts barely move). Estimates are exact integers
+    * (16·Σ over the sample), the only double is the one error
+    * division.
+    *
+    * Scale shape: at 100 TB the sample is MATERIALIZED once (a q80
+    * companion table) and every exploratory query reads 1/16th of
+    * the bytes; here both passes ride one scan each, map-side
+    * combined. The audit is what makes AQP honest — the q135/q310
+    * sketch-then-verify discipline applied to sampling.
+    */
+  val aqpSampleAudit = Q(
+    "q323_aqp_sample_audit",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("h", expr("CAST(conv(substring(md5(CAST(concat('aqp|', " +
+          "CAST(event_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("exact_cents"))
+      val est = ev.where(col("h") % 16 === 0)
+        .groupBy("event_type")
+        .agg((count(lit(1)) * 16L).as("n_est"),
+          count(lit(1)).as("n_sample"),
+          (sum(col("cents")) * 16L).as("est_cents"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n"), col("n_sample"), col("n_est"),
+          col("exact_cents"), col("est_cents"),
+          (abs(col("est_cents") - col("exact_cents")).cast("double")
+            / col("exact_cents").cast("double")).as("rel_err"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                               ('0x' || substr(md5('aqp|' || CAST(event_id AS VARCHAR)),
+                                               1, 15))::BIGINT AS h
+                        FROM events),
+            ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(cents) AS BIGINT) AS exact_cents
+                   FROM ev GROUP BY 1),
+            es AS (SELECT event_type,
+                          CAST(count(*) * 16 AS BIGINT) AS n_est,
+                          CAST(count(*) AS BIGINT) AS n_sample,
+                          CAST(sum(cents) * 16 AS BIGINT) AS est_cents
+                   FROM ev WHERE h % 16 = 0 GROUP BY 1)
+            SELECT ex.event_type, ex.n, es.n_sample, es.n_est,
+                   ex.exact_cents, es.est_cents,
+                   CAST(abs(es.est_cents - ex.exact_cents) AS DOUBLE)
+                     / CAST(ex.exact_cents AS DOUBLE) AS rel_err
+            FROM ex JOIN es USING (event_type)""")
+  )
+
+  /** q324 — LEAKAGE-SAFE LABEL FACTORY: the supervised-learning
+    * operator none of the split family expresses — q79/q80 split ROWS,
+    * q125 detects content leakage, q312 calibrates; this GENERATES
+    * (features, label) training rows under the temporal discipline
+    * that prevents the classic silent failure of churn/propensity
+    * models: features from the observation window [t0, t0+14), label
+    * from the DISJOINT outcome window [t0+14, t0+21) — any feature
+    * computed after the cutoff is target leakage, and the windows'
+    * disjointness is structural here (two non-overlapping date
+    * filters feeding separate aggregates), not a convention. Label =
+    * "purchased in the outcome week"; features are exact integers
+    * (event count, cent sum, distinct active days, last-gap days).
+    * Users with NO outcome-window activity still get labeled 0 — the
+    * silent row-drop that inflates offline AUC is the second classic
+    * bug, closed by a left join from the feature population.
+    *
+    * Scale shape: two date-pruned map-side-combined aggregates and
+    * one user-grain left join; at 100 TB the date filters ride
+    * partition pruning (q67) so each window reads only its days.
+    */
+  val leakageSafeLabels = Q(
+    "q324_leakage_safe_labels",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val t0 = ev.agg(min(col("day")).as("t0"))
+      val base = ev.crossJoin(broadcast(t0))
+        .withColumn("off", datediff(col("day"), col("t0")).cast("long"))
+      val feats = base.where(col("off") >= 0 && col("off") < 14)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("feat_cents"),
+          countDistinct(col("day")).as("active_days"),
+          (lit(13L) - max(col("off"))).as("days_since_last"))
+      val labels = base.where(col("off") >= 14 && col("off") < 21
+          && col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .withColumn("label", lit(1L))
+      feats.join(labels, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("feat_cents"),
+          col("active_days"), col("days_since_last"),
+          coalesce(col("label"), lit(0L)).as("label"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            tz AS (SELECT min(day) AS t0 FROM ev),
+            base AS (SELECT ev.*, CAST(date_diff('day', tz.t0, ev.day) AS BIGINT)
+                              AS off
+                     FROM ev CROSS JOIN tz),
+            f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(cents) AS BIGINT) AS feat_cents,
+                         CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+                         13 - CAST(max(off) AS BIGINT) AS days_since_last
+                  FROM base WHERE off >= 0 AND off < 14 GROUP BY 1),
+            l AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS label
+                  FROM base
+                  WHERE off >= 14 AND off < 21 AND event_type = 'purchase')
+            SELECT f.user_id, f.n_events, f.feat_cents, f.active_days,
+                   f.days_since_last, coalesce(l.label, 0) AS label
+            FROM f LEFT JOIN l USING (user_id)""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
     splitLeakage, consistentSample, weightedSample, fanoutWrite, neymanAllocation,
-    lengthBuckets, conformalCoverage)
+    lengthBuckets, conformalCoverage, aqpSampleAudit, leakageSafeLabels)
 }

@@ -48,15 +48,34 @@ class DeterminismSpec extends AnyFunSuite {
   // q302's earliest-day argmax struct, q305's rank→value equi-join over
   // a zipWithIndex enumeration, q307's reciprocal top-k at the rank
   // boundary, q297's pair emission under the df cap
+  // round-12 additions: q313's LIMIT 50 cuts inside massive score ties
+  // (only 8 agreement patterns exist — the (key_a, key_b) tiebreak is
+  // the whole determinism story), q316's triple supports merge across
+  // partial aggregates, q320's remainder-to-first credit rides a
+  // row_number over the touch window
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
-      "q305_quantile_norm", "q307_mutual_knn")) {
+      "q305_quantile_norm", "q307_mutual_knn",
+      "q313_record_linkage", "q316_apriori_triples",
+      "q320_multitouch_attribution")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
         s"$q result depends on physical layout")
     }
+  }
+
+  test("q313: the LIMIT 50 cut lands inside a score tie (the key tiebreak is load-bearing)") {
+    // only 8 agreement patterns exist, so the 50th and 51st rows almost
+    // surely share a score; verify the boundary is actually tied at
+    // sf0.001 — if not, the LIMIT determinism claim is vacuous
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q313_record_linkage")(spark, d)
+      .select("score").collect().map(_.getDouble(0))
+    assert(out.length == 50)
+    assert(out.groupBy(identity).values.exists(_.length > 1),
+      "no score ties inside the top-50 at sf0.001 — fixture drift")
   }
 
   test("q305: duplicate cents exist within a type (the event_id tiebreak is load-bearing)") {
