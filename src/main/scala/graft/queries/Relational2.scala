@@ -2805,33 +2805,73 @@ object Relational2 {
     * two broadcast-sized L2 semi-joins; the final count is map-side-
     * combined on the canonical triple.
     */
+  /** Staged Apriori builders, exposed so AprioriSpec can pin that the
+    * downward-closure prunes sit ON THE DATA SIDE, before any per-
+    * basket self-join — the property that bounds a viral basket's
+    * cost. Lossless by anti-monotonicity: a frequent pair's items are
+    * frequent (L1 prune before the pair count), and a triple-bearing
+    * pair occurrence uses only L2-member items (membership prune
+    * before the basket-pair join).
+    */
+  object Apriori {
+    import org.apache.spark.sql.DataFrame
+
+    /** items with support ≥ 2 (L1) — semi-join input to the pair count. */
+    def l1Items(items: DataFrame): DataFrame =
+      items.groupBy("pk").agg(count(lit(1)).as("sup1"))
+        .where(col("sup1") >= 2).select("pk")
+
+    def items1(items: DataFrame): DataFrame =
+      items.join(l1Items(items), Seq("pk"), "left_semi")
+
+    /** frequent pairs, counted over the L1-pruned items only. */
+    def l2(items: DataFrame): DataFrame = {
+      val it1 = items1(items)
+      it1.as("a")
+        .join(it1.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("sup2"))
+        .where(col("sup2") >= 2)
+        .select("pa", "pb")
+    }
+
+    /** items that participate in ANY L2 pair — semi-join input to the
+      * basket-pair join; a viral one-off basket contributes 0 rows here.
+      */
+    def items2(items: DataFrame, l2f: DataFrame): DataFrame =
+      items.join(
+        l2f.select(col("pa").as("pk")).union(l2f.select(col("pb").as("pk"))).distinct(),
+        Seq("pk"), "left_semi")
+
+    def triples(items: DataFrame): DataFrame = {
+      val l2f = l2(items)
+      val it2 = items2(items, l2f)
+      // basket occurrences of L2 pairs, over L2-member items only — the
+      // prune runs BEFORE the |basket|² pair join, not after it
+      val bp = it2.as("a")
+        .join(it2.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .join(l2f, Seq("pa", "pb"))
+      // extend by a third in-basket item c > b, requiring (a,c) and
+      // (b,c) frequent — downward closure, enforced pre-count
+      val tri = bp.as("bp")
+        .join(it2.as("c"), col("c.ok") === col("bp.ok") && col("c.pk") > col("bp.pb"))
+        .select(col("bp.ok").as("ok"), col("bp.pa").as("pa"),
+          col("bp.pb").as("pb"), col("c.pk").as("pc"))
+        .join(l2f.select(col("pa"), col("pb").as("pc")), Seq("pa", "pc"))
+        .join(l2f.select(col("pa").as("pb"), col("pb").as("pc")), Seq("pb", "pc"))
+      tri.groupBy("pa", "pb", "pc")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+    }
+  }
+
   val aprioriTriples = Q(
     "q316_apriori_triples",
     (s, d) => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val l2 = items.as("a")
-        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("sup2"))
-        .where(col("sup2") >= 2)
-        .select("pa", "pb")
-      // basket occurrences of L2 pairs only (the prune applied to data)
-      val bp = items.as("a")
-        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.ok").as("ok"), col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .join(l2, Seq("pa", "pb"))
-      // extend by a third in-basket item c > b, requiring (a,c) and
-      // (b,c) frequent — downward closure, enforced pre-count
-      val tri = bp.as("bp")
-        .join(items.as("c"), col("c.ok") === col("bp.ok") && col("c.pk") > col("bp.pb"))
-        .select(col("bp.ok").as("ok"), col("bp.pa").as("pa"),
-          col("bp.pb").as("pb"), col("c.pk").as("pc"))
-        .join(l2.select(col("pa"), col("pb").as("pc")), Seq("pa", "pc"))
-        .join(l2.select(col("pa").as("pb"), col("pb").as("pc")), Seq("pb", "pc"))
-      tri.groupBy("pa", "pb", "pc")
-        .agg(count(lit(1)).as("support"))
-        .where(col("support") >= 2)
+      Apriori.triples(items)
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                            FROM lineitem),
@@ -3193,9 +3233,15 @@ object Relational2 {
           .agg(sum(col("nv") * col("nv")).as("ss"), sum(col("nv")).as("nn"))
           .select((col("ss").cast("double")
             / (col("nn") * col("nn")).cast("double")).as(s"u_$c"))
-      def wPair(u: org.apache.spark.sql.Column, m: Double, mc: Double, tag: String) = Seq(
-        floor(log(lit(m) / u) * lit(1e6) + lit(0.5)).cast("long").as(s"wa_$tag"),
-        floor(log(lit(mc) / (lit(1.0) - u)) * lit(1e6) + lit(0.5)).cast("long").as(s"wd_$tag"))
+      // u clamped below 1.0: a single-valued comparison field has u = 1
+      // and ln(mc/(1-u)) would be a divide-by-zero — NULL in Spark
+      // (non-ANSI) but inf in DuckDB, a latent oracle divergence.
+      def wPair(u0: org.apache.spark.sql.Column, m: Double, mc: Double, tag: String) = {
+        val u = least(u0, lit(1.0 - 1e-12))
+        Seq(
+          floor(log(lit(m) / u) * lit(1e6) + lit(0.5)).cast("long").as(s"wa_$tag"),
+          floor(log(lit(mc) / (lit(1.0) - u)) * lit(1e6) + lit(0.5)).cast("long").as(s"wd_$tag"))
+      }
       val weights = uOf("seg").crossJoin(uOf("balb")).crossJoin(uOf("dig"))
         .select(wPair(col("u_seg"), 0.95, 0.05, "seg")
           ++ wPair(col("u_balb"), 0.9, 0.1, "bal")
@@ -3234,14 +3280,18 @@ object Relational2 {
             udig AS (SELECT CAST(sum(nv*nv) AS DOUBLE)
                             / CAST(sum(nv)*sum(nv) AS DOUBLE) AS u
                      FROM (SELECT count(*) AS nv FROM cust GROUP BY dig) t),
+            uc AS (SELECT least(useg.u, 1 - 1e-12) AS us,
+                          least(ubal.u, 1 - 1e-12) AS ub,
+                          least(udig.u, 1 - 1e-12) AS ud
+                   FROM useg, ubal, udig),
             w AS (SELECT
-                    CAST(floor(ln(0.95 / useg.u) * 1e6 + 0.5) AS BIGINT) AS wa_seg,
-                    CAST(floor(ln(0.05 / (1.0 - useg.u)) * 1e6 + 0.5) AS BIGINT) AS wd_seg,
-                    CAST(floor(ln(0.9 / ubal.u) * 1e6 + 0.5) AS BIGINT) AS wa_bal,
-                    CAST(floor(ln(0.1 / (1.0 - ubal.u)) * 1e6 + 0.5) AS BIGINT) AS wd_bal,
-                    CAST(floor(ln(0.85 / udig.u) * 1e6 + 0.5) AS BIGINT) AS wa_dig,
-                    CAST(floor(ln(0.15 / (1.0 - udig.u)) * 1e6 + 0.5) AS BIGINT) AS wd_dig
-                  FROM useg, ubal, udig)
+                    CAST(floor(ln(0.95 / us) * 1e6 + 0.5) AS BIGINT) AS wa_seg,
+                    CAST(floor(ln(0.05 / (1.0 - us)) * 1e6 + 0.5) AS BIGINT) AS wd_seg,
+                    CAST(floor(ln(0.9 / ub) * 1e6 + 0.5) AS BIGINT) AS wa_bal,
+                    CAST(floor(ln(0.1 / (1.0 - ub)) * 1e6 + 0.5) AS BIGINT) AS wd_bal,
+                    CAST(floor(ln(0.85 / ud) * 1e6 + 0.5) AS BIGINT) AS wa_dig,
+                    CAST(floor(ln(0.15 / (1.0 - ud)) * 1e6 + 0.5) AS BIGINT) AS wd_dig
+                  FROM uc)
             SELECT x.k AS key_a, y.k AS key_b,
                    x.seg = y.seg AS ag_seg,
                    x.balb = y.balb AS ag_bal,

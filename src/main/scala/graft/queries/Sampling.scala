@@ -577,7 +577,11 @@ object Sampling {
       val qhat = cal.join(med, "event_type")
         .withColumn("score", abs(col("cents") - col("med_cents")))
         .withColumn("rn", row_number().over(wQ).cast("long"))
-        .where(col("rn") === expr("((n_cal + 1L) * 9L + 9L) div 10L"))
+        // rank clamped to n_cal: a calibration set with n_cal <= 8 has
+        // ceil((n+1)*0.9) > n — split-conformal convention is q-hat =
+        // +inf; taking the max score is the finite analogue and keeps
+        // the type in the release instead of silently dropping it.
+        .where(col("rn") === expr("least(((n_cal + 1L) * 9L + 9L) div 10L, n_cal)"))
         .select(col("event_type"), col("score").as("qhat"))
       test.join(med, "event_type").join(qhat, "event_type")
         .groupBy(col("event_type"), col("n_cal"), col("med_cents"), col("qhat"))
@@ -610,7 +614,7 @@ object Sampling {
                                  ORDER BY abs(c.cents - m.med_cents), c.event_id)
                                  AS BIGINT) AS rn
                      FROM cal c JOIN med m ON m.event_type = c.event_type) t
-                   WHERE rn = ((n_cal + 1) * 9 + 9) // 10)
+                   WHERE rn = least(((n_cal + 1) * 9 + 9) // 10, n_cal))
             SELECT t.event_type, m.n_cal, CAST(count(*) AS BIGINT) AS n_test,
                    m.med_cents, q.qhat,
                    CAST(sum(CASE WHEN abs(t.cents - m.med_cents) <= q.qhat
@@ -657,11 +661,20 @@ object Sampling {
         .agg((count(lit(1)) * 16L).as("n_est"),
           count(lit(1)).as("n_sample"),
           (sum(col("cents")) * 16L).as("est_cents"))
-      exact.join(est, "event_type")
-        .select(col("event_type"), col("n"), col("n_sample"), col("n_est"),
-          col("exact_cents"), col("est_cents"),
-          (abs(col("est_cents") - col("exact_cents")).cast("double")
-            / col("exact_cents").cast("double")).as("rel_err"))
+      // LEFT join from exact: a type with zero sampled rows is exactly
+      // the under-coverage this audit exists to surface — it must
+      // appear (estimate 0), not vanish from the report. The division
+      // is guarded: exact_cents = 0 yields NULL in both engines
+      // (Spark non-ANSI NULL vs DuckDB inf would otherwise diverge).
+      exact.join(est, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+          coalesce(col("n_est"), lit(0L)).as("n_est"),
+          col("exact_cents"),
+          coalesce(col("est_cents"), lit(0L)).as("est_cents"),
+          when(col("exact_cents") === 0L, lit(null).cast("double"))
+            .otherwise(abs(coalesce(col("est_cents"), lit(0L)) - col("exact_cents"))
+              .cast("double") / col("exact_cents").cast("double")).as("rel_err"))
     },
     Some("""WITH ev AS (SELECT event_type, event_id,
                                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -676,11 +689,16 @@ object Sampling {
                           CAST(count(*) AS BIGINT) AS n_sample,
                           CAST(sum(cents) * 16 AS BIGINT) AS est_cents
                    FROM ev WHERE h % 16 = 0 GROUP BY 1)
-            SELECT ex.event_type, ex.n, es.n_sample, es.n_est,
-                   ex.exact_cents, es.est_cents,
-                   CAST(abs(es.est_cents - ex.exact_cents) AS DOUBLE)
-                     / CAST(ex.exact_cents AS DOUBLE) AS rel_err
-            FROM ex JOIN es USING (event_type)""")
+            SELECT ex.event_type, ex.n,
+                   coalesce(es.n_sample, 0) AS n_sample,
+                   coalesce(es.n_est, 0) AS n_est,
+                   ex.exact_cents,
+                   coalesce(es.est_cents, 0) AS est_cents,
+                   CASE WHEN ex.exact_cents = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(abs(coalesce(es.est_cents, 0) - ex.exact_cents)
+                                  AS DOUBLE) / CAST(ex.exact_cents AS DOUBLE)
+                   END AS rel_err
+            FROM ex LEFT JOIN es USING (event_type)""")
   )
 
   /** q324 — LEAKAGE-SAFE LABEL FACTORY: the supervised-learning

@@ -45,4 +45,41 @@ class AprioriSpec extends AnyFunSuite {
     assert(pruned.nonEmpty, "no prunable triples at sf0.001 — the prune claim is vacuous")
     pruned.foreach(t => assert(!out.contains(t)))
   }
+
+  /** Hostile fixture: one VIRAL basket of 100 one-off items (each
+    * appears nowhere else) plus a planted frequent triple in two other
+    * baskets. The L1/L2 semi-joins sit BEFORE the per-basket pair
+    * joins, so the viral basket must contribute ZERO rows to the pair
+    * join's input — without the pre-prune it would pay 100·99/2 pair
+    * rows before any filter. Pinned on the staged builders themselves
+    * (items1/items2 row counts), not just the final answer.
+    */
+  test("q316 viral basket: pair-join input stays L1/L2-bounded; answer exact") {
+    import spark.implicits._
+    val viral = (1L to 100L).map(pk => (900L, 1000L + pk))
+    val planted = Seq((901L, 1L), (901L, 2L), (901L, 3L),
+      (902L, 1L), (902L, 2L), (902L, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q316_spec").toString
+    (viral ++ planted).toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+
+    val items = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+    import graft.queries.Relational2.Apriori
+    // L1 prune kills all 100 viral one-offs before the pair count
+    assert(Apriori.items1(items).count() == 6L,
+      "L1 semi-join must drop every one-off viral item pre-pair-join")
+    // L2-membership prune bounds the basket-pair join the same way
+    assert(Apriori.items2(items, Apriori.l2(items)).count() == 6L,
+      "L2-member semi-join must bound the basket-pair join input")
+
+    val out = SparkEntry.queries("q316_apriori_triples")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out == Map((1L, 2L, 3L) -> 2L))
+
+    // regression gate: the prunes are semi-joins in the physical plan
+    val plan = SparkEntry.queries("q316_apriori_triples")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "expected LeftSemi pre-prunes in the plan")
+  }
 }
