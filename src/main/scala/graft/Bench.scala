@@ -22,9 +22,10 @@ import org.apache.spark.sql.SparkSession
   * to stderr; SPARK_GRAFT_BENCH_CLEAN=0 disables the between-query
   * catalog/stream cleanup (diagnosis only).
   *
-  * Besides the one stdout JSON line (which adds `slowest10_passes`, the
-  * per-pass seconds behind the tail medians), every run writes a FULL
-  * artifact — all medians + all per-pass times + telemetry — to
+  * Besides the one stdout JSON line (which adds `slowest10_passes` and
+  * `slowest10_gc_ms`, the per-pass seconds and GC attribution behind the
+  * tail medians), every run writes a FULL
+  * artifact — all medians + all per-pass times + per-pass gc_ms + telemetry — to
   * SPARK_GRAFT_BENCH_ARTIFACT (default ./BENCH_local_latest.json): the
   * driver's stdout tail keeps ~2000 chars, and the middle of the
   * 308-query distribution was invisible to round-over-round diffs.
@@ -142,14 +143,22 @@ object Bench {
     val samples = Array.tabulate(reps) { pass =>
       val (busy0, steal0) = cpuJiffies
       val gc0 = gcMillis
+      // per-query GC attribution (round-12 verdict task 5): the JVM-wide
+      // collection-time counter sampled around each materialize converts
+      // every in-suite-vs-isolated adjudication (q151, q155's pass
+      // spikes) from a manual A/B session into a read of the artifact —
+      // a query whose wall time spikes WITH gc_ms is paying someone
+      // else's garbage; one that spikes without it is doing real work.
       val times = names.map { name =>
         val before = tempViews() // outside the timed region
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gq = gcMillis - g0
         cleanup(before) // outside the timed region
-        dt
+        (dt, gq)
       }
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
@@ -168,8 +177,8 @@ object Bench {
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
-        names.zip(times).foreach { case (n, t) =>
-          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f")
+        names.zip(times).foreach { case (n, (t, g)) =>
+          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g")
         }
       }
       times
@@ -179,7 +188,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.zipWithIndex.map { case (name, i) =>
-      name -> median(samples.toSeq.map(_(i)))
+      name -> median(samples.toSeq.map(_(i)._1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -191,12 +200,18 @@ object Bench {
     // 10.9] medians to 10.9 and the telemetry's steal_frac explains it.
     def passesOf(name: String): String = {
       val i = names.indexOf(name)
-      samples.map(p => f"${p(i)}%.3f").mkString("[", ",", "]")
+      samples.map(p => f"${p(i)._1}%.3f").mkString("[", ",", "]")
+    }
+    def gcOf(name: String): String = {
+      val i = names.indexOf(name)
+      samples.map(p => p(i)._2.toString).mkString("[", ",", "]")
     }
     val slowNames = results.sortBy(-_._2).take(10).map(_._1)
     val slowPasses = slowNames
       .map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses}""")
+    val slowGc = slowNames
+      .map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc}""")
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -205,9 +220,11 @@ object Bench {
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACT", "BENCH_local_latest.json")
     try {
       val allPasses = names.map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
+      val allGc = names.map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
-          s""""queries":$qs,"per_pass":$allPasses,"telemetry":$telemetry}""" + "\n")
+          s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
+          s""""telemetry":$telemetry}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write $artifact failed: ${e.getMessage}")
     }
