@@ -1009,7 +1009,7 @@ object Sources {
       val chk = leaf(d, s"blob_stream_chk_$runId")
       val q = s.readStream.format("graft.sources.docgen")
         .option("rows", "100000").option("slices", "8")
-        .option("rowsPerBatch", "12500")
+        .option("rowsPerBatch", "100000")
         .load()
         .writeStream.format("graft.sources.blob")
         .option("path", p).option("checkpointLocation", chk)
@@ -1230,7 +1230,17 @@ object Sources {
     "q166_stream_source",
     (s, _) => {
       val name = "docgen_stream_" + java.util.UUID.randomUUID().toString.take(8)
-      val q = s.readStream.format("graft.sources.docgen")
+      val s2 = s.newSession()
+      // State partitions sized to key cardinality (5 langs), not the
+      // session's 32: complete mode rewrites and re-emits EVERY state
+      // partition each micro-batch, so 32 near-empty state stores paid
+      // ~0.9 s/epoch of pure commit machinery. Round-13 A/B on record
+      // (BASELINE.md): 8 epochs at 32 partitions 7.9 s, at 5 partitions
+      // 3.1 s, 1.7 s irreducible startup+drain. A production streaming
+      // agg sizes state partitions to keys for exactly this reason; the
+      // per-query session pins it at FIRST run as the checkpoint does.
+      s2.conf.set("spark.sql.shuffle.partitions", "5")
+      val q = s2.readStream.format("graft.sources.docgen")
         .option("rows", "100000").option("slices", "8")
         .option("rowsPerBatch", "12500")
         .load()
@@ -1245,7 +1255,7 @@ object Sources {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      s2.table(name)
     },
     Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(tokens) AS BIGINT) AS sum_tokens,
