@@ -682,7 +682,73 @@ object Behavior {
             FROM c GROUP BY 1""")
   )
 
+  /** q326 — TOP SESSION PATHS: sessionize each user's stream on a fixed
+    * 30-minute inactivity gap, take each session's first three event
+    * types as an ordered `a>b>c` path, and rank the 10 commonest paths
+    * — the "how do sessions start" table behind every product-analytics
+    * sankey, and the ORDERED-sequence complement to q148 (transitions
+    * are memoryless pairs; a path is a prefix) and q316 (Apriori
+    * itemsets are unordered). Sessionization is the q36/q231 lag+
+    * cumsum idiom: is_new = gap > 30 min, session ordinal = running sum
+    * of is_new — both over the per-USER window (frame = one user's
+    * history, never the corpus). The path string is built
+    * ORDER-DETERMINISTICALLY: collect the (rank, type) structs, sort,
+    * join — never a bare collect_list, whose order is merge-dependent
+    * (the DeterminismSpec class).
+    *
+    * Exactness: ranks and counts are integers; ties in ts break on
+    * event_id (total order). Scale shape: two user-partitioned windows,
+    * one map-side-combined count on a path-vocabulary key space
+    * (≤ |types|³ = 125 here), and TakeOrderedAndProject for the top-10
+    * (q85's discipline — no global sort materializes).
+    */
+  val sessionPaths = Q(
+    "q326_session_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val evd = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("is_new")).over(wu))
+      val ws = Window.partitionBy("user_id", "sess").orderBy(col("ts"), col("event_id"))
+      val paths = evd.withColumn("rn", row_number().over(ws))
+        .where(col("rn") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+                              lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_ts
+                       FROM events),
+            m AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+                                      date_diff('second', prev_ts, ts) > 1800
+                                 THEN 1 ELSE 0 END AS is_new
+                  FROM e),
+            sx AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sess
+                   FROM m),
+            rk AS (SELECT user_id, sess, event_type,
+                          row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+                   FROM sx),
+            p AS (SELECT user_id, sess,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM rk WHERE rn <= 3 GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC LIMIT 10""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution)
+      peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution, sessionPaths)
 }

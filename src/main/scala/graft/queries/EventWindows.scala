@@ -2383,8 +2383,62 @@ object EventWindows {
             FROM t GROUP BY 1""")
   )
 
+  /** q329 — DAY-OF-WEEK SEASONAL INDEX: per (event_type, weekday), the
+    * multiplicative seasonal factor — dow mean over overall mean — the
+    * classical-decomposition building block behind weekday-aware
+    * anomaly thresholds and forecast baselines (q176's EWMA and q289's
+    * backtest both treat days as exchangeable; this is the operator
+    * that says Sundays are structurally different). The index is
+    * computed DIVISION-LAST from exact integers:
+    * (cents_dow·n_all)/(n_dow·cents_all) as one double division of two
+    * exact DECIMAL(38,0) products — never a ratio of two rounded means
+    * (the q322 discipline). ISO weekday numbering (1 = Monday) is
+    * portable: Spark's `dayofweek` is Sunday-1, so the engine side uses
+    * `weekday(date)+1`-equivalent arithmetic matching DuckDB's
+    * `isodow`.
+    *
+    * Scale shape: one map-side-combined aggregate on a |types|×7 key
+    * space plus a broadcast of the |types|-row totals. One scan.
+    */
+  val dowSeasonality = Q(
+    "q329_dow_seasonality",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        // ISO weekday: Spark dayofweek is 1=Sunday..7=Saturday → shift
+        .withColumn("dow", ((dayofweek(col("day")) + 5) % 7 + 1).cast("long"))
+      val byDow = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val tot = byDow.groupBy("event_type")
+        .agg(sum(col("n")).as("n_all"), sum(col("cents")).as("cents_all"))
+      byDow.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"), col("cents"),
+          ((col("cents").cast("decimal(38,0)") * col("n_all").cast("decimal(38,0)"))
+            .cast("double")
+            / (col("n").cast("decimal(38,0)") * col("cents_all").cast("decimal(38,0)"))
+              .cast("double")).as("seasonal_index"))
+    },
+    Some("""WITH ev AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            bd AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(cents) AS BIGINT) AS cents
+                   FROM ev GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+                         CAST(sum(cents) AS BIGINT) AS cents_all
+                  FROM bd GROUP BY 1)
+            SELECT bd.event_type, bd.dow, bd.n, bd.cents,
+                   CAST(CAST(bd.cents AS HUGEINT) * CAST(t.n_all AS HUGEINT)
+                        AS DOUBLE)
+                     / CAST(CAST(bd.n AS HUGEINT) * CAST(t.cents_all AS HUGEINT)
+                            AS DOUBLE) AS seasonal_index
+            FROM bd JOIN t USING (event_type)""")
+  )
+
   val all: Seq[Q] =
-    Seq(tumbling, sliding, session, streamTumbling, streamTumblingAppend,
+    Seq(dowSeasonality, tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,

@@ -1420,9 +1420,176 @@ object Profiling {
             FROM rk GROUP BY 1, 2""")
   )
 
+  /** q327 — DIFFERENCE-IN-DIFFERENCES: the panel causal estimator the
+    * test family still lacked — q285 compares two arms at one time
+    * (assumes randomization), DiD compares each arm's CHANGE across a
+    * treatment boundary, differencing out both the stable arm gap and
+    * the common time shock (the parallel-trends workhorse of launch
+    * retrospectives where randomization never happened). Assignment is
+    * the deterministic user_id parity (a stand-in for the rollout
+    * cohort, hash-joinable like q79's split); the boundary is the
+    * panel midpoint. Output is the full 2×2 cell table (n, exact cent
+    * sums, means) plus the DiD estimate — the cells ride along so a
+    * reviewer can see WHICH difference moved, not just the headline.
+    *
+    * Exactness: cents and counts are exact integers; the four means and
+    * the estimate are the only doubles, computed with the identical
+    * IEEE op sequence on both engines (division of exact longs, then
+    * three subtractions). Scale shape: one map-side-combined aggregate
+    * on a 4-row key space; the date arithmetic rides one 1-row
+    * broadcast. 100 TB cost = one scan.
+    */
+  val didEstimator = Q(
+    "q327_did_estimator",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val tz = ev.agg(min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val cells = ev.crossJoin(broadcast(tz))
+        .withColumn("treat", (col("user_id") % 2).cast("long"))
+        .withColumn("post",
+          when(datediff(col("day"), col("t0")) * 2
+            >= datediff(col("t1"), col("t0")) + 1, 1L).otherwise(0L))
+        .groupBy("treat", "post")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("mean_cents", col("cents").cast("double") / col("n").cast("double"))
+      val wide = cells.groupBy()
+        .agg(
+          max(when(col("treat") === 1 && col("post") === 1, col("mean_cents"))).as("m11"),
+          max(when(col("treat") === 1 && col("post") === 0, col("mean_cents"))).as("m10"),
+          max(when(col("treat") === 0 && col("post") === 1, col("mean_cents"))).as("m01"),
+          max(when(col("treat") === 0 && col("post") === 0, col("mean_cents"))).as("m00"))
+        .select(((col("m11") - col("m10")) - (col("m01") - col("m00"))).as("did_cents"))
+      cells.crossJoin(broadcast(wide))
+        .select(col("treat"), col("post"), col("n"), col("cents"),
+          col("mean_cents"), col("did_cents"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            tz AS (SELECT min(day) AS t0, max(day) AS t1 FROM ev),
+            c AS (SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+                         CASE WHEN date_diff('day', tz.t0, ev.day) * 2
+                                   >= date_diff('day', tz.t0, tz.t1) + 1
+                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                         END AS post,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS cents
+                  FROM ev CROSS JOIN tz GROUP BY 1, 2),
+            m AS (SELECT treat, post, n, cents,
+                         CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents
+                  FROM c),
+            w AS (SELECT (max(CASE WHEN treat = 1 AND post = 1 THEN mean_cents END)
+                        - max(CASE WHEN treat = 1 AND post = 0 THEN mean_cents END))
+                        - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_cents END)
+                        - max(CASE WHEN treat = 0 AND post = 0 THEN mean_cents END))
+                          AS did_cents
+                  FROM m)
+            SELECT m.treat, m.post, m.n, m.cents, m.mean_cents, w.did_cents
+            FROM m CROSS JOIN w""")
+  )
+
+  /** q328 — CUPED VARIANCE REDUCTION: the experimentation-platform
+    * adjustment (Deng et al. 2013) that shrinks an A/B metric's variance
+    * using each user's PRE-EXPERIMENT covariate — θ = cov(X,Y)/var(X)
+    * fitted pooled, adjusted metric Ŷ = Y − θ·(X − X̄); same expectation,
+    * (1 − ρ²)× the variance, which is why every large platform runs it
+    * (q285 tests proportions; this is the continuous-metric pipeline).
+    * X = a user's pre-period cents (days 0–13), Y = outcome-period
+    * cents (days 14–20) — q324's windows, so the covariate is
+    * leakage-free by the same structural argument.
+    *
+    * Exactness discipline: θ's numerator n·Σxy − Σx·Σy and denominator
+    * n·Σx² − (Σx)² are computed in DECIMAL(38,0) from exact cent
+    * integers (products reach ~1e16 per user at these magnitudes and
+    * overflow is a data bug at 100 TB — the q319 rule), then cast to
+    * double for ONE division; each arm's adjusted mean applies the
+    * identical op sequence on both engines. Scale shape: one user-grain
+    * aggregate (two date-pruned windows), one 1-row pooled-moment
+    * broadcast, one 2-row arm aggregate.
+    */
+  val cuped = Q(
+    "q328_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val t0 = ev.agg(min(col("day")).as("t0"))
+      val ux = ev.crossJoin(broadcast(t0))
+        .withColumn("off", datediff(col("day"), col("t0")).cast("long"))
+        .where(col("off") >= 0 && col("off") < 21)
+        .groupBy("user_id")
+        .agg(sum(when(col("off") < 14, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("off") >= 14, col("cents")).otherwise(0L)).as("y"))
+        .withColumn("treat", (col("user_id") % 2).cast("long"))
+      val dec = "decimal(19,0)"
+      val mom = ux.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+        .select(col("n"), col("sx"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("theta"))
+      ux.crossJoin(broadcast(mom))
+        .groupBy("treat")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("y")).as("y_cents"), sum(col("x")).as("x_cents"),
+          max(col("theta")).as("theta"),
+          max(col("sx").cast("double") / col("n").cast("double")).as("x_bar_all"))
+        .select(col("treat"), col("n_users"), col("y_cents"), col("x_cents"),
+          col("theta"), col("x_bar_all"),
+          (col("y_cents").cast("double") / col("n_users").cast("double")
+            - col("theta") * (col("x_cents").cast("double")
+              / col("n_users").cast("double") - col("x_bar_all")))
+            .as("adj_mean_cents"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            tz AS (SELECT min(day) AS t0 FROM ev),
+            ux AS (SELECT user_id,
+                          CAST(sum(CASE WHEN date_diff('day', tz.t0, day) < 14
+                                        THEN cents ELSE 0 END) AS BIGINT) AS x,
+                          CAST(sum(CASE WHEN date_diff('day', tz.t0, day) >= 14
+                                        THEN cents ELSE 0 END) AS BIGINT) AS y
+                   FROM ev CROSS JOIN tz
+                   WHERE date_diff('day', tz.t0, day) >= 0
+                     AND date_diff('day', tz.t0, day) < 21
+                   GROUP BY 1),
+            uxt AS (SELECT user_id, x, y, CAST(user_id % 2 AS BIGINT) AS treat
+                    FROM ux),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx,
+                         sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                  FROM uxt),
+            th AS (SELECT n, sx,
+                          CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+                   FROM m)
+            SELECT u.treat, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(u.y) AS BIGINT) AS y_cents,
+                   CAST(sum(u.x) AS BIGINT) AS x_cents,
+                   max(th.theta) AS theta,
+                   max(CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)) AS x_bar_all,
+                   CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     - max(th.theta) * (CAST(sum(u.x) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                       - max(CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+                     AS adj_mean_cents
+            FROM uxt u CROSS JOIN th
+            GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
-      columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean)
+      columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean,
+      didEstimator, cuped)
 }

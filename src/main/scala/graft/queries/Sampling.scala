@@ -765,7 +765,72 @@ object Sampling {
             FROM f LEFT JOIN l USING (user_id)""")
   )
 
+  /** q325 — PURGED WALK-FORWARD CV FOLDS: the time-series
+    * cross-validation protocol q79's hash split cannot express — for
+    * temporally-ordered data, a random split leaks the future into
+    * training, so each fold must train strictly BEFORE its test window,
+    * with a PURGE gap between them absorbing label lookahead (the
+    * de Prado purged-CV discipline; q324 builds one leakage-safe fold,
+    * this generates the K-fold schedule an evaluation harness runs).
+    * Three folds walk back from the last day D in 5-day test windows:
+    * fold k tests [D−5k+1, D−5k+5], purges the 2 days before, trains
+    * on everything before the purge. Output is the fold×role audit
+    * (row/user counts + the off range actually observed) — the table
+    * that PROVES each fold's windows are disjoint and ordered, which
+    * is the whole point of the protocol.
+    *
+    * Exactness: day offsets and counts are integers end-to-end; no
+    * doubles anywhere. Scale shape: D is a 1-row broadcast; the 3-row
+    * fold spec is a broadcast range join on off intervals; the
+    * aggregate is map-side-combined on a ≤9-row key space, and at
+    * 100 TB the off filters ride date partition pruning (q67).
+    */
+  val purgedCvFolds = Q(
+    "q325_purged_cv_folds",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"))
+      val t0 = ev.agg(min(col("day")).as("t0"), max(col("day")).as("t1"))
+      val base = ev.crossJoin(broadcast(t0))
+        .withColumn("off", datediff(col("day"), col("t0")).cast("long"))
+        .withColumn("dd", datediff(col("t1"), col("t0")).cast("long"))
+      val folds = s.range(1, 4).select(col("id").as("fold"))
+      base.crossJoin(broadcast(folds))
+        .withColumn("ts_k", col("dd") - lit(5L) * col("fold") + 1L)
+        .withColumn("role",
+          when(col("off") >= col("ts_k") && col("off") < col("ts_k") + 5L, "test")
+            .when(col("off") >= col("ts_k") - 2L && col("off") < col("ts_k"), "purge")
+            .when(col("off") < col("ts_k") - 2L, "train"))
+        .where(col("role").isNotNull)
+        .groupBy("fold", "role")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("off")).as("min_off"), max(col("off")).as("max_off"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS DATE) AS day
+                        FROM events),
+            tz AS (SELECT min(day) AS t0, max(day) AS t1 FROM ev),
+            base AS (SELECT ev.user_id,
+                            CAST(date_diff('day', tz.t0, ev.day) AS BIGINT) AS off,
+                            CAST(date_diff('day', tz.t0, tz.t1) AS BIGINT) AS dd
+                     FROM ev CROSS JOIN tz),
+            f AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS fold),
+            r AS (SELECT b.user_id, b.off, f.fold,
+                         CASE WHEN b.off >= b.dd - 5*f.fold + 1
+                                   AND b.off < b.dd - 5*f.fold + 6 THEN 'test'
+                              WHEN b.off >= b.dd - 5*f.fold - 1
+                                   AND b.off < b.dd - 5*f.fold + 1 THEN 'purge'
+                              WHEN b.off < b.dd - 5*f.fold - 1 THEN 'train'
+                         END AS role
+                  FROM base b CROSS JOIN f)
+            SELECT fold, role, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   min(off) AS min_off, max(off) AS max_off
+            FROM r WHERE role IS NOT NULL GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, temperatureMix, epochMix,
     splitLeakage, consistentSample, weightedSample, fanoutWrite, neymanAllocation,
-    lengthBuckets, conformalCoverage, aqpSampleAudit, leakageSafeLabels)
+    lengthBuckets, conformalCoverage, aqpSampleAudit, leakageSafeLabels,
+    purgedCvFolds)
 }
