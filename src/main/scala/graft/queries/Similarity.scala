@@ -1789,9 +1789,132 @@ object Similarity {
     }
   )
 
+  /** q330 — MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998): the
+    * post-retrieval step q27/q277 stop short of — a plain cosine top-k
+    * returns near-duplicates of each other (the corpus's dense cluster
+    * wins every slot); Maximal Marginal Relevance greedily picks the
+    * next result maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), the
+    * de-duplicated shortlist every RAG serving stack applies between
+    * ANN and the prompt. λ = 0.7, shortlist 5 from a 12-candidate pool
+    * per probe (4 probes).
+    *
+    * Exactness: the greedy argmax is decided on INTEGERS — rel and
+    * pairwise sims are 6-digit-rounded cosines (q27's accepted
+    * boundary class) quantized to micros, so each step compares
+    * 7·relμ − 3·simμ as exact BIGINTs with a vec_id tiebreak; no float
+    * boundary can diverge between engines mid-recursion. The 5 greedy
+    * steps are UNROLLED as dataframe joins (the q63 Lloyd discipline —
+    * a driver loop over collected candidates would leave the engine).
+    *
+    * Scale shape: candidate generation is the q27 broadcast-probe scan
+    * (corpus never shuffles); everything after operates on the
+    * probes×12 candidate table and its 12×12 sim matrix — serving-side
+    * work that is O(probes), independent of corpus size, exactly why
+    * MMR is a re-RANKER and not a retriever.
+    */
+  val mmrRerank = Q(
+    "q330_mmr_rerank",
+    (s, d) => {
+      val e = vectors(s, d)
+      val probes = e.where(col("vec_id") < 4)
+      val wq = Window.partitionBy("probe_id")
+        .orderBy(col("rel").desc, col("cid").asc)
+      val cand = broadcast(probes).as("q")
+        .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("cid"),
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("rel"),
+          col("x.v").as("cv"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 12)
+        .select(col("probe_id"), col("cid"),
+          floor(col("rel") * 1e6 + 0.5).cast("long").as("relu"), col("cv"))
+      val sims = cand.as("a")
+        .join(cand.as("b"),
+          col("a.probe_id") === col("b.probe_id") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.probe_id").as("probe_id"), col("a.cid").as("ca"),
+          col("b.cid").as("cb"),
+          floor(round(CosineSimilarity(col("a.cv"), col("b.cv")), 6) * 1e6 + 0.5)
+            .cast("long").as("simu"))
+      val c = cand.select("probe_id", "cid", "relu")
+      // greedy step: given the selected set so far, pick the argmax of
+      // 7·relμ − 3·max-sim-to-selected (integers; (score desc, cid) total)
+      def pick(sel: DataFrame, rank: Int): DataFrame = {
+        val rem = c.join(sel.select("probe_id", "cid"), Seq("probe_id", "cid"), "left_anti")
+        val selAsB = sel.select(col("probe_id"), col("cid").as("cb"))
+        val ms = rem.join(
+            sims.join(selAsB, Seq("probe_id", "cb"))
+              .groupBy(col("probe_id"), col("ca").as("cid"))
+              .agg(max(col("simu")).as("msim")),
+            Seq("probe_id", "cid"), "left")
+          .withColumn("mmr", lit(7L) * col("relu") - lit(3L) * coalesce(col("msim"), lit(0L)))
+        ms.groupBy("probe_id")
+          .agg(max(struct(col("mmr"), (-col("cid")).as("nc"),
+            col("cid"), col("relu"))).as("m"))
+          .select(col("probe_id"), col("m.cid").as("cid"), col("m.relu").as("relu"),
+            col("m.mmr").as("mmr"), lit(rank.toLong).as("mmr_rank"))
+      }
+      val s1 = c.groupBy("probe_id")
+        .agg(max(struct((lit(7L) * col("relu")).as("mmr"), (-col("cid")).as("nc"),
+          col("cid"), col("relu"))).as("m"))
+        .select(col("probe_id"), col("m.cid").as("cid"), col("m.relu").as("relu"),
+          col("m.mmr").as("mmr"), lit(1L).as("mmr_rank"))
+      val sel5 = (2 to 5).foldLeft(s1)((sel, k) => sel.unionByName(pick(sel, k)))
+      sel5.select(col("probe_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
+        col("relu").as("rel_micro"), col("mmr").as("mmr_micro"))
+    },
+    Some {
+      def stepSql(k: Int): String = {
+        val prev = (1 until k).map(i => s"SELECT probe_id, cid FROM s$i").mkString(" UNION ALL ")
+        s"""ms$k AS (SELECT c.probe_id, c.cid, c.relu,
+                          7*c.relu - 3*coalesce(mx.msim, 0) AS mmr
+                   FROM cand c
+                   LEFT JOIN (SELECT s.probe_id, s.ca AS cid, max(s.simu) AS msim
+                              FROM sims s JOIN ($prev) p
+                                ON p.probe_id = s.probe_id AND p.cid = s.cb
+                              GROUP BY 1, 2) mx
+                     ON mx.probe_id = c.probe_id AND mx.cid = c.cid
+                   WHERE NOT EXISTS (SELECT 1 FROM ($prev) q
+                                     WHERE q.probe_id = c.probe_id
+                                       AND q.cid = c.cid)),
+            s$k AS (SELECT probe_id, cid, relu, mmr, CAST($k AS BIGINT) AS mmr_rank
+                    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY mmr DESC, cid) AS rn FROM ms$k) t
+                    WHERE rn = 1)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cand0 AS (SELECT q.vec_id AS probe_id, x.vec_id AS cid,
+                           round(list_cosine_similarity(q.v, x.v), 6) AS rel
+                    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+                    WHERE q.vec_id < 4),
+          cand AS (SELECT probe_id, cid,
+                          CAST(floor(rel * 1e6 + 0.5) AS BIGINT) AS relu
+                   FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY rel DESC, cid) AS rn FROM cand0) t
+                   WHERE rn <= 12),
+          sims AS (SELECT a.probe_id, a.cid AS ca, b.cid AS cb,
+                          CAST(floor(round(list_cosine_similarity(ea.v, eb.v), 6)
+                                     * 1e6 + 0.5) AS BIGINT) AS simu
+                   FROM cand a
+                   JOIN cand b ON b.probe_id = a.probe_id AND b.cid <> a.cid
+                   JOIN e ea ON ea.vec_id = a.cid
+                   JOIN e eb ON eb.vec_id = b.cid),
+          s1 AS (SELECT probe_id, cid, relu, 7*relu AS mmr,
+                        CAST(1 AS BIGINT) AS mmr_rank
+                 FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                ORDER BY 7*relu DESC, cid) AS rn FROM cand) t
+                 WHERE rn = 1),
+          ${(2 to 5).map(stepSql).mkString(",\n")}
+          SELECT probe_id, mmr_rank, cid AS neighbor_id, relu AS rel_micro,
+                 mmr AS mmr_micro
+          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+                UNION ALL SELECT * FROM s5) u"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
-      rrfFusion, mutualKnn, pqDistortionAudit)
+      rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank)
 }
