@@ -748,7 +748,75 @@ object Behavior {
             ORDER BY n_sessions DESC, path ASC LIMIT 10""")
   )
 
+  /** q333 — TOP-K LEADERBOARD CHURN: day-over-day Jaccard overlap of
+    * the daily top-10 spenders — the stability metric behind every
+    * trending/leaderboard surface (a ranking that churns 80 % of its
+    * members nightly is noise, one that never churns is stale; q291
+    * MAINTAINS a running top-k, this measures how much the answer
+    * MOVES). Per day: exact cent totals per user, rank by
+    * (cents desc, user_id) — a total order, the q321 tie discipline —
+    * keep 10; consecutive days join on membership; jaccard =
+    * o/(k_a + k_b − o) is the one division of exact integers.
+    *
+    * Scale shape: the daily rollup is one map-side-combined aggregate;
+    * the rank window partitions by DAY (frame = one day's users, and a
+    * hot day goes through the q98 two-phase form before this ever
+    * matters at 100 TB); everything downstream operates on days×10
+    * rows — metadata-sized. The day+1 self-join is equi on (day,
+    * member), never a range scan.
+    */
+  val leaderboardChurn = Q(
+    "q333_leaderboard_churn",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("day", "user_id").agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy("day").orderBy(col("cents").desc, col("user_id").asc)
+      val top = daily.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("day"), col("user_id"))
+      val sizes = top.groupBy("day").agg(count(lit(1)).as("k"))
+      val overlap = top.as("a")
+        .join(top.as("b"),
+          col("b.day") === date_add(col("a.day"), 1)
+            && col("b.user_id") === col("a.user_id"))
+        .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("overlap"))
+      sizes.as("sa")
+        .join(sizes.as("sb"), col("sb.day") === date_add(col("sa.day"), 1))
+        .join(overlap.as("ov"), col("ov.day") === col("sa.day"), "left")
+        .select(col("sa.day").as("day"), date_add(col("sa.day"), 1).as("next_day"),
+          col("sa.k").as("k_a"), col("sb.k").as("k_b"),
+          coalesce(col("ov.overlap"), lit(0L)).as("overlap"))
+        .withColumn("jaccard", col("overlap").cast("double")
+          / (col("k_a") + col("k_b") - col("overlap")).cast("double"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                       AS BIGINT) AS cents
+                           FROM events GROUP BY 1, 2),
+            top AS (SELECT day, user_id FROM (
+                      SELECT day, user_id,
+                             row_number() OVER (PARTITION BY day
+                               ORDER BY cents DESC, user_id ASC) AS rn
+                      FROM daily) t
+                    WHERE rn <= 10),
+            sz AS (SELECT day, CAST(count(*) AS BIGINT) AS k FROM top GROUP BY 1),
+            ov AS (SELECT a.day, CAST(count(*) AS BIGINT) AS overlap
+                   FROM top a JOIN top b
+                     ON b.day = a.day + 1 AND b.user_id = a.user_id
+                   GROUP BY 1)
+            SELECT sa.day, sa.day + 1 AS next_day,
+                   sa.k AS k_a, sb.k AS k_b,
+                   coalesce(ov.overlap, 0) AS overlap,
+                   CAST(coalesce(ov.overlap, 0) AS DOUBLE)
+                     / CAST(sa.k + sb.k - coalesce(ov.overlap, 0) AS DOUBLE) AS jaccard
+            FROM sz sa JOIN sz sb ON sb.day = sa.day + 1
+            LEFT JOIN ov ON ov.day = sa.day""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
-      peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution, sessionPaths)
+      peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution, sessionPaths,
+      leaderboardChurn)
 }

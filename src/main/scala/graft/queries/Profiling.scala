@@ -1586,10 +1586,65 @@ object Profiling {
             GROUP BY 1""")
   )
 
+  /** q332 — WILSON-INTERVAL SLICE SCORECARD: per-slice pass rates WITH
+    * their uncertainty — the eval-dashboard table where a 100 %-pass
+    * slice of 3 documents must NOT outrank a 95 %-pass slice of 3 000
+    * (the small-n delusion a bare rate invites; Wilson's score interval
+    * stays inside [0,1] and behaves at p near 0/1 where the normal
+    * interval q285 uses collapses). Slices are (lang, source); the
+    * audited predicate is the q122-family length gate (n_chars ≥ 200).
+    * Every per-slice bound is computed from exact integers (k, n) by a
+    * fixed IEEE op sequence — z = 1.96 as an explicit double literal on
+    * both engines (a bare 1.96 is DECIMAL in DuckDB — the q118 literal
+    * rule), sqrt is IEEE-exact and portable (the q94 rule), so the
+    * whole scorecard carries a full hash oracle with no rounding.
+    *
+    * Scale shape: one map-side-combined aggregate on the slice key
+    * space; the interval arithmetic is a narrow projection at slice
+    * grain. One scan, no joins, no windows.
+    */
+  val wilsonScorecard = Q(
+    "q332_wilson_scorecard",
+    (s, d) => {
+      val z2 = lit(1.96) * lit(1.96)
+      val agg = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("k"))
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / (lit(1.0) + z2 / nD)
+      val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / nD
+        + z2 / (lit(4.0) * nD * nD))) / (lit(1.0) + z2 / nD)
+      agg.select(col("lang"), col("source"), col("n"), col("k"),
+        p.as("pass_rate"), (center - half).as("wilson_lo"),
+        (center + half).as("wilson_hi"))
+    },
+    Some("""WITH a AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS k
+                       FROM documents GROUP BY 1, 2),
+            b AS (SELECT lang, source, n, k,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                         CAST(n AS DOUBLE) AS nd,
+                         CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+                  FROM a)
+            SELECT lang, source, n, k, p AS pass_rate,
+                   (p + z2 / (CAST(2.0 AS DOUBLE) * nd)) / (CAST(1.0 AS DOUBLE) + z2 / nd)
+                     - (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd
+                          + z2 / (CAST(4.0 AS DOUBLE) * nd * nd)))
+                       / (CAST(1.0 AS DOUBLE) + z2 / nd) AS wilson_lo,
+                   (p + z2 / (CAST(2.0 AS DOUBLE) * nd)) / (CAST(1.0 AS DOUBLE) + z2 / nd)
+                     + (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd
+                          + z2 / (CAST(4.0 AS DOUBLE) * nd * nd)))
+                       / (CAST(1.0 AS DOUBLE) + z2 / nd) AS wilson_hi
+            FROM b""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
       columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean,
-      didEstimator, cuped)
+      didEstimator, cuped, wilsonScorecard)
 }

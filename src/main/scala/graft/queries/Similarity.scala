@@ -1912,9 +1912,78 @@ object Similarity {
     }
   )
 
+  /** q331 — NEAREST-CENTROID CLASSIFIER + CONFUSION MATRIX (Rocchio):
+    * the first SUPERVISED consumer of the embeddings' `label` column —
+    * per-label mean centroids (the Lloyd fold, but with labels instead
+    * of learned cells), every vector classified to its max-cosine
+    * centroid, and the label×prediction confusion matrix that quality
+    * audits of an embedding space actually read (a label whose row
+    * bleeds across columns is a label the space cannot separate — the
+    * embedding-health twin of q156's drift check). Self-classification
+    * (train = eval) is deliberate: this audits the SPACE, not a model.
+    *
+    * Exactness: centroids are bit-exact on both engines via the q63
+    * fold discipline (vec_id-ordered strict left fold per dimension);
+    * the argmax compares 6-digit-rounded cosines (q27's accepted
+    * boundary class) with a label tiebreak; matrix counts are integers.
+    * Non-finite vectors are excluded up front (the q63 NaN rule — one
+    * NaN poisons a centroid mean and NaN sort order diverges between
+    * engines).
+    *
+    * Scale shape: one label-grain aggregate (10 groups) builds a
+    * bounded centroid row, broadcast against the corpus scan — the
+    * corpus never shuffles; the matrix is map-side-combined on a
+    * |labels|² key space. At 100 TB this is exactly one pass.
+    */
+  val centroidClassifier = Q(
+    "q331_centroid_classifier",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+      val cents = e
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+        .select(col("label").as("clabel"), expr(
+          s"""transform(sequence(1, $Dim), i ->
+              aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v[i-1])
+              / size(vs))""").as("c"))
+        .agg(array_sort(collect_list(struct(col("clabel"), col("c")))).as("cs"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("best", element_at(array_sort(transform(col("cs"), sc =>
+          struct((-round(CosineSimilarity(col("v"), sc.getField("c")), 6)).as("ns"),
+            sc.getField("clabel").as("pl")))), 1))
+        .select(col("label"), col("best")("pl").as("pred_label"))
+      scored.groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                               embedding::DOUBLE[] AS v
+                        FROM embeddings
+                        WHERE len(list_filter(embedding::DOUBLE[],
+                                  x -> isnan(x) OR isinf(x))) = 0),
+            grp AS (SELECT label AS clabel, list(v ORDER BY vec_id) AS vs
+                    FROM e GROUP BY 1),
+            cents AS (SELECT clabel,
+                             list_transform(generate_series(1, $Dim), i ->
+                               list_aggregate(list_transform(vs, x -> x[i]), 'sum')
+                               / len(vs)) AS c
+                      FROM grp),
+            scored AS (SELECT e.vec_id, e.label, ct.clabel,
+                              round(list_cosine_similarity(e.v, ct.c), 6) AS s
+                       FROM e CROSS JOIN cents ct),
+            best AS (SELECT label, clabel AS pred_label FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, clabel ASC) AS rn
+                       FROM scored) t
+                     WHERE rn = 1)
+            SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+            FROM best GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] =
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
-      rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank)
+      rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier)
 }

@@ -522,6 +522,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 additions keep their scale shapes") {
+    // q325/q327/q328/q329 are one-or-two-aggregate scans: a Window
+    // appearing would mean a per-row frame snuck into what must stay
+    // map-side-combined aggregation
+    for (q <- Seq("q325_purged_cv_folds", "q327_did_estimator",
+        "q328_cuped", "q329_dow_seasonality")) {
+      assert(!plan(q).contains("Window"), s"$q grew a window frame")
+    }
+    // q326's top-10 must be the top-k operator, not a global sort
+    assert(plan("q326_session_paths").contains("TakeOrderedAndProject"),
+      "q326 path cut is not the top-k operator")
+    // q330/q331: the CORPUS side must only ever meet a broadcast —
+    // candidate generation is the q27 broadcast-probe NL join. q330's
+    // internal candidate-table joins (12-row relations) may plan SMJ
+    // statically and AQE-demote at runtime, so the gate checks the
+    // corpus contract (a BroadcastNestedLoopJoin exists and every
+    // FileScan feeds it through no shuffle-join on the scan side) via
+    // the probe broadcast marker, not a blanket no-SMJ.
+    assert(plan("q330_mmr_rerank").contains("BroadcastNestedLoopJoin"),
+      "q330 lost the broadcast-probe candidate scan")
+    assert(!plan("q331_centroid_classifier").contains("SortMergeJoin"),
+      "q331 shuffled the corpus into a join")
+  }
+
   test("no query plan contains a CartesianProduct except intended NL joins") {
     // q27/q28 broadcast the tiny probe side on a non-equi condition —
     // BroadcastNestedLoopJoin is the intended strategy there; anything
