@@ -1828,14 +1828,24 @@ object Similarity {
         .where(col("rn") <= 12)
         .select(col("probe_id"), col("cid"),
           floor(col("rel") * 1e6 + 0.5).cast("long").as("relu"), col("cv"))
-      val sims = cand.as("a")
-        .join(cand.as("b"),
+      // The candidate table (probes×12 rows, with vectors) is a BOUNDED
+      // serving-side relation, but it sits under every one of the 5
+      // unrolled greedy steps — left lazy, the corpus NL scan would
+      // re-execute once per reference (~15× measured, 10.7 s → 1 scan).
+      // Materialize it ONCE as a local relation (the ivfCents
+      // discipline: collect → createDataFrame round-trips bit-exactly);
+      // the sim matrix and the greedy recursion then run over
+      // metadata-plane data only.
+      val candL = s.createDataFrame(
+        java.util.Arrays.asList(cand.collect(): _*), cand.schema)
+      val sims = candL.as("a")
+        .join(candL.as("b"),
           col("a.probe_id") === col("b.probe_id") && col("a.cid") =!= col("b.cid"))
         .select(col("a.probe_id").as("probe_id"), col("a.cid").as("ca"),
           col("b.cid").as("cb"),
           floor(round(CosineSimilarity(col("a.cv"), col("b.cv")), 6) * 1e6 + 0.5)
             .cast("long").as("simu"))
-      val c = cand.select("probe_id", "cid", "relu")
+      val c = candL.select("probe_id", "cid", "relu")
       // greedy step: given the selected set so far, pick the argmax of
       // 7·relμ − 3·max-sim-to-selected (integers; (score desc, cid) total)
       def pick(sel: DataFrame, rank: Int): DataFrame = {
@@ -1858,7 +1868,14 @@ object Similarity {
           col("cid"), col("relu"))).as("m"))
         .select(col("probe_id"), col("m.cid").as("cid"), col("m.relu").as("relu"),
           col("m.mmr").as("mmr"), lit(1L).as("mmr_rank"))
-      val sel5 = (2 to 5).foldLeft(s1)((sel, k) => sel.unionByName(pick(sel, k)))
+      // materialize each greedy step (probes-row relation) before the
+      // next references it: left lazy, step k's plan re-executes steps
+      // 1..k−1 (the fold's lineage is a chain), turning 5 steps into
+      // 2^5-ish tiny jobs whose scheduling overhead dominated
+      def local(df: DataFrame): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val sel5 = (2 to 5).foldLeft(local(s1))((sel, k) =>
+        sel.unionByName(local(pick(sel, k))))
       sel5.select(col("probe_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
         col("relu").as("rel_micro"), col("mmr").as("mmr_micro"))
     },

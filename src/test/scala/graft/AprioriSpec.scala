@@ -77,9 +77,12 @@ class AprioriSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
     assert(out == Map((1L, 2L, 3L) -> 2L))
 
-    // regression gate: the prunes are semi-joins in the physical plan
-    val plan = SparkEntry.queries("q316_apriori_triples")(spark, dir)
+    // regression gate: the prunes are semi-joins in the BUILD pipeline's
+    // physical plan (the registered query reads the materialized L2/items2
+    // artifacts, so the semi-joins live in the artifact build, not the
+    // serving read — assert on the composed pipeline directly)
+    val plan = graft.queries.Relational2.Apriori.triples(items)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), "expected LeftSemi pre-prunes in the plan")
+    assert(plan.contains("LeftSemi"), "expected LeftSemi pre-prunes in the build plan")
   }
 }
