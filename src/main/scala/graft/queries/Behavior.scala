@@ -815,8 +815,80 @@ object Behavior {
             LEFT JOIN ov ON ov.day = sa.day""")
   )
 
+  /** q335 — FUNNEL STAGE-LATENCY PERCENTILES: q139 reports WHO
+    * converted; this reports HOW LONG each conversion edge took — the
+    * p50/p90 time-to-convert table growth teams read beside the funnel
+    * (a stage whose p90 blows out is where the product loses people,
+    * invisible in conversion counts). Latencies are exact SECONDS
+    * (second-truncated diffs, the q326 portability rule) from q139's
+    * own strictly-ordered stage timestamps (`funnelOf` is shared, so
+    * the two views can never disagree on what a conversion is);
+    * percentiles are rank-SELECTED members — p50 at rank (n+1) div 2,
+    * p90 at ceil(0.9n) = (9n+9) div 10 — per the q120/q312/q321
+    * no-interpolation discipline, with a user_id tiebreak making the
+    * selection total. The mean rides beside them (one division of
+    * exact integers).
+    *
+    * Scale shape: funnel stages are user-keyed min-aggregates (q139's
+    * plan); the latency relation is 2 rows per converting user; the
+    * rank window partitions by STAGE over that already-reduced
+    * relation, and the final table is 2 rows.
+    */
+  val funnelLatency = Q(
+    "q335_funnel_latency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = funnelOf(ev(s, d))
+      val lat = f.where(col("click_ts").isNotNull)
+        .select(lit("view_to_click").as("stage"), col("user_id"),
+          (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts"))).as("sec"))
+        .unionByName(f.where(col("purchase_ts").isNotNull)
+          .select(lit("click_to_purchase").as("stage"), col("user_id"),
+            (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts"))).as("sec")))
+      val w = Window.partitionBy("stage").orderBy(col("sec"), col("user_id"))
+      val ranked = lat.withColumn("rn", row_number().over(w).cast("long"))
+      val nn = lat.groupBy("stage")
+        .agg(count(lit(1)).as("n"), sum(col("sec")).as("sum_sec"))
+      ranked.join(nn, "stage")
+        .groupBy(col("stage"), col("n"), col("sum_sec"))
+        .agg(max(when(col("rn") === expr("(n + 1L) div 2L"), col("sec"))).as("p50_sec"),
+          max(when(col("rn") === expr("(9L * n + 9L) div 10L"), col("sec"))).as("p90_sec"))
+        .select(col("stage"), col("n"), col("p50_sec"), col("p90_sec"),
+          (col("sum_sec").cast("double") / col("n").cast("double")).as("mean_sec"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS view_ts
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS click_ts
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+                  FROM events e JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1),
+            lat AS (SELECT 'view_to_click' AS stage, c.user_id,
+                           CAST(date_diff('second', v.view_ts, c.click_ts) AS BIGINT)
+                             AS sec
+                    FROM c JOIN v USING (user_id)
+                    UNION ALL
+                    SELECT 'click_to_purchase', p.user_id,
+                           CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+                    FROM p JOIN c USING (user_id)),
+            rk AS (SELECT stage, sec,
+                          CAST(row_number() OVER (PARTITION BY stage
+                               ORDER BY sec, user_id) AS BIGINT) AS rn
+                   FROM lat),
+            nn AS (SELECT stage, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(sec) AS BIGINT) AS sum_sec
+                   FROM lat GROUP BY 1)
+            SELECT nn.stage, nn.n,
+                   max(CASE WHEN rk.rn = (nn.n + 1) // 2 THEN rk.sec END) AS p50_sec,
+                   max(CASE WHEN rk.rn = (9 * nn.n + 9) // 10 THEN rk.sec END) AS p90_sec,
+                   CAST(nn.sum_sec AS DOUBLE) / CAST(nn.n AS DOUBLE) AS mean_sec
+            FROM nn JOIN rk ON rk.stage = nn.stage
+            GROUP BY 1, 2, nn.sum_sec""")
+  )
+
   val all: Seq[Q] =
     Seq(funnel, cohortRetention, transitions, attribution, bootstrapCi, patternMatch,
       peakConcurrency, streaks, rfm, runningTopK, multiTouchAttribution, sessionPaths,
-      leaderboardChurn)
+      leaderboardChurn, funnelLatency)
 }

@@ -2030,11 +2030,109 @@ object TextAnalysis {
             GROUP BY tot.n_tokens""")
   )
 
+  /** q334 — GREEDY MAX-COVERAGE SELECTION (facility location / D4-style
+    * curation): pick 5 documents from a 12-candidate pool maximizing
+    * NEWLY-covered distinct word trigrams at each step — the submodular
+    * selection behind "choose k exemplars that span the corpus's
+    * vocabulary", the coverage-objective complement to q330 (MMR trades
+    * relevance against pairwise similarity; this maximizes marginal SET
+    * gain, where the greedy algorithm's (1−1/e) guarantee is the whole
+    * reason it is THE production heuristic). Candidates are the 12
+    * gram-richest docs (count desc, doc_id — total order); each pick's
+    * gain is an exact distinct-gram count with a doc_id tiebreak;
+    * covered_total is the running cumsum (gains are disjoint by
+    * construction, so the sum IS the union size).
+    *
+    * Scale shape: one corpus gram pass + a top-12 TakeOrdered; the
+    * candidate gram sets are a BOUNDED serving relation materialized
+    * once as a local relation (the q330/ivfCents discipline), and all
+    * five greedy steps run over it — zero further corpus work. At
+    * 100 TB, k and the pool grow but stay serving-sized; the corpus
+    * cost is the single gram scan.
+    */
+  val coverageSelect = Q(
+    "q334_coverage_select",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      def local(df: DataFrame): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val g = TextFns.wordGrams(Tables.documents(s, d), 3)
+      val cand = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("doc_id").asc).limit(12)
+        .select("doc_id")
+      val cg = local(g.join(cand, Seq("doc_id"), "left_semi"))
+      // greedy step: gain = distinct grams NOT yet covered; every
+      // unselected candidate keeps a row (zero gain stays pickable)
+      def pick(selected: Seq[Long], covered: DataFrame, rank: Int): DataFrame =
+        local(cg
+          .where(!col("doc_id").isInCollection(if (selected.isEmpty) Seq(-1L) else selected))
+          .join(covered.select(col("g").as("cov_g")), col("g") === col("cov_g"), "left")
+          .groupBy("doc_id")
+          .agg(sum(when(col("cov_g").isNull, 1L).otherwise(0L)).as("gain"))
+          .groupBy()
+          .agg(max(struct(col("gain"), (-col("doc_id")).as("nd"), col("doc_id"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.gain").as("gain"),
+            lit(rank.toLong).as("pick_rank")))
+      val empty = local(cg.select(col("g")).limit(0))
+      val (rows, _, _) = (1 to 5).foldLeft(
+          (Seq.empty[DataFrame], Seq.empty[Long], empty)) {
+        case ((acc, sel, cov), k) =>
+          val p = pick(sel, cov, k)
+          val pickedDoc = p.collect().head.getLong(0)
+          val cov2 = local(cov.unionByName(
+            cg.where(col("doc_id") === pickedDoc).select(col("g"))).distinct())
+          (acc :+ p, sel :+ pickedDoc, cov2)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("pick_rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.reduce(_ unionByName _)
+        .select(col("pick_rank"), col("doc_id"), col("gain"),
+          sum(col("gain")).over(w).as("covered_total"))
+    },
+    Some {
+      def stepSql(k: Int): String = {
+        val prev = (1 until k).map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ALL ")
+        val cov = s"(SELECT DISTINCT cg2.g FROM cg cg2 WHERE cg2.doc_id IN ($prev))"
+        s"""g$k AS (SELECT cg.doc_id,
+                         CAST(sum(CASE WHEN cov.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                           AS gain
+                  FROM cg LEFT JOIN $cov cov ON cov.g = cg.g
+                  WHERE cg.doc_id NOT IN ($prev)
+                  GROUP BY 1),
+           s$k AS (SELECT doc_id, gain, CAST($k AS BIGINT) AS pick_rank FROM (
+                     SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rn
+                     FROM g$k) t
+                   WHERE rn = 1)"""
+      }
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          idx AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                  FROM toks),
+          grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                    FROM idx WHERE i + 2 <= len(ws)),
+          cand AS (SELECT doc_id FROM (
+                     SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+                     ORDER BY n DESC, doc_id ASC LIMIT 12) t),
+          cg AS (SELECT g.doc_id, g.g FROM grams g JOIN cand USING (doc_id)),
+          s1 AS (SELECT doc_id, gain, CAST(1 AS BIGINT) AS pick_rank FROM (
+                   SELECT doc_id, CAST(count(*) AS BIGINT) AS gain,
+                          row_number() OVER (ORDER BY count(*) DESC, doc_id ASC) AS rn
+                   FROM cg GROUP BY doc_id) t
+                 WHERE rn = 1),
+          ${(2 to 5).map(stepSql).mkString(",\n")}
+          SELECT pick_rank, doc_id, gain,
+                 CAST(sum(gain) OVER (ORDER BY pick_rank) AS BIGINT) AS covered_total
+          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+                UNION ALL SELECT * FROM s5) u"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(tokenStats, langId, qualityScore, fingerprint, tfIdf, repetition, decontaminate,
       decontaminateCapped, positionalIndex, vocabulary, normalize, piiRedact, bpePairs,
       bpeEncode, bm25, lmQuality, textRank, phraseSearch, qualityGate, oovRate, novelty,
       qualityGateApprox, ragChunks, heavyHitters, approxTopK, skipgramPmi,
       decontaminateBloom, fuzzyMatch, langMixture, charEntropy, blocklistScreen,
-      jaroWinklerResolve, zipfFit)
+      jaroWinklerResolve, zipfFit, coverageSelect)
 }
