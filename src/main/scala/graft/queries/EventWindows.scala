@@ -2437,8 +2437,77 @@ object EventWindows {
             FROM bd JOIN t USING (event_type)""")
   )
 
+  /** q336 — MOVING-AVERAGE CROSSOVER DETECTION: days where the 3-day
+    * trailing mean of a type's daily cents crosses its 7-day trailing
+    * mean — the trend-reversal signal (golden/death cross) behind
+    * momentum alerts and KPI inflection detection, and a window shape
+    * the frame family (q15/q54/q58) doesn't exercise: TWO different
+    * trailing ROWS frames compared row-by-row, with the comparison done
+    * DIVISION-FREE — ma3 > ma7 ⇔ 7·sum3 > 3·sum7 on exact BIGINTs, so
+    * the crossover day is decided without a single float (the q302/q317
+    * multiply-through rule applied to a classic "needs averages"
+    * signal). A cross fires only when yesterday's relation differed
+    * (lag of the integer sign), and only once both frames are FULL
+    * (rn ≥ 7) — partial-frame noise is the classic false-signal bug.
+    *
+    * Scale shape: one map-side-combined daily rollup (the only
+    * corpus-sized work), then windows over type-partitioned DAY-grain
+    * rows — thousands of rows per type regardless of corpus size.
+    */
+  val maCrossover = Q(
+    "q336_ma_crossover",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val w3 = wOrd.rowsBetween(-2, 0)
+      val w7 = wOrd.rowsBetween(-6, 0)
+      daily
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("sum3", sum(col("cents")).over(w3))
+        .withColumn("sum7", sum(col("cents")).over(w7))
+        .withColumn("sgn",
+          when(lit(7L) * col("sum3") > lit(3L) * col("sum7"), 1L)
+            .when(lit(7L) * col("sum3") < lit(3L) * col("sum7"), -1L).otherwise(0L))
+        .withColumn("prev_sgn", lag(col("sgn"), 1).over(wOrd))
+        .where(col("rn") >= 7 && col("prev_sgn").isNotNull
+          && col("sgn") =!= col("prev_sgn") && col("sgn") =!= 0)
+        .select(col("event_type"), col("day"),
+          when(col("sgn") === 1L, lit("golden")).otherwise(lit("death")).as("cross"),
+          col("sum3"), col("sum7"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                       AS BIGINT) AS cents
+                           FROM events GROUP BY 1, 2),
+            wdw AS (SELECT event_type, day,
+                           CAST(row_number() OVER w AS BIGINT) AS rn,
+                           CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS sum3,
+                           CAST(sum(cents) OVER (w ROWS BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS sum7
+                    FROM daily
+                    WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            sg AS (SELECT *, CASE WHEN 7 * sum3 > 3 * sum7 THEN 1
+                                  WHEN 7 * sum3 < 3 * sum7 THEN -1
+                                  ELSE 0 END AS sgn
+                   FROM wdw),
+            lg AS (SELECT *, lag(sgn) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS prev_sgn
+                   FROM sg)
+            SELECT event_type, day,
+                   CASE WHEN sgn = 1 THEN 'golden' ELSE 'death' END AS cross,
+                   sum3, sum7
+            FROM lg
+            WHERE rn >= 7 AND prev_sgn IS NOT NULL
+              AND sgn <> prev_sgn AND sgn <> 0""")
+  )
+
   val all: Seq[Q] =
-    Seq(dowSeasonality, tumbling, sliding, session, streamTumbling, streamTumblingAppend,
+    Seq(dowSeasonality, maCrossover,
+      tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,
       streamChainedWindows, streamRocksDb, cogroupReconcile,

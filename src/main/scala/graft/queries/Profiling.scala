@@ -1641,10 +1641,73 @@ object Profiling {
             FROM b""")
   )
 
+  /** q337 — PARETO 80/20 CUT: per event type, the SMALLEST set of top
+    * spenders covering ≥ 80 % of revenue — the concentration question
+    * q278's Gini coefficient summarizes as one number, answered as the
+    * actionable membership count ("how many whales ARE the business").
+    * The cut is decided DIVISION-FREE: user k is inside the cut while
+    * 5·(cumulative cents through k−1) < 4·total, i.e. the first k with
+    * 5·cum ≥ 4·total closes it — exact BIGINTs, no 0.8·total float
+    * boundary (the q336/q302 multiply-through rule). Output per type:
+    * population, cut size, the cut's exact cent mass, and its share
+    * (the single display division).
+    *
+    * Scale shape: one map-side-combined user rollup, a per-type rank
+    * window over user-grain rows (hot type → the q98 two-phase form at
+    * 100 TB), one aggregate back to type grain.
+    */
+  val paretoCut = Q(
+    "q337_pareto_cut",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").desc, col("user_id").asc)
+      val cum = byUser
+        .withColumn("cum", sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+        .withColumn("tot", sum(col("cents")).over(Window.partitionBy("event_type")))
+        .withColumn("inside", when(lit(5L) * (col("cum") - col("cents"))
+          < lit(4L) * col("tot"), 1L).otherwise(0L))
+      cum.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("inside")).as("n_top"),
+          sum(when(col("inside") === 1L, col("cents")).otherwise(0L)).as("top_cents"),
+          max(col("tot")).as("total_cents"))
+        .withColumn("top_share", col("top_cents").cast("double")
+          / col("total_cents").cast("double"))
+    },
+    Some("""WITH bu AS (SELECT event_type, user_id,
+                               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                    AS BIGINT) AS cents
+                        FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, user_id, cents,
+                         CAST(sum(cents) OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, user_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS cum,
+                         CAST(sum(cents) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS tot
+                  FROM bu),
+            m AS (SELECT *, CASE WHEN 5 * (cum - cents) < 4 * tot
+                                 THEN 1 ELSE 0 END AS inside
+                  FROM c)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(inside) AS BIGINT) AS n_top,
+                   CAST(sum(CASE WHEN inside = 1 THEN cents ELSE 0 END) AS BIGINT)
+                     AS top_cents,
+                   max(tot) AS total_cents,
+                   CAST(sum(CASE WHEN inside = 1 THEN cents ELSE 0 END) AS DOUBLE)
+                     / CAST(max(tot) AS DOUBLE) AS top_share
+            FROM m GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
       columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean,
-      didEstimator, cuped, wilsonScorecard)
+      didEstimator, cuped, wilsonScorecard, paretoCut)
 }

@@ -2056,11 +2056,15 @@ object TextAnalysis {
       import org.apache.spark.sql.DataFrame
       def local(df: DataFrame): DataFrame =
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-      val g = TextFns.wordGrams(Tables.documents(s, d), 3)
-      val cand = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, d)
+      val candIds = TextFns.wordGrams(docs, 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("doc_id").asc).limit(12)
-        .select("doc_id")
-      val cg = local(g.join(cand, Seq("doc_id"), "left_semi"))
+        .collect().map(_.getLong(0)).toSeq
+      // second pass reads ONLY the 12 candidate docs — the id filter
+      // pushes into the parquet scan, instead of re-deriving the whole
+      // corpus gram relation for a semi-join
+      val cg = local(TextFns.wordGrams(docs.where(col("doc_id").isInCollection(candIds)), 3))
       // greedy step: gain = distinct grams NOT yet covered; every
       // unselected candidate keeps a row (zero gain stays pickable)
       def pick(selected: Seq[Long], covered: DataFrame, rank: Int): DataFrame =
