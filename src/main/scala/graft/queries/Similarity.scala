@@ -1812,22 +1812,32 @@ object Similarity {
     * work that is O(probes), independent of corpus size, exactly why
     * MMR is a re-RANKER and not a retriever.
     */
+  /** q330's candidate generation — the q27 broadcast-probe scan, top-12
+    * per probe with vectors carried. Exposed so PlanSpec can gate the
+    * corpus contract (BroadcastNestedLoopJoin, corpus never shuffles
+    * into a join) on the BUILD pipeline: the registered query
+    * materializes this once, so its returned plan is local relations.
+    */
+  private[graft] def mmrCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val probes = e.where(col("vec_id") < 4)
+    val wq = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("cid").asc)
+    broadcast(probes).as("q")
+      .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("cid"),
+        round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("rel"),
+        col("x.v").as("cv"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= 12)
+      .select(col("probe_id"), col("cid"),
+        floor(col("rel") * 1e6 + 0.5).cast("long").as("relu"), col("cv"))
+  }
+
   val mmrRerank = Q(
     "q330_mmr_rerank",
     (s, d) => {
-      val e = vectors(s, d)
-      val probes = e.where(col("vec_id") < 4)
-      val wq = Window.partitionBy("probe_id")
-        .orderBy(col("rel").desc, col("cid").asc)
-      val cand = broadcast(probes).as("q")
-        .join(e.as("x"), col("x.vec_id") =!= col("q.vec_id"))
-        .select(col("q.vec_id").as("probe_id"), col("x.vec_id").as("cid"),
-          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("rel"),
-          col("x.v").as("cv"))
-        .withColumn("rn", row_number().over(wq))
-        .where(col("rn") <= 12)
-        .select(col("probe_id"), col("cid"),
-          floor(col("rel") * 1e6 + 0.5).cast("long").as("relu"), col("cv"))
+      val cand = mmrCandidates(s, d)
       // The candidate table (probes×12 rows, with vectors) is a BOUNDED
       // serving-side relation, but it sits under every one of the 5
       // unrolled greedy steps — left lazy, the corpus NL scan would

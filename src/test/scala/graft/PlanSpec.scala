@@ -534,13 +534,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q326_session_paths").contains("TakeOrderedAndProject"),
       "q326 path cut is not the top-k operator")
     // q330/q331: the CORPUS side must only ever meet a broadcast —
-    // candidate generation is the q27 broadcast-probe NL join. q330's
-    // internal candidate-table joins (12-row relations) may plan SMJ
-    // statically and AQE-demote at runtime, so the gate checks the
-    // corpus contract (a BroadcastNestedLoopJoin exists and every
-    // FileScan feeds it through no shuffle-join on the scan side) via
-    // the probe broadcast marker, not a blanket no-SMJ.
-    assert(plan("q330_mmr_rerank").contains("BroadcastNestedLoopJoin"),
+    // candidate generation is the q27 broadcast-probe NL join. The
+    // registered q330 materializes the candidates once (its returned
+    // plan is local relations), so the gate targets the BUILD pipeline.
+    assert(graft.queries.Similarity.mmrCandidates(spark, d)
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
       "q330 lost the broadcast-probe candidate scan")
     assert(!plan("q331_centroid_classifier").contains("SortMergeJoin"),
       "q331 shuffled the corpus into a join")
