@@ -2505,8 +2505,83 @@ object EventWindows {
               AND sgn <> prev_sgn AND sgn <> 0""")
   )
 
+  /** q338 — HOLT LINEAR-TREND SMOOTHING (double exponential): the
+    * 2-STATE recurrence the smoothing family stops short of — q176/q180
+    * carry one state (EWMA level) and lag every trend; Holt carries
+    * (level, trend) so the one-step forecast level+trend tracks a
+    * drifting series instead of trailing it (the MatrixScan scaladoc
+    * names this family; here it is instantiated). α = β = ½ keeps the
+    * recurrence INTEGER-EXACT: lvl_t = ⌊(x_t + lvl_{t−1} + tr_{t−1})/2⌋,
+    * tr_t = (tr_{t−1} + (lvl_t − lvl_{t−1})) quot 2 — TRUNCATING
+    * division on both sides (Scala Long `/` ≡ DuckDB `//`, both round
+    * toward zero — probed, NOT floor: −7 // 2 = −3 in DuckDB), which
+    * matters because the trend goes NEGATIVE on downswings and a
+    * floor-vs-truncate mismatch is an off-by-one on every negative
+    * step; the whole series is BIGINTs, no float smoothing drift.
+    *
+    * Engine path: a typed groupByKey/flatMapGroups fold per event_type
+    * (the q95 sequential-recurrence shape — frame is one type's ~30
+    * daily rows, never the corpus); oracle = a recursive CTE stepping
+    * one day per type per iteration (q95/q180 discipline). Corpus cost
+    * is the one daily rollup.
+    */
+  val holtTrend = Q(
+    "q338_holt_trend",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      daily.select(col("event_type"), col("day"), col("cents"), col("rn"))
+        .as[(String, java.sql.Date, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Long, Long)]) =>
+          val rows = it.toSeq.sortBy(_._4)
+          var level = 0L
+          var trend = 0L
+          rows.iterator.map { case (_, day, x, rn) =>
+            if (rn == 1L) { level = x; trend = 0L }
+            else {
+              val prev = level
+              level = (x + (level + trend)) / 2L
+              trend = (trend + (level - prev)) / 2L
+            }
+            (t, day, x, level, trend, level + trend)
+          }
+        }
+        .toDF("event_type", "day", "cents", "level_cents", "trend_cents",
+          "forecast_next")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY CAST(ts AS DATE)) AS BIGINT) AS rn
+              FROM events GROUP BY 1, 2),
+            walk AS (
+              SELECT event_type, day, cents, rn,
+                     cents AS level_c, CAST(0 AS BIGINT) AS trend_c
+              FROM daily WHERE rn = 1
+              UNION ALL
+              SELECT h.event_type, h.day, h.cents, h.rn,
+                     CAST((h.cents + (w.level_c + w.trend_c)) // 2 AS BIGINT),
+                     CAST((w.trend_c +
+                           ((h.cents + (w.level_c + w.trend_c)) // 2 - w.level_c))
+                          // 2 AS BIGINT)
+              FROM daily h JOIN walk w
+                ON w.event_type = h.event_type AND h.rn = w.rn + 1)
+            SELECT event_type, day, cents,
+                   level_c AS level_cents, trend_c AS trend_cents,
+                   level_c + trend_c AS forecast_next
+            FROM walk""")
+  )
+
   val all: Seq[Q] =
-    Seq(dowSeasonality, maCrossover,
+    Seq(dowSeasonality, maCrossover, holtTrend,
       tumbling, sliding, session, streamTumbling, streamTumblingAppend,
       streamDedup, statefulSessions, gapFill, streamIntervalJoin, streamFileSink,
       streamStaticJoin, streamUpsert, ewmaAnomaly, recursiveEwma, streamOuterJoin,

@@ -1704,10 +1704,102 @@ object Profiling {
             FROM m GROUP BY 1""")
   )
 
+  /** q339 — GROUP-SEQUENTIAL MONITORING (O'Brien–Fleming boundary):
+    * the "peek correctly" table — q285 tests ONCE at the end; a live
+    * experiment is read daily, and naive daily z-tests at 1.96 inflate
+    * false positives several-fold. The sequential answer: per day k,
+    * the CUMULATIVE two-proportion z (purchase rate by user-parity arm)
+    * beside the OBF boundary c/√(k/K) — early looks need overwhelming
+    * evidence, the final look ≈ the fixed-horizon bar. c = 2.963 (the
+    * canonical tabulated constant) rides as an explicit design
+    * parameter the way a production monitor configures its spending
+    * function. Cumulative counts are exact integers via running-sum
+    * windows over the day-grain rollup; z and the boundary are fixed
+    * IEEE op sequences (sqrt — the q94 rule; all literals CAST AS
+    * DOUBLE — the q118 rule); a zero pooled variance yields NULL on
+    * both engines (guarded CASE).
+    *
+    * Scale shape: one map-side-combined (day × arm) rollup — the only
+    * corpus-sized work; cumulative windows and the z projection ride
+    * day-grain rows.
+    */
+  val sequentialMonitor = Q(
+    "q339_sequential_monitor",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), (col("user_id") % 2).cast("long").as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+        .groupBy("day")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("s1"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kTot = daily.agg(count(lit(1)).as("bigk"))
+      val cum = daily.crossJoin(broadcast(kTot))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("cn0", sum(col("n0")).over(w))
+        .withColumn("cn1", sum(col("n1")).over(w))
+        .withColumn("cs0", sum(col("s0")).over(w))
+        .withColumn("cs1", sum(col("s1")).over(w))
+      val p0 = col("cs0").cast("double") / col("cn0").cast("double")
+      val p1 = col("cs1").cast("double") / col("cn1").cast("double")
+      val pb = (col("cs0") + col("cs1")).cast("double") /
+        (col("cn0") + col("cn1")).cast("double")
+      val se = sqrt(pb * (lit(1.0) - pb)
+        * (lit(1.0) / col("cn0").cast("double") + lit(1.0) / col("cn1").cast("double")))
+      val bound = lit(2.963) / sqrt(col("k").cast("double") / col("bigk").cast("double"))
+      cum.select(col("day"), col("k"), col("cn0"), col("cn1"), col("cs0"), col("cs1"),
+        when(se === 0.0, lit(null).cast("double")).otherwise((p1 - p0) / se).as("z"),
+        bound.as("obf_bound"),
+        when(se === 0.0, lit(false))
+          .otherwise(abs((p1 - p0) / se) > bound).as("crossed"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s1
+            FROM events GROUP BY 1),
+            kt AS (SELECT CAST(count(*) AS BIGINT) AS bigk FROM daily),
+            cum AS (SELECT day,
+                           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+                           CAST(sum(n0) OVER cw AS BIGINT) AS cn0,
+                           CAST(sum(n1) OVER cw AS BIGINT) AS cn1,
+                           CAST(sum(s0) OVER cw AS BIGINT) AS cs0,
+                           CAST(sum(s1) OVER cw AS BIGINT) AS cs1,
+                           kt.bigk
+                    FROM daily CROSS JOIN kt
+                    WINDOW cw AS (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            m AS (SELECT *,
+                         CAST(cs0 AS DOUBLE) / CAST(cn0 AS DOUBLE) AS p0,
+                         CAST(cs1 AS DOUBLE) / CAST(cn1 AS DOUBLE) AS p1,
+                         CAST(cs0 + cs1 AS DOUBLE) / CAST(cn0 + cn1 AS DOUBLE) AS pb
+                  FROM cum),
+            v AS (SELECT *,
+                         sqrt(pb * (CAST(1.0 AS DOUBLE) - pb)
+                              * (CAST(1.0 AS DOUBLE) / CAST(cn0 AS DOUBLE)
+                                 + CAST(1.0 AS DOUBLE) / CAST(cn1 AS DOUBLE))) AS se,
+                         CAST(2.963 AS DOUBLE)
+                           / sqrt(CAST(k AS DOUBLE) / CAST(bigk AS DOUBLE)) AS obf_bound
+                  FROM m)
+            SELECT day, k, cn0, cn1, cs0, cs1,
+                   CASE WHEN se = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE (p1 - p0) / se END AS z,
+                   obf_bound,
+                   CASE WHEN se = 0 THEN false
+                        ELSE abs((p1 - p0) / se) > obf_bound END AS crossed
+            FROM v""")
+  )
+
   val all: Seq[Q] =
     Seq(profile, profileHll, statsMaintenance, constraintAudit, embeddingDrift,
       skewAudit, observedIngest, ksTest, mannWhitney, benfordAudit,
       giniAudit, mutualInfo, kaplanMeier, maxDrawdown, crossCorr, abTest,
       columnLineage, chiSquare, joinCardinalityAudit, qqVentiles, trimmedMean,
-      didEstimator, cuped, wilsonScorecard, paretoCut)
+      didEstimator, cuped, wilsonScorecard, paretoCut, sequentialMonitor)
 }

@@ -3404,7 +3404,89 @@ object Relational2 {
             FROM z""")
   )
 
-  val all: Seq[Q] = Seq(groupingSets, pivot, percentiles, jsonExtract, asofJoin,
+  /** q340 — PERSONALIZED PAGERANK (random walk with restart) over the
+    * co-purchase graph: the "related items for THESE seeds" recommender
+    * primitive — q118's TextRank is GLOBAL PageRank (uniform teleport,
+    * one importance score for the whole graph); PPR teleports back to a
+    * SEED SET, so mass concentrates in the seeds' neighborhood and the
+    * ranking answers a query, not the corpus. Graph = q316's L2
+    * frequent-pair artifact (support ≥ 2, symmetrized, unweighted —
+    * the co-purchase graph every "bought together" panel walks); seeds
+    * = the 4 smallest node ids (a deterministic stand-in for a user's
+    * basket); damping 0.85.
+    *
+    * INTEGER-EXACT iteration: scores are BIGINT micros, each out-edge
+    * contribution is (85·r) div (100·deg) — truncating division on
+    * both engines, mass loss deterministic and identical — and the
+    * teleport re-injects 150000 div |seeds| micros per seed each step;
+    * three unrolled steps (the q63/q330 discipline), top-20 by
+    * (score desc, node). No float appears anywhere, so the full
+    * ranking has a hash oracle — where a double-powered PPR would
+    * force a tolerance band.
+    *
+    * Scale shape: the L2 edges come from the materialized per-dir
+    * artifact (built once — q316's train-once discipline); each step
+    * is one frontier⋈edges join + a map-side-combined sum at node
+    * grain (the q70/q301 frontier shape); top-20 is TakeOrdered.
+    */
+  val personalizedPagerank = Q(
+    "q340_personalized_pagerank",
+    (s, d) => {
+      val l2f = aprioriArtifacts(s, d)._1
+      val edges = l2f.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(l2f.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .orderBy(col("node").asc).limit(4)
+      val r0 = seeds.withColumn("score", lit(250000L))
+      def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val contrib = r.join(edges, r("node") === edges("src"))
+          .join(deg, "src")
+          .select(col("dst").as("node"),
+            expr("(85L * score) div (100L * deg)").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("c"))
+        seeds.withColumn("t", lit(150000L / 4))
+          .join(contrib, Seq("node"), "full")
+          .select(col("node"),
+            (coalesce(col("t"), lit(0L)) + coalesce(col("c"), lit(0L))).as("score"))
+      }
+      val r3 = step(step(step(r0)))
+      r3.orderBy(col("score").desc, col("node").asc).limit(20)
+        .select(col("node"), col("score").as("score_micro"))
+    },
+    Some {
+      def stepSql(k: Int): String =
+        s"""c$k AS (SELECT e.dst AS node,
+                        CAST(sum((85 * r.score) // (100 * dg.deg)) AS BIGINT) AS c
+                 FROM r${k - 1} r
+                 JOIN edges e ON e.src = r.node
+                 JOIN deg dg ON dg.src = e.src
+                 GROUP BY 1),
+           r$k AS (SELECT coalesce(s.node, c.node) AS node,
+                        CAST(coalesce(s.t, 0) + coalesce(c.c, 0) AS BIGINT) AS score
+                 FROM (SELECT node, CAST(37500 AS BIGINT) AS t FROM seeds) s
+                 FULL JOIN c$k c ON c.node = s.node)"""
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                         FROM lineitem),
+          l2 AS (SELECT pa, pb FROM (
+                   SELECT a.pk AS pa, b.pk AS pb, count(*) AS sup2
+                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2) t
+                 WHERE sup2 >= 2),
+          edges AS (SELECT pa AS src, pb AS dst FROM l2
+                    UNION ALL SELECT pb, pa FROM l2),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY 1),
+          seeds AS (SELECT DISTINCT src AS node FROM edges
+                    ORDER BY src ASC LIMIT 4),
+          r0 AS (SELECT node, CAST(250000 AS BIGINT) AS score FROM seeds),
+          ${(1 to 3).map(stepSql).mkString(",\n")}
+          SELECT node, score AS score_micro FROM r3
+          ORDER BY score DESC, node ASC LIMIT 20"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(personalizedPagerank, groupingSets, pivot, percentiles, jsonExtract, asofJoin,
     rangeJoin, saltedAgg, approxPercentile, arrayFuncs, subqueries, statsAgg,
     rangeFrame, exceptAll, stringTransforms, outerJoin, rankFuncs, unpivotQ,
     mergeUpsert, bloomJoin, saltedJoin, versionDiff, winsorize, zscore, asofNative,
