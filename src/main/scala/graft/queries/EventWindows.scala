@@ -1246,67 +1246,59 @@ object EventWindows {
 
   /** q180 — RECURSIVE CTE executed BY SPARK (the `WITH RECURSIVE`
     * surface Spark gained in 4.x, previously a DuckDB-oracle-only
-    * device in this suite): q176's EWMA recurrence at DAILY grain,
-    * written once as standard recursive SQL and run verbatim-shaped on
-    * BOTH engines — the anchor seeds each type's first day, the
-    * recursive step joins `rn = rn + 1`, and all five types advance in
-    * parallel per iteration (semi-naive evaluation, the engine-native
-    * form of the q70/q176 iterate-by-hand loops). The recursion is
-    * structurally terminating (rn strictly increases; depth = 30 days,
-    * under Spark's default 100-level limit) — the discipline that makes
-    * UNION ALL recursion safe where a cyclic-graph walk would not be.
-    *
+    * device in this suite): q176's EWMA recurrence at DAILY grain.
     * Why it earns a slot next to q176: same recurrence, different
     * EXECUTION ENGINE PATH (UnionLoop iterative plan vs a typed
     * flatMapGroups fold) — two independent Spark implementations plus
     * the DuckDB oracle must all agree bit-for-bit on the folded
-    * doubles, which triangulates the recurrence itself. Scale: the
-    * daily relation is MATERIALIZED to scratch and handed to the
-    * recursion as a literal local relation before the
-    * recursion (un-materialized, each of the 30 iterations re-derives
-    * the corpus aggregate — measured ~2× slower even at test scale; the
-    * q76/q129 train-once discipline applies to recursion inputs too),
-    * so each iteration joins one |types|-row frontier against ~150
-    * cached rows; iteration count is the calendar span, never the
-    * corpus. Residual cost is UnionLoop's fixed per-iteration
-    * scheduling (~30 steps × job overhead) — the price of the iterative
-    * engine path itself, flat in data size; the q176 fold remains the
-    * cheap form when the recurrence fits one key's partition.
+    * doubles, which triangulates the recurrence itself
+    * (`RecursiveEwmaSpec` pins the q176-shaped fold equivalence AND
+    * that the plan really runs UnionLoop).
+    *
+    * STATE-CARRYING recursion, not join-stepped: the frontier row for
+    * each series carries its whole remaining input as a bounded
+    * `array<struct<day,n>>` plus a cursor, so every iteration is a pure
+    * PROJECTION over the |types|-row frontier — no join, no broadcast,
+    * no scan. This is the production shape for sequential recurrences
+    * in recursive SQL: the join-stepped form (frontier ⋈ daily ON
+    * rn = rn + 1) re-plans and re-broadcasts the step join every
+    * iteration, and UnionLoop's fixed per-iteration cost dominated
+    * three rounds of slowest-10 (driver passes 4.4–14.6 s on a 150-row
+    * local recursion; BASELINE.md round-14 A/B: join-stepped ~4.9–5.3 s
+    * vs this form ~1.5–2.2 s at sf0.1, outputs bit-identical). The
+    * array is bounded by the CALENDAR (days per span), never the
+    * corpus — the same bound the join-stepped form relied on, now held
+    * as executor-resident state instead of a per-step join. Termination
+    * is structural (cursor strictly increases toward `size(days)`;
+    * depth = 30 days, under Spark's default 100-level limit). The
+    * DuckDB oracle keeps the textbook join-stepped spelling — a THIRD
+    * independent expression of the recurrence.
     */
   val recursiveEwma = Q(
     "q180_recursive_sql",
     (s, d) => {
-      val dailyPath = graft.sources.Sources.scratchLeaf(d, "rec_daily")
       Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("event_type").orderBy("day")))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dailyPath)
-      // The 30 UnionLoop iterations each re-reference the ~150-row daily
-      // relation; re-opening parquet per step is pure waste, and a
-      // .cache() here could never be unpersisted by this function (the
-      // returned DF is lazy) — it would pin executor storage for the
-      // session. Hand the recursion a literal LOCAL relation instead
-      // (the ivfCents bounded-artifact discipline): collect ~150 rows
-      // once, zero storage-memory footprint, bit-exact doubles.
-      val daily = s.read.parquet(dailyPath)
-      s.createDataFrame(java.util.Arrays.asList(daily.collect(): _*), daily.schema)
-        .createOrReplaceTempView("daily_rec_v")
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("days"))
+        .createOrReplaceTempView("q180_series_v")
+      // Spark [] indexing is 0-based: the anchor emits element 0 and
+      // sets the cursor to 1 = the element the first step consumes.
       s.sql("""
         WITH RECURSIVE walk AS (
-          SELECT event_type, day, n, rn,
-                 CAST(n AS DOUBLE) AS ewma, CAST(0 AS BIGINT) AS anomaly
-          FROM daily_rec_v WHERE rn = 1
+          SELECT event_type, days, 1 AS i,
+                 days[0].day AS day, days[0].n AS n,
+                 CAST(days[0].n AS DOUBLE) AS ewma, CAST(0 AS BIGINT) AS anomaly
+          FROM q180_series_v
           UNION ALL
-          SELECT h.event_type, h.day, h.n, h.rn,
-                 0.25 * CAST(h.n AS DOUBLE) + 0.75 * w.ewma,
-                 CAST(CASE WHEN CAST(h.n AS DOUBLE) > 2.0 * w.ewma
-                             OR CAST(h.n AS DOUBLE) < 0.5 * w.ewma
+          SELECT event_type, days, i + 1,
+                 days[i].day, days[i].n,
+                 0.25 * CAST(days[i].n AS DOUBLE) + 0.75 * ewma,
+                 CAST(CASE WHEN CAST(days[i].n AS DOUBLE) > 2.0 * ewma
+                             OR CAST(days[i].n AS DOUBLE) < 0.5 * ewma
                            THEN 1 ELSE 0 END AS BIGINT)
-          FROM daily_rec_v h JOIN walk w
-            ON w.event_type = h.event_type AND h.rn = w.rn + 1)
+          FROM walk WHERE i < size(days))
         SELECT event_type, day, n, ewma, anomaly FROM walk""")
     },
     Some("""WITH RECURSIVE daily AS (
