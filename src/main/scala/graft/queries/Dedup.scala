@@ -161,21 +161,15 @@ object Dedup {
     * audits, and verification all read the stored pairs. The oracles are
     * UNCHANGED — they already describe the same pair semantics via the
     * shared CTE chain, so consumers stay hash-exact against DuckDB.
-    * Same keying caveat as `Similarity.centCache`: memo key is the dir
-    * string; test dirs are immutable, a mutating production dir would
-    * version the path.
+    * Staleness/race guards live in [[graft.sources.Sources.artifactOnce]]
+    * (fingerprint-keyed, single-writer).
     */
-  private val pairMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def minhashPairsArtifact(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val path = pairMemo.getOrElseUpdate(d, {
-      val p = graft.sources.Sources.scratchLeaf(d, "minhash_pairs_shared")
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(graft.sources.Sources.artifactOnce(d, "minhash_pairs_shared") { p =>
       minhashLsh.fn(s, d).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
     })
-    s.read.parquet(path)
-  }
 
   /** Shingle → signature → band-key CTE prefix, shared by the q23/q70
     * oracles and q99's delta-vs-base variant.
@@ -1134,11 +1128,14 @@ object Dedup {
     // codegen'd long compares in the join and intersect (the padded-
     // string form made the stored index slower to READ than to rebuild,
     // and struct<df,id> arrays fell off the codegen path — both A/B'd
-    // on this box). The id is injective in practice (60-bit md5 over a
-    // vocab-sized set) and jaccard only counts cardinalities, so the
-    // output relation — and therefore the oracle — is unchanged; a
-    // collision would hit both engines identically anyway (the
-    // q22/q165 fingerprint rule).
+    // on this box). Collision caveat: the DuckDB oracle ranks and
+    // intersects the RAW gram strings, so an id collision would diverge
+    // Spark from the oracle (not hit both sides — the q22 symmetric-
+    // fingerprint rule does NOT apply here). The id is 60-bit md5 over
+    // a vocabulary-sized set: collision probability ~n²/2⁶¹ (≪1e-9 at
+    // any plausible vocab), and the artifact build ASSERTS per-doc id
+    // distinctness below, so a collision fails the build loudly instead
+    // of silently shrinking an intersect.
     val ranked = tok.join(df, "w")
       .select(col("doc_id"), col("df"),
         expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
@@ -1187,18 +1184,19 @@ object Dedup {
     * probe path over the stored index. The oracle is UNCHANGED (it
     * describes the same relation end-to-end), so q151 stays hash-exact.
     */
-  private val prefixArrMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def prefixArrArtifact(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val path = prefixArrMemo.getOrElseUpdate(d, {
-      val p = graft.sources.Sources.scratchLeaf(d, "prefix_arr_shared")
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(graft.sources.Sources.artifactOnce(d, "prefix_arr_shared") { p =>
       prefixArr(TextFns.wordGrams(Tables.documents(s, d), GramsN)
         .select(col("doc_id"), col("g").as("w")))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
+      // Build-time audit: 60-bit gram ids must be distinct within every
+      // doc (see the collision caveat in prefixArr) — one bounded scan
+      // of the just-written index, paid once per corpus snapshot.
+      val dup = s.read.parquet(p)
+        .where(size(array_distinct(col("ws"))) < size(col("ws"))).count()
+      require(dup == 0L, s"gram-id collision inside $dup docs — 60-bit id space exhausted?")
     })
-    s.read.parquet(path)
-  }
 
   val prefixSimilarityJoin = Q(
     "q151_prefix_sim_join",

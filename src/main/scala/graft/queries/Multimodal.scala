@@ -44,12 +44,8 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  /** q167's frame-energy table, materialized to scratch once per data
-    * dir (same keying caveat as `Similarity.centCache`: dirs are
-    * immutable here; a mutating production dir would version the path).
-    */
-  private val vadEnergyMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  // q167's frame-energy table materializes through Sources.artifactOnce
+  // (fingerprint-keyed, single-writer) at its use site.
 
   /** q33 — a TOTAL operator: every input row produces a feature row.
     * Empty payloads get defined zero/empty features (no divide-by-zero,
@@ -1089,14 +1085,10 @@ object Multimodal {
       // a lazily-returned DataFrame can never be unpersisted by this
       // function, so it would leak executor storage for the rest of the
       // session across a 180-query bench run.
-      val energies = {
-        val path = vadEnergyMemo.getOrElseUpdate(d, {
-          val p = graft.sources.Sources.scratchLeaf(d, "vad_energies")
+      val energies = s.read.parquet(
+        graft.sources.Sources.artifactOnce(d, "vad_energies") { p =>
           energiesRaw.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-          p
         })
-        s.read.parquet(path)
-      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("f")
       val segs = energies.where(col("energy") >= VadThreshold)

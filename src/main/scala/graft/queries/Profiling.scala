@@ -1505,7 +1505,16 @@ object Profiling {
     * integers (products reach ~1e16 per user at these magnitudes and
     * overflow is a data bug at 100 TB — the q319 rule), then cast to
     * double for ONE division; each arm's adjusted mean applies the
-    * identical op sequence on both engines. Scale shape: one user-grain
+    * identical op sequence on both engines. OVERFLOW BOUND (the two
+    * engines fail DIFFERENTLY past it — Spark decimal(38,0) goes NULL
+    * under non-ANSI while DuckDB HUGEINT hard-errors near 1.7e38, the
+    * divergence class the q319 rule precludes): with per-user 21-day
+    * cents |x|,|y| ≤ B, the largest term is n·Σxy ≤ n²·B², so
+    * decimal(38,0) is exact while n·B < 1e19 — at B = 1e9 cents
+    * ($10M/day for 21 days) that is n < 1e10 users, comfortably past
+    * any real experiment. Past that bound, center x at user grain
+    * first (Σ(x−x̄)(y−ȳ) keeps magnitudes at variance scale) before
+    * widening types. Scale shape: one user-grain
     * aggregate (two date-pruned windows), one 1-row pooled-moment
     * broadcast, one 2-row arm aggregate.
     */

@@ -2880,21 +2880,22 @@ object Relational2 {
     * the L2 pipeline re-executed once per downstream reference, 4× per
     * run). Oracles unchanged — the CTEs describe the same relations.
     */
-  private val aprioriMemo = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // Two-path artifact through Sources.artifactOnce (fingerprint-keyed,
+  // single-writer): the L2 store is the memoized root and the pruned
+  // items2 store hangs off it as a sibling dir — both build in the one
+  // locked `build` call, so consumers can never observe one without the
+  // other.
   private def aprioriArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (pL2, pIt2) = aprioriMemo.getOrElseUpdate(d, {
+    val pL2 = graft.sources.Sources.artifactOnce(d, "apriori_l2") { a =>
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val l2f = Apriori.l2(items)
-      val a = graft.sources.Sources.scratchLeaf(d, "apriori_l2")
-      l2f.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(a)
-      val b = graft.sources.Sources.scratchLeaf(d, "apriori_items2")
+      Apriori.l2(items)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(a)
       Apriori.items2(items, s.read.parquet(a))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(b)
-      (a, b)
-    })
-    (s.read.parquet(pL2), s.read.parquet(pIt2))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(a + "_items2")
+    }
+    (s.read.parquet(pL2), s.read.parquet(pL2 + "_items2"))
   }
 
   val aprioriTriples = Q(

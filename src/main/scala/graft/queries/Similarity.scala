@@ -292,10 +292,9 @@ object Similarity {
     * the caller's session. First construction per JVM pays the build —
     * the production train-once/serve-many shape — and determinism makes
     * the cached rows bit-identical to a rebuild, so oracle parity is
-    * untouched. (Scale caveat: keyed by the data DIR string; a dir
-    * whose contents mutate between constructions would serve stale
-    * centroids — the test dirs are immutable, and a production index
-    * would version the path.)
+    * untouched. Keyed by dir + dataset fingerprint (the artifactOnce
+    * discipline), so an in-place dataset regeneration within one JVM
+    * retrains instead of serving stale centroids.
     */
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int), (java.util.List[org.apache.spark.sql.Row],
@@ -312,7 +311,8 @@ object Similarity {
   private[graft] def ivfCents(s: SparkSession, d: String,
       steps: Int = IvfLloydSteps, k: Int = IvfCentroids): DataFrame = {
     import s.implicits._
-    val (rows, schema) = centCache.getOrElseUpdate((d, steps, k), {
+    val cacheKey = s"$d@${graft.sources.Sources.dirFingerprint(d)}"
+    val (rows, schema) = centCache.getOrElseUpdate((cacheKey, steps, k), {
       val seeds = (0 until k)
         .map(j => (0 until Dim).map(i => centComponent(j, i)))
       val seedRow = seeds.zipWithIndex.map { case (c, j) => (j, c) }
@@ -1434,18 +1434,14 @@ object Similarity {
     * (PCA, anisotropy monitoring, and OPQ rotation all read the stored
     * Σ v·vᵀ; nobody re-multiplies a billion vectors per question).
     * Oracles are UNCHANGED — they recompute the same cells from the
-    * base table. Memo key is the dir string; test dirs are immutable.
+    * base table. Staleness/race guards live in
+    * [[graft.sources.Sources.artifactOnce]].
     */
-  private val gramMemo = scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def gramianArtifact(s: SparkSession, d: String): DataFrame = {
-    val path = gramMemo.getOrElseUpdate(d, {
-      val p = graft.sources.Sources.scratchLeaf(d, "gramian_shared")
+  private[graft] def gramianArtifact(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.sources.Sources.artifactOnce(d, "gramian_shared") { p =>
       gramianDF(s, d).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
     })
-    s.read.parquet(path)
-  }
 
   val embeddingGramian = Q(
     "q262_embedding_gramian",

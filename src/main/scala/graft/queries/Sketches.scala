@@ -529,7 +529,6 @@ object Sketches {
     * full-outer join covers brand-new keys in the delta; coalesce(0)
     * keeps untouched store rows byte-identical.
     */
-  private val ivmStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   val incrementalRollup = Q(
     "q300_incremental_rollup",
     (s, d) => {
@@ -537,15 +536,13 @@ object Sketches {
         .select(col("event_type"), to_date(col("ts")).as("day"),
           col("event_id"), col("value"))
       val late = col("event_id") % 17 === 0
-      val store = ivmStoreMemo.getOrElseUpdate(d, {
-        val p = graft.sources.Sources.scratchLeaf(d, "ivm_rollup_store")
+      val store = graft.sources.Sources.artifactOnce(d, "ivm_rollup_store") { p =>
         ev.where(!late)
           .groupBy("event_type", "day")
           .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("centsum"),
             count(lit(1)).as("n"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-        p
-      })
+      }
       val delta = ev.where(late)
         .groupBy("event_type", "day")
         .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("d_centsum"),
