@@ -221,10 +221,22 @@ object Bench {
     try {
       val allPasses = names.map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
       val allGc = names.map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
+      // pass0_over_median (round-13 verdict task 8): first-pass /
+      // median per query, so one-time artifact-build cost (q151's gram
+      // index, q316's L2 levels — paid on whichever pass first touches
+      // the shared store) separates from steady state mechanically
+      // instead of by eyeballing per-pass arrays. ~1.0 = steady;
+      // >>1 = pass 0 paid a build (or ambient stall — cross-check
+      // telemetry.steal_frac/gc before reading it as structure).
+      val p0om = names.zipWithIndex.map { case (n, i) =>
+        val med = results(i)._2
+        val r = if (med == 0.0) 1.0 else samples(0)(i)._1 / med
+        "\"" + n + "\":" + f"$r%.2f"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
-          s""""telemetry":$telemetry}""" + "\n")
+          s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write $artifact failed: ${e.getMessage}")
     }
