@@ -309,9 +309,10 @@ object Similarity {
     * converges toward the unblocked ground truth.
     */
   private[graft] def ivfCents(s: SparkSession, d: String,
-      steps: Int = IvfLloydSteps, k: Int = IvfCentroids): DataFrame = {
+      steps: Int = IvfLloydSteps, k: Int = IvfCentroids,
+      maxId: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
-    val cacheKey = s"$d@${graft.sources.Sources.dirFingerprint(d)}"
+    val cacheKey = s"$d@${graft.sources.Sources.dirFingerprint(d)}#$maxId"
     val (rows, schema) = centCache.getOrElseUpdate((cacheKey, steps, k), {
       val seeds = (0 until k)
         .map(j => (0 until Dim).map(i => centComponent(j, i)))
@@ -320,6 +321,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
       val sample = vectors(s, d)
         .where(col("vec_id") % IvfSampleMod === 0)
+        .where(col("vec_id") < maxId) // q341: train on the base snapshot only
         .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
       val chain = (1 to steps).foldLeft(seedRow)((c, _) => lloydStep(sample, c))
       // The centroid row is BOUNDED (8 cells × 64 dims of doubles):
@@ -338,14 +340,21 @@ object Similarity {
     * the given centroid row. Shared by q63 (in-flight assignment) and
     * q76 (materialized inverted file).
     */
-  private[graft] def ivfWithCells(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
+  private[graft] def ivfWithCells(s: SparkSession, d: String, cents: DataFrame): DataFrame =
+    withCells(vectors(s, d), cents)
+
+  /** Cell assignment of an arbitrary (vec_id, v) relation against a
+    * centroid row — factored from ivfWithCells so q341 can assign a
+    * DELTA slice without touching the rest of the corpus.
+    */
+  private[graft] def withCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     // native SeqDot inside the transform lambda: the 8 per-vector dots
     // against the (data-driven) centroid array each run as one fused
     // scalar loop instead of an interpreted aggregate(zip_with(...))
     val cells = array_sort(transform(col("cs"), sc =>
       struct((-SeqDot(col("v"), sc.getField("c"))).as("nd"),
         sc.getField("cell").as("j"))))
-    vectors(s, d).crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cells", cells)
       .drop("cs")
   }
@@ -375,7 +384,7 @@ object Similarity {
     * cells). Shared so the blocked-matryoshka composition (q109) can
     * never drift from q63's cell assignment.
     */
-  private def ivfOracleCtes(steps: Int): String = {
+  private def ivfOracleCtes(steps: Int, sampExtra: String = ""): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""sdots$t AS (
               SELECT s.vec_id, s.v, c.j,
@@ -407,7 +416,8 @@ object Similarity {
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             samp AS (SELECT vec_id, v FROM e
                      WHERE vec_id % $IvfSampleMod = 0
-                       AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0),
+                       AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                       $sampExtra),
             $stepCtes,
             dots AS (
               SELECT e.vec_id, e.v, c.j,
@@ -424,8 +434,8 @@ object Similarity {
                        WHERE r <= $IvfNProbe AND vec_id < 8)"""
   }
 
-  private def ivfOracle(steps: Int): String =
-    s"""${ivfOracleCtes(steps)},
+  private def ivfOracle(steps: Int, sampExtra: String = ""): String =
+    s"""${ivfOracleCtes(steps, sampExtra)},
             scored AS (
               SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
@@ -477,6 +487,72 @@ object Similarity {
       ivfRank(ivfProbes(ev), inv)
     },
     annIvf.oracle // identical semantics: the inverted file is q63, materialized
+  )
+
+  /** The delta cut for q341: the newest ~10% of vec_ids. Integer
+    * arithmetic ((max·9) div 10) so both engines compute the identical
+    * boundary; reading max(vec_id) is a parquet-footer aggregate.
+    */
+  private[graft] def deltaCut(s: SparkSession, d: String): Long =
+    vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0) * 9 / 10
+
+  /** The cell assignment of one side of the q341 cut against the BASE-
+    * trained centroids — factored so `IvfDeltaSpec` can plan-gate that
+    * the append path's scan carries the delta range predicate.
+    */
+  private[graft] def deltaAssign(s: SparkSession, d: String, d0: Long,
+      delta: Boolean): DataFrame = {
+    val side = if (delta) col("vec_id") >= d0 else col("vec_id") < d0
+    withCells(vectors(s, d).where(side), ivfCents(s, d, maxId = d0))
+      .select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+  }
+
+  /** q341 — INCREMENTAL ANN INDEX MAINTENANCE (round-14 verdict task 4):
+    * a delta vector batch is appended into the q76-style cell-partitioned
+    * serving store using the STORED centroids — no retrain — and the
+    * probe reads base + increment as one index. This was the last store
+    * in the repo that had to be rebuilt from scratch per batch; it now
+    * follows the q99/q129/q300 increment-vs-rebuild discipline.
+    *
+    * Shape: centroids are trained ONCE on the base snapshot (the newest
+    * ~10% of vec_ids play the arriving delta), the base inverted file is
+    * a per-corpus-snapshot artifact (`artifactOnce`), and the recurring
+    * operation — the one the bench measures — is `O(delta + probe)`:
+    * assign ONLY the delta against the stored centroid row (the range
+    * predicate pushes into the parquet scan — `IvfDeltaSpec` plan-gates
+    * it) and land it as a cell-partitioned increment beside the base
+    * (q99's increment-files discipline: appends never rewrite the
+    * immutable base; a real deployment compacts increments on a slow
+    * cadence, and q318's distortion audit is the retrain trigger when
+    * the delta drifts off the stored codebook). The DuckDB oracle
+    * rebuilds from scratch — trains the same Lloyd chain on the base
+    * sample, assigns the WHOLE corpus, probes — so hash equality IS the
+    * proof that append-then-probe ≡ rebuild-then-probe; `IvfDeltaSpec`
+    * additionally proves it in-engine against a fresh full rebuild.
+    */
+  val annIndexDelta = Q(
+    "q341_ann_index_delta",
+    (s, d) => {
+      val d0 = deltaCut(s, d)
+      val base = graft.sources.Sources.artifactOnce(d, "ivf_delta_base") { p =>
+        deltaAssign(s, d, d0, delta = false)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(p)
+      }
+      // run-unique increment dir: bench reps must re-measure the append,
+      // not accumulate duplicates into a shared store
+      val inc = graft.sources.Sources.scratchLeaf(d,
+        s"ivf_delta_inc_${java.util.UUID.randomUUID().toString.take(8)}")
+      deltaAssign(s, d, d0, delta = true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(inc)
+      val store = s.read.parquet(base).unionByName(s.read.parquet(inc))
+      val probes = ivfProbes(
+        withCells(vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = d0)))
+      ivfRank(probes, store)
+    },
+    Some(ivfOracle(IvfLloydSteps,
+      "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)"))
   )
 
   /** q81 — INT8 embedding quantization, the storage/serving compression
@@ -2008,5 +2084,6 @@ object Similarity {
     Seq(cosineTopK, annLsh, annLsh8, cosineTopKAgg, annIvf, annIvfFile, quantizeInt8,
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
-      rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier)
+      rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
+      annIndexDelta)
 }
