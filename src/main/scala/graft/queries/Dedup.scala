@@ -96,11 +96,14 @@ object Dedup {
     * constants from the seed inline, so both engines walk the same
     * permutations.
     */
-  private val MinhashP = 2147483647L // Mersenne prime 2^31 - 1
-  private def mixA(i: Int): Long = (2654435761L * (2L * i + 1)) % MinhashP
-  private def mixB(i: Int): Long = (40503L * (i + 1)) % MinhashP
+  // Single source of truth for the family lives with the native
+  // signature expression ([[graft.functions.MinHashSig]]); the batch
+  // aggregation and the oracle CTEs below spell out the same constants.
+  private val MinhashP = graft.functions.MinHashSig.P
+  private def mixA(i: Int): Long = graft.functions.MinHashSig.mixA(i)
+  private def mixB(i: Int): Long = graft.functions.MinHashSig.mixB(i)
 
-  private def bandRows(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def bandRows(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val withH = grams.withColumn("h",
       expr("CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
         % MinhashP)
@@ -1597,11 +1600,159 @@ object Dedup {
              FROM ag""")
   )
 
+  /** q342's match horizon: a candidate pair must arrive within this many
+    * seconds of event time. Arrival time is the synthetic ingest clock
+    * `ts = epoch + (doc_id + 1000) seconds` (documents carry no
+    * timestamp), so the DuckDB oracle's horizon predicate is
+    * `abs(doc_a − doc_b) ≤ H`.
+    */
+  private[graft] val StreamHorizonSec = 128L
+
+  /** Row-local LSH band rows (doc_id, ts, n, bk) — `bandRows`' relation
+    * computed with ZERO shuffles: one document is one input row, so its
+    * gram set, 12 minhashes, and 6 band keys are array expressions over
+    * that row (the batch form shuffles the exploded gram relation; a
+    * stream cannot, and does not need to). Gram/hash/band arithmetic is
+    * IDENTICAL to the batch path — same tokens, same distinct trigrams,
+    * same universal-hash family, same band-key md5 — which is what lets
+    * q342's stream share q23's oracle. Works on batch and streaming
+    * DataFrames alike (`StreamNearDupSpec` pins row-local ≡ bandRows).
+    */
+  private[graft] def rowLocalBands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // native fused signature ([[graft.functions.MinHashSig]]): grams,
+    // dedup, md5, and the k mixes in one loop per row — the declarative
+    // spelling (~16 interpreted HOF lambdas per row) cost ~4 s of the
+    // sf0.1 ingest path (A/B in BASELINE.md r14)
+    val withSig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= GramsN)
+      .withColumn("sg", graft.functions.MinHashSig(col("ws"), GramsN, MinhashK))
+    val bandKeys = (0 until MinhashK / 2).map { b =>
+      TextFns.md5Hex(concat(lit(s"$b#"),
+        col("sg.sig")(2 * b), lit(","), col("sg.sig")(2 * b + 1)))
+    }
+    // +1000: the synthetic clock must not start AT the initial
+    // watermark (0) — a ts=0 row is filtered as late before the
+    // stateful operator ever sees it. Only differences matter.
+    withSig.select(col("doc_id"),
+      timestamp_seconds(col("doc_id") + 1000L).as("ts"),
+      col("sg.n").as("n"),
+      explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** Drains a documents stream through the band-keyed
+    * [[graft.streaming.BandMatcher]] into a memory sink named `name` —
+    * factored so `StreamNearDupSpec` can drive a STAGED multi-file
+    * source (cross-batch candidates, state eviction) through the exact
+    * operator the registered query runs.
+    */
+  private[graft] def runNearDupStream(s: org.apache.spark.sql.SparkSession,
+      docsStream: org.apache.spark.sql.DataFrame, name: String, chk: String): Unit = {
+    import s.implicits._
+    val q = rowLocalBands(docsStream)
+      .withWatermark("ts", s"$StreamHorizonSec seconds")
+      .select(col("bk"), col("doc_id"), col("ts"), col("n"))
+      .as[(String, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.BandMatcher(StreamHorizonSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("da", "db", "na", "nb")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Exact-Jaccard verification of a streamed candidate-pair table —
+    * q23's verify half, candidate-scoped, against the STORED gram-id
+    * index ([[prefixArrArtifact]], the per-corpus-snapshot artifact
+    * q151/q334 share) instead of re-deriving the corpus gram relation
+    * per run: the id filter is a bounded collected set pushed into the
+    * index scan, the intersection is a codegen'd `array<long>`
+    * intersect, and gram-id distinctness is asserted at the index
+    * build, so the Jaccard counts are exactly the raw-gram counts
+    * (re-derivation A/B'd at 5.5 s vs 1.5 s for the whole query at
+    * sf0.1 — BASELINE.md r14).
+    */
+  private[graft] def verifyStreamCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String, cand0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = cand0.select("da", "db", "na", "nb").distinct()
+    // bounded collect: candidate doc ids only (band collisions within
+    // the horizon — LSH's expected-O(1) per bucket)
+    val ids = cand.select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val arr = prefixArrArtifact(s, d).where(col("doc_id").isInCollection(ids))
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("ws").as("wa")), "da")
+      .join(arr.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThresholdLsh)
+  }
+
+  /** q342 — IN-STREAM NEAR-DEDUP (round-14 verdict task 5): the
+    * crawler-ingest near-duplicate gate. q64 is exact streaming dedup
+    * (same id within watermark); THIS is the lexical one — MinHash band
+    * signatures computed per arriving document with zero shuffles
+    * ([[rowLocalBands]]), matched against per-band keyed state inside
+    * `transformWithState` ([[graft.streaming.BandMatcher]] — q223's
+    * MapState machinery) within a watermark horizon, then
+    * exact-verified OUTSIDE the stream on the tiny candidate set. The
+    * oracle is batch q23 restricted to the same horizon
+    * (|doc_a − doc_b| ≤ 128 under the synthetic ingest clock
+    * ts = epoch + doc_id s): streaming and batch must agree pair for
+    * pair, jaccard bit for bit.
+    *
+    * Scale shape: state holds one horizon's worth of band rows, never
+    * the corpus (eviction on input + event-time timers — the
+    * BandMatcher scaladoc carries the no-missed-pair inequality); the
+    * signature is row-local so ingest does no corpus-wide work; the
+    * only all-pairs work is within (band key × horizon) buckets,
+    * LSH's usual expected-O(1). The verify pass here reads the batch
+    * gram relation for candidates — a production gate would keep doc
+    * gram sets alongside the candidate emission or verify against a
+    * document store, either way candidate-scoped.
+    */
+  val streamNearDup = Q(
+    "q342_stream_neardup",
+    (s0, d) => {
+      val s = s0.newSession()
+      // keyed-state partitions sized small for the test/bench scale
+      // (q166's sizing rule); production sizes to band-key spread.
+      // RocksDB provider: transformWithState's multi-column-family
+      // state is not supported by the HDFS-backed default (q223).
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val name = "stream_neardup_" + java.util.UUID.randomUUID().toString.take(8)
+      val chk = graft.sources.Sources.scratchLeaf(d, s"neardup_chk_$name")
+      runNearDupStream(s,
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d),
+        name, chk)
+      verifyStreamCandidates(s, d, s.table(name))
+    },
+    Some(s"""WITH $sqlMinhashCtes
+       SELECT da AS doc_a, db AS doc_b,
+              CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = da
+       JOIN sizes sb ON sb.doc_id = db
+       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThresholdLsh
+         AND abs(da - db) <= $StreamHorizonSec""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
       kCoreDense, containmentDedup, contaminationHops, dedupConsensus,
-      minhashEstimatorAudit)
+      minhashEstimatorAudit, streamNearDup)
 }
