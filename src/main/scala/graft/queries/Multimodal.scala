@@ -355,28 +355,29 @@ object Multimodal {
     * render → encode → decode → feature) through a real lossy codec
     * (`javax.imageio` JPEG at explicit quality 0.8 — ships with the JDK).
     *
-    * WHY NO HASH ORACLE IS POSSIBLE: a JPEG decode's exact pixel values
+    * WHY PIXELS CANNOT BE HASHED: a JPEG decode's exact pixel values
     * are implementation-defined — the standard fixes the bitstream, not
     * the IDCT rounding, so two conformant decoders (or two JDK versions)
     * may differ by ±1 per sample. Byte-exact comparison (q77's PNG
     * contract) is therefore unportable BY THE CODEC'S OWN SPEC. The
-    * correctness contract is instead rows-only at the driver (one feature
-    * row per document, like q19/q49's approximate sketches) plus a
-    * spec-bounded tolerance band (`JpegCodecSpec`): per-image mean
-    * absolute error and PSNR of the decoded pixels vs the pre-encode
-    * closed form, dims exact, compression real (jpeg_bytes < raw bytes),
-    * and in-JVM determinism (two runs, identical features).
+    * registered query is still FULLY hash-gated (r13 verdict task 6,
+    * via the q172/q208 audit-boolean discipline): the portable columns
+    * (dims — bitstream-fixed — and raw byte count) are emitted exactly,
+    * and every implementation-defined quantity is emitted as an AUDIT
+    * BOOLEAN the oracle expects TRUE — compression real, MAE ≤ 4,
+    * PSNR ≥ 30 dB, per-channel decoded sums within the band of the
+    * closed form. The tolerances are `JpegCodecSpec`'s, moved into the
+    * query; the spec keeps the raw-feature view ([[jpegFeatures]]) for
+    * its determinism and per-JDK pixel-hash pins, and at 100 TB the
+    * same raw view feeds codec-drift monitoring (a decoder regression
+    * is a psnr distribution shift).
     *
-    * Each output row carries the error metrics themselves (`mae`, `psnr`)
-    * — at 100 TB the same columns feed codec-drift monitoring: a decoder
-    * regression shows up as a psnr distribution shift, no re-render
-    * needed. Scale shape matches q77: both stages `mapPartitions` (writer
+    * Scale shape matches q77: both stages `mapPartitions` (writer
     * instance + its native buffers once per partition, not per image),
     * payloads never shuffle, narrow projection out.
     */
-  val jpegDecode = Q(
-    "q103_jpeg_decode",
-    (s, d) => {
+  private[graft] def jpegFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
@@ -434,8 +435,47 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "jpeg_bytes", "raw_bytes",
         "sum_r", "sum_g", "sum_b", "mae", "psnr")
+  }
+
+  val jpegDecode = Q(
+    "q103_jpeg_decode",
+    (s, d) => {
+      // closed-form channel sums for the audit band, computed engine-
+      // side as SQL over the same closed form the oracle unrolls:
+      // sum over pixels of min(255, base + x*3) etc. — exact integers
+      val f = jpegFeatures(s, d)
+        .withColumn("base", col("doc_id") % 64)
+        .withColumn("er", expr(
+          """aggregate(sequence(0, CAST(width AS INT) - 1), CAST(0 AS BIGINT),
+             (a, x) -> a + least(CAST(255 AS BIGINT), base + x * 3)) * height"""))
+        .withColumn("eg", expr(
+          """aggregate(sequence(0, CAST(height AS INT) - 1), CAST(0 AS BIGINT),
+             (a, y) -> a + least(CAST(255 AS BIGINT), base + y * 5)) * width"""))
+        .withColumn("eb", expr(
+          """aggregate(flatten(transform(sequence(0, CAST(width AS INT) - 1),
+               x -> transform(sequence(0, CAST(height AS INT) - 1),
+                 y -> greatest(CAST(0 AS BIGINT), 255 - (x + y) * 2)))),
+             CAST(0 AS BIGINT), (a, v) -> a + v)"""))
+        .withColumn("slack", lit(4L) * col("width") * col("height"))
+      f.select(col("doc_id"), col("width"), col("height"), col("raw_bytes"),
+        (col("jpeg_bytes") > 0L && col("jpeg_bytes") < col("raw_bytes")).as("compressed"),
+        (col("mae") <= 4.0).as("mae_ok"),
+        (col("psnr") >= 30.0).as("psnr_ok"),
+        (abs(col("sum_r") - col("er")) <= col("slack")).as("sum_r_ok"),
+        (abs(col("sum_g") - col("eg")) <= col("slack")).as("sum_g_ok"),
+        (abs(col("sum_b") - col("eb")) <= col("slack")).as("sum_b_ok"))
     },
-    None // lossy codec: rows-only at the driver; tolerance band in JpegCodecSpec
+    // The oracle recomputes the portable columns from the closed form
+    // and expects every implementation-defined audit to hold: the hash
+    // gate proves dims/raw_bytes exactly and the codec bands by value.
+    Some("""SELECT doc_id,
+                   CAST(48 + (doc_id % 3) * 16 AS BIGINT) AS width,
+                   CAST(32 + (doc_id % 2) * 16 AS BIGINT) AS height,
+                   CAST(3 * (48 + (doc_id % 3) * 16) * (32 + (doc_id % 2) * 16) AS BIGINT)
+                     AS raw_bytes,
+                   TRUE AS compressed, TRUE AS mae_ok, TRUE AS psnr_ok,
+                   TRUE AS sum_r_ok, TRUE AS sum_g_ok, TRUE AS sum_b_ok
+            FROM documents""")
   )
 
   /** Closed-form 16-bit PCM waveform for `doc_id`: integer samples in

@@ -20,8 +20,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class JpegCodecSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // the raw-feature view (mae/psnr/sums): the registered query projects
+  // it to oracle-hashable audit booleans, this spec bands the values
   private def run() =
-    SparkEntry.queries("q103_jpeg_decode")(spark, TestSpark.Sf0001)
+    queries.Multimodal.jpegFeatures(spark, TestSpark.Sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
@@ -74,6 +76,15 @@ class JpegCodecSpec extends AnyFunSuite {
   test("q103: same-JVM determinism — two runs produce identical features") {
     assert(run().toSeq == run().toSeq,
       "JPEG pipeline is not deterministic within one JVM")
+  }
+
+  test("q103: the registered audit projection is all-true and matches the feature view") {
+    val rows = SparkEntry.queries("q103_jpeg_decode")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == run().length, "one audit row per feature row")
+    rows.foreach { r =>
+      (4 to 9).foreach(i => assert(r.getBoolean(i),
+        s"doc ${r.getLong(0)} audit column $i is FALSE — codec left the band"))
+    }
   }
 
   /** The MAE/PSNR band is deliberately loose (a conformant decoder swap

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q105 approximate profile: the error-bound contract standing in for
-  * the hash oracle an approximate sketch cannot have (the q19/q49/q103
+  * the hash oracle an approximate sketch cannot have (the q19/q49
   * pattern). Everything non-approximate must stay EXACT — only the
   * distinct estimate gets a band.
   */
