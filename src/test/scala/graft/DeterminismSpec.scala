@@ -56,13 +56,20 @@ class DeterminismSpec extends AnyFunSuite {
   // round-13 additions (verdict task 7): q321/q322 select rows AT an
   // integer rank boundary — exactly the rank-at-boundary class whose
   // (cents, event_id) tiebreak must be total under every merge order
+  // round-14 additions (r13 verdict task 7): q326's sorted-struct path
+  // assembly, q333's rank-10 leaderboard cut, q335's rank-selected
+  // percentile members, q340's top-20 score cut — natural-fixture ties
+  // are scarce at sf0.001 (probed via DuckDB), so each also gets a
+  // CRAFTED-tie test below that puts a tie exactly at its cut
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
       "q305_quantile_norm", "q307_mutual_knn",
       "q313_record_linkage", "q316_apriori_triples",
       "q320_multitouch_attribution",
-      "q321_qq_ventiles", "q322_trimmed_mean")) {
+      "q321_qq_ventiles", "q322_trimmed_mean",
+      "q326_session_paths", "q333_leaderboard_churn",
+      "q335_funnel_latency", "q340_personalized_pagerank")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
@@ -190,6 +197,108 @@ class DeterminismSpec extends AnyFunSuite {
     assert(out.count() > 0, "no mutual k-NN pairs at sf0.001")
     assert(out.where(col("rank_ab") =!= col("rank_ba")).count() > 0,
       "every mutual pair has symmetric ranks — the two directional rankings are vacuously equal")
+  }
+
+  /** Write a crafted events.parquet under a temp dir (the q322 device:
+    * natural fixtures rarely tie AT a cut, so the tie is constructed)
+    * and return the dir for registered-query runs.
+    */
+  private def craftEvents(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_det_fixture").toString
+    rows.map { case (id, ts, u, tpe, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, tpe, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def underTwoLayouts(name: String, dir: String): (Seq[String], Seq[String]) = {
+    def run(parts: Int): Seq[String] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      canon(SparkEntry.queries(name)(s, dir))
+    }
+    (run(1), run(17))
+  }
+
+  test("q326: a same-ts tie inside a session's first 3 resolves by event_id, layout-free") {
+    // user 1: view/click at the SAME second (ids 1 < 2), purchase +60s;
+    // user 2: the same tie with the DF rows inserted in reverse id order
+    val dir = craftEvents(Seq(
+      (3L, "2024-01-01 00:01:00", 1L, "purchase", 1.0),
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (5L, "2024-01-01 00:00:00", 2L, "click", 1.0),
+      (4L, "2024-01-01 00:00:00", 2L, "view", 1.0)))
+    val (a, b) = underTwoLayouts("q326_session_paths", dir)
+    assert(a == b, "q326 path assembly depends on layout under a ts tie")
+    val paths = SparkEntry.queries("q326_session_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(paths.toSeq == Seq(("view>click", 1L), ("view>click>purchase", 1L)),
+      s"ts tie did not break on event_id: ${paths.toSeq}")
+  }
+
+  test("q333: a cents tie AT the rank-10 cut decides membership by user_id, layout-free") {
+    // day 1: users 1-9 distinct, users 10 & 11 TIE at the cut (user 10
+    // kept), user 12 below; day 2: user 10 drops out, user 11 rises in —
+    // a wrong tiebreak on day 1 changes the overlap from 9 to 10
+    val day1 = (1L to 9L).map(u => (u, "2024-01-01 00:00:00", u, "view", (200L - u).toDouble / 10.0)) ++
+      Seq((10L, "2024-01-01 00:00:00", 10L, "view", 1.5),
+        (11L, "2024-01-01 00:00:00", 11L, "view", 1.5),
+        (12L, "2024-01-01 00:00:00", 12L, "view", 1.0))
+    val day2 = (1L to 9L).map(u => (100L + u, "2024-01-02 00:00:00", u, "view", (200L - u).toDouble / 10.0)) ++
+      Seq((110L, "2024-01-02 00:00:00", 10L, "view", 0.5),
+        (111L, "2024-01-02 00:00:00", 11L, "view", 1.5),
+        (112L, "2024-01-02 00:00:00", 12L, "view", 1.0))
+    val dir = craftEvents(day1 ++ day2)
+    val (a, b) = underTwoLayouts("q333_leaderboard_churn", dir)
+    assert(a == b, "q333 depends on layout under a boundary tie")
+    val row = SparkEntry.queries("q333_leaderboard_churn")(spark, dir).collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(2) == 10L && row.head.getLong(4) == 9L,
+      s"rank-10 tie not broken by user_id: k_a=${row.head.getLong(2)} overlap=${row.head.getLong(4)}")
+  }
+
+  test("q335: the p50 rank lands inside a latency tie; the member is user-id-deterministic") {
+    // view->click latencies 10, 20, 20, 30 s: n = 4, p50 rank 2 sits on
+    // the tied 20s pair, p90 rank 4 on the 30
+    val dir = craftEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 00:00:10", 1L, "click", 1.0),
+      (3L, "2024-01-01 00:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-01 00:00:20", 2L, "click", 1.0),
+      (5L, "2024-01-01 00:00:00", 3L, "view", 1.0),
+      (6L, "2024-01-01 00:00:20", 3L, "click", 1.0),
+      (7L, "2024-01-01 00:00:00", 4L, "view", 1.0),
+      (8L, "2024-01-01 00:00:30", 4L, "click", 1.0)))
+    val (a, b) = underTwoLayouts("q335_funnel_latency", dir)
+    assert(a == b, "q335 depends on layout under a percentile-rank tie")
+    val rows = SparkEntry.queries("q335_funnel_latency")(spark, dir).collect()
+      .filter(_.getString(0) == "view_to_click")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 20L && r.getLong(3) == 30L,
+      s"percentile members off under the tie: $r")
+  }
+
+  test("q340: the top-20 cut lands INSIDE a score tie at sf0.01 (node tiebreak decides)") {
+    // DuckDB-probed (no tie exists at sf0.001): ranks 20-22 all score
+    // 5117 micro — nodes {1131, 1252, 1695} tie across the cut, and the
+    // node-id tiebreak must keep exactly 1131. A merge-order-dependent
+    // ranking would keep an arbitrary one of the three.
+    val out = SparkEntry.queries("q340_personalized_pagerank")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 20)
+    val cutScore = out.map(_._2).min
+    assert(out.contains((1131L, cutScore)) &&
+      !out.exists(p => p._1 == 1252L || p._1 == 1695L),
+      s"cut tie not broken by node id: ${out.filter(_._2 == cutScore).toSeq}")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "17")
+    val again = SparkEntry.queries("q340_personalized_pagerank")(s, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.sameElements(out.sorted), "q340 top-20 depends on layout at sf0.01")
   }
 
   test("q217: mode ties really exist in the fixture (the flag is load-bearing)") {
