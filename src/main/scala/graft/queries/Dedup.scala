@@ -872,52 +872,54 @@ object Dedup {
       val isBatch1 = col("doc_id") % 10 === 0
       val isBatch2 = col("doc_id") % 10 === 5
 
+      // delta-sized signature builds through the fused row-local path
+      // (MinHashSig — identical relation to bandRows∘wordGrams, pinned
+      // by StreamNearDupSpec; no per-batch gram explode/shuffle)
+      def bands(pred: org.apache.spark.sql.Column) =
+        rowLocalBands(docs.where(pred)).select("doc_id", "n", "bk")
+
       val store = graft.sources.Sources.scratchLeaf(d, "minhash_index_base")
       val success = new org.apache.hadoop.fs.Path(store, "_SUCCESS")
       val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(success))
-        bandRows(TextFns.wordGrams(docs.where(!isBatch1 && !isBatch2), GramsN))
+        bands(!isBatch1 && !isBatch2)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
       val baseBands = s.read.parquet(store)
 
       // band-collision candidates of one batch against the stored index,
-      // exact-verified on candidate docs' shingles only (`batchPred`
-      // orients the verify join: batch grams meet index grams, never
-      // within-side pairs; the join back to `cand` screens out index
-      // docs the band probe never produced — e.g. batch-1 rejects)
+      // exact-verified on the STORED per-doc gram-id index
+      // (prefixArrArtifact — the q342-verify move: a production
+      // near-dup store keeps doc gram sets next to the band index, so
+      // the verify touches candidate rows of a bounded table instead of
+      // re-deriving the corpus gram relation per batch; gram-id
+      // distinctness is asserted at the index build, so the intersect
+      // counts are the raw-gram counts). The join back to `cand`
+      // screens orientation: batch docs meet index docs only.
       def verifiedPairs(batchBands: org.apache.spark.sql.DataFrame,
-                        indexBands: org.apache.spark.sql.DataFrame,
-                        batchPred: org.apache.spark.sql.Column) = {
+                        indexBands: org.apache.spark.sql.DataFrame) = {
         val cand = batchBands.as("x")
           .join(indexBands.as("y"), col("x.bk") === col("y.bk"))
           .select(col("x.doc_id").as("dn"), col("y.doc_id").as("db"),
             col("x.n").as("nn"), col("y.n").as("nb"))
           .distinct()
-        val candDocs = cand.select(col("dn").as("doc_id"))
-          .union(cand.select(col("db").as("doc_id")))
-          .distinct()
-        val cg = TextFns.wordGrams(docs, GramsN).join(candDocs, "doc_id")
-        val inter = cg.where(batchPred).as("ga")
-          .join(cg.where(!batchPred).as("gb"), col("ga.g") === col("gb.g"))
-          .select(col("ga.doc_id").as("dn"), col("gb.doc_id").as("db"))
-          .join(cand.select("dn", "db"), Seq("dn", "db"))
-          .groupBy("dn", "db")
-          .agg(count(lit(1)).as("c"))
-        inter
-          .join(cand, Seq("dn", "db"))
+        val arr = prefixArrArtifact(s, d)
+        cand
+          .join(arr.select(col("doc_id").as("dn"), col("ws").as("wa")), "dn")
+          .join(arr.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
+          .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
           .select(col("dn"), col("db"),
             (col("c").cast("double") / (col("nn") + col("nb") - col("c"))).as("jaccard"))
           .where(col("jaccard") >= JaccardThresholdLsh)
       }
 
-      val b1Bands = bandRows(TextFns.wordGrams(docs.where(isBatch1), GramsN))
+      val b1Bands = bands(isBatch1)
       // batch-1's verify join has TWO consumers (the inc1 anti-join and
       // the output union) across SEPARATE actions, where exchange reuse
       // can't help — materialize it ONCE to scratch and let both read the
       // parquet back (an O(pairs) file, tiny next to the verify work it
       // saves re-running). Schema is passed explicitly on read: an empty
       // pairs1 (no batch-1 near-dups) may write zero part files.
-      val pairs1Computed = verifiedPairs(b1Bands, baseBands, isBatch1)
+      val pairs1Computed = verifiedPairs(b1Bands, baseBands)
       val pairs1Path = graft.sources.Sources.scratchLeaf(d, "minhash_pairs1")
       pairs1Computed.write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(pairs1Path)
@@ -930,8 +932,8 @@ object Dedup {
         .join(pairs1.select(col("dn").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(inc1)
 
-      val b2Bands = bandRows(TextFns.wordGrams(docs.where(isBatch2), GramsN))
-      val pairs2 = verifiedPairs(b2Bands, baseBands.union(s.read.parquet(inc1)), isBatch2)
+      val b2Bands = bands(isBatch2)
+      val pairs2 = verifiedPairs(b2Bands, baseBands.union(s.read.parquet(inc1)))
 
       pairs1.select(lit(1L).as("batch"), col("dn").as("doc_new"),
           col("db").as("doc_base"), col("jaccard"))
