@@ -491,7 +491,10 @@ object Dedup {
   val ngramJaccardCapped = Q(
     "q73_ngram_jaccard_capped",
     (s, d) => {
-      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+      // stored gram-id index instead of per-run text derivation (q297's
+      // comment applies verbatim)
+      val grams = prefixArrArtifact(s, d)
+        .select(col("doc_id"), explode(col("ws")).as("g"))
       val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
         .where(col("df") <= MaxShingleDf)
         .select("g")
@@ -1384,7 +1387,13 @@ object Dedup {
   val containmentDedup = Q(
     "q297_containment_dedup",
     (s, d) => {
-      val grams = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+      // gram relation re-read from the stored per-doc gram-id index
+      // (one bounded parquet read + explode) instead of re-deriving
+      // text -> grams -> distinct per run; ids stand in for gram
+      // strings everywhere downstream (identity-only use, the q151
+      // collision argument)
+      val grams = prefixArrArtifact(s, d)
+        .select(col("doc_id"), explode(col("ws")).as("g"))
       val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
         .where(col("df") <= MaxShingleDf)
         .select("g")
