@@ -64,7 +64,7 @@ object Similarity {
 
   private val Dim = 64
 
-  private def bucketCol(nPlanes: Int): Column = {
+  private[graft] def bucketCol(nPlanes: Int): Column = {
     // native SeqDot: one fused codegen'd loop per plane projection,
     // replacing the interpreted aggregate(zip_with(...)) HOF pair
     def dotPlane(p: Int): Column =
