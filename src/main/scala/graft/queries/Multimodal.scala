@@ -440,22 +440,24 @@ object Multimodal {
   val jpegDecode = Q(
     "q103_jpeg_decode",
     (s, d) => {
-      // closed-form channel sums for the audit band, computed engine-
-      // side as SQL over the same closed form the oracle unrolls:
-      // sum over pixels of min(255, base + x*3) etc. — exact integers
+      // closed-form channel sums for the audit band, as pure integer
+      // arithmetic (no per-pixel HOF work — an earlier aggregate()
+      // spelling cost 2.4 s/run at sf0.1, BASELINE.md r14):
+      //   r = min(255, base + 3x) clamps from x = k ( = #unclamped
+      //       columns); er = h·(k·base + 3·k(k−1)/2 + (w−k)·255)
+      //   g symmetric with step 5 over y
+      //   b = max(0, 255 − 2(x+y)) NEVER clamps at these dims
+      //       (max x+y = 126 ⇒ b ≥ 3): eb = w·h·(255 − (w−1) − (h−1))
       val f = jpegFeatures(s, d)
         .withColumn("base", col("doc_id") % 64)
+        .withColumn("kx", expr("least(width, (255 - base) div 3 + 1)"))
+        .withColumn("ky", expr("least(height, (255 - base) div 5 + 1)"))
         .withColumn("er", expr(
-          """aggregate(sequence(0, CAST(width AS INT) - 1), CAST(0 AS BIGINT),
-             (a, x) -> a + least(CAST(255 AS BIGINT), base + x * 3)) * height"""))
+          "height * (kx * base + 3 * (kx * (kx - 1) div 2) + (width - kx) * 255)"))
         .withColumn("eg", expr(
-          """aggregate(sequence(0, CAST(height AS INT) - 1), CAST(0 AS BIGINT),
-             (a, y) -> a + least(CAST(255 AS BIGINT), base + y * 5)) * width"""))
+          "width * (ky * base + 5 * (ky * (ky - 1) div 2) + (height - ky) * 255)"))
         .withColumn("eb", expr(
-          """aggregate(flatten(transform(sequence(0, CAST(width AS INT) - 1),
-               x -> transform(sequence(0, CAST(height AS INT) - 1),
-                 y -> greatest(CAST(0 AS BIGINT), 255 - (x + y) * 2)))),
-             CAST(0 AS BIGINT), (a, v) -> a + v)"""))
+          "width * height * (255 - (width - 1) - (height - 1))"))
         .withColumn("slack", lit(4L) * col("width") * col("height"))
       f.select(col("doc_id"), col("width"), col("height"), col("raw_bytes"),
         (col("jpeg_bytes") > 0L && col("jpeg_bytes") < col("raw_bytes")).as("compressed"),
