@@ -65,13 +65,16 @@ object Dedup {
     * to AQE, which broadcasts them when they fit and shuffle-joins when
     * they don't — an O(#documents) broadcast hint would OOM at scale.
     *
-    * Dataflow note: the gram relation is consumed by exactly TWO
-    * exchanges — the signature aggregation (shuffle by doc_id, with the
+    * Dataflow note: the gram relation is consumed by exactly ONE
+    * exchange — the signature aggregation (shuffle by doc_id, with the
     * gram count folded in as one more agg column, so no separate `sizes`
-    * scan) and the verify self-join (shuffle by gram, candidate-scoped,
-    * canonically identical on both sides so Spark plans one exchange and
-    * reuses it). `persist()` on grams is a measured regression (SURVEY
-    * round-2 notes); this shape gets the same effect from exchange reuse.
+    * scan). The verify reads the STORED per-doc gram-id index
+    * ([[prefixArrArtifact]]) instead of re-deriving and self-joining the
+    * gram relation (r14, the q99/q342 move: a production dedup store
+    * keeps doc gram sets beside the signatures; the earlier
+    * candidate-scoped self-join with its reused shuffle-by-gram
+    * exchange was ~1.5 s/run of rework at sf0.1). `persist()` on grams
+    * is a measured regression (SURVEY round-2 notes).
     */
   /** (doc_id, n, bk) band rows for a document set — the LSH signature
     * store schema. All k minhashes in ONE aggregation pass: k min-columns
@@ -128,22 +131,15 @@ object Dedup {
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
           col("x.n").as("na"), col("y.n").as("nb"))
         .distinct()
-      // Verify on a single candidate-scoped gram relation: restrict grams
-      // to candidate docs (semi-join against the tiny candidate-id set),
-      // then self-join on the gram. Both self-join inputs are the same
-      // canonical plan, so the shuffle-by-gram exchange is computed once
-      // and reused for the other side.
-      val candDocs = cand.select(col("da").as("doc_id"))
-        .union(cand.select(col("db").as("doc_id")))
-        .distinct()
-      val cg = grams.join(candDocs, "doc_id")
-      val inter = cg.as("ga")
-        .join(cg.as("gb"), col("ga.g") === col("gb.g") && col("ga.doc_id") < col("gb.doc_id"))
-        .select(col("ga.doc_id").as("da"), col("gb.doc_id").as("db"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("c"))
-      inter
-        .join(cand, Seq("da", "db"))
+      // Exact verify against the stored per-doc gram-id index (see the
+      // dataflow note): a candidate-scoped intersect over bounded
+      // arrays, with gram-id distinctness asserted at the index build
+      // so the counts are the raw-gram counts.
+      val arr = prefixArrArtifact(s, d)
+      cand
+        .join(arr.select(col("doc_id").as("da"), col("ws").as("wa")), "da")
+        .join(arr.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
+        .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
         .where(col("jaccard") >= JaccardThresholdLsh)
