@@ -37,19 +37,44 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
-  /** (busy, steal) jiffies from /proc/stat — hypervisor CPU steal is the
-    * one ambient-contention source the in-JVM telemetry (gc, heap) can't
-    * see, and this box has shown >90% steal episodes that inflate
+  /** (busy, steal, iowait) jiffies from /proc/stat — hypervisor CPU steal
+    * is the one ambient-contention source the in-JVM telemetry (gc, heap)
+    * can't see, and this box has shown >90% steal episodes that inflate
     * CPU-bound queries 10–25×. A pass whose steal fraction is high must
-    * not be graded (BASELINE.md round-8 protocol). (0, 0) off Linux.
+    * not be graded (BASELINE.md round-8 protocol). iowait added round 15:
+    * the r14 driver run carried ~20 s of pass-level inflation at
+    * steal_frac ≤ 0.018 — steal alone is not a sufficient contention
+    * flag, and disk-wait is the other ambient channel /proc/stat exposes.
+    * (0, 0, 0) off Linux.
     */
-  private def cpuJiffies: (Long, Long) =
+  private def cpuJiffies: (Long, Long, Long) =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = line.trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal
-      ((f(1).toLong + f(2).toLong + f(3).toLong), f(8).toLong)
-    } catch { case _: Throwable => (0L, 0L) }
+      ((f(1).toLong + f(2).toLong + f(3).toLong), f(8).toLong, f(5).toLong)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
+  /** Cumulative CPU time consumed by THIS JVM (all threads), ns. The
+    * decisive contamination discriminator the r14 driver artifact lacked:
+    * a query whose wall time spikes while its process-CPU stays at its
+    * usual level was descheduled (ambient — someone else had the cores);
+    * one whose CPU spikes with the wall did real extra work (regression).
+    * -1 if the platform bean doesn't expose it.
+    */
+  private def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Locale-pinned fixed-decimal format — the f-interpolator uses the JVM default
+    * locale, which can emit a comma decimal separator and corrupt the
+    * JSON artifacts (ADVICE r14: pass0_over_median and the per-pass
+    * arrays had this latent; steal_frac was already pinned). */
+  private def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(v))
 
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,44 +166,48 @@ object Bench {
     // protocol: a high-steal pass must not be graded).
     val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
     val samples = Array.tabulate(reps) { pass =>
-      val (busy0, steal0) = cpuJiffies
+      val (busy0, steal0, iow0) = cpuJiffies
       val gc0 = gcMillis
+      val pc0 = processCpuNanos
       // per-query GC attribution (round-12 verdict task 5): the JVM-wide
       // collection-time counter sampled around each materialize converts
       // every in-suite-vs-isolated adjudication (q151, q155's pass
       // spikes) from a manual A/B session into a read of the artifact —
       // a query whose wall time spikes WITH gc_ms is paying someone
       // else's garbage; one that spikes without it is doing real work.
+      // Per-query process-CPU (round-15): wall-vs-cpu is the contamination
+      // discriminator — see processCpuNanos.
       val times = names.map { name =>
         val before = tempViews() // outside the timed region
         val g0 = gcMillis
+        val c0 = processCpuNanos
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
         val gq = gcMillis - g0
+        val cq = if (c0 < 0) -1L else (processCpuNanos - c0) / 1000000L
         cleanup(before) // outside the timed region
-        (dt, gq)
+        (dt, gq, cq)
       }
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-      val (busy1, steal1) = cpuJiffies
-      val (db, ds) = (busy1 - busy0, steal1 - steal0)
+      val (busy1, steal1, iow1) = cpuJiffies
+      val (db, ds, di) = (busy1 - busy0, steal1 - steal0, iow1 - iow0)
       val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
-      // Locale.ROOT: the f-interpolator uses the JVM default locale,
-      // which can emit a comma decimal separator and corrupt the one
-      // JSON line the driver parses
-      val sfStr = String.format(java.util.Locale.ROOT, "%.4f",
-        java.lang.Double.valueOf(stealFrac))
-      passTelemetry += (s"""{"pass":$pass,"steal_frac":$sfStr,""" +
+      val iowaitFrac = if (db + di == 0) 0.0 else di.toDouble / (db + di)
+      val passCpuMs = if (pc0 < 0) -1L else (processCpuNanos - pc0) / 1000000L
+      passTelemetry += (s"""{"pass":$pass,"steal_frac":${fmt(stealFrac, 4)},""" +
         s""""busy_jiffies":$db,"steal_jiffies":$ds,""" +
+        s""""iowait_jiffies":$di,"iowait_frac":${fmt(iowaitFrac, 4)},""" +
+        s""""process_cpu_ms":$passCpuMs,""" +
         s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb}""")
       if (debug) {
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
-        names.zip(times).foreach { case (n, (t, g)) =>
-          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g")
+        names.zip(times).foreach { case (n, (t, g, c)) =>
+          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g cpu_ms=$c")
         }
       }
       times
@@ -200,18 +229,28 @@ object Bench {
     // 10.9] medians to 10.9 and the telemetry's steal_frac explains it.
     def passesOf(name: String): String = {
       val i = names.indexOf(name)
-      samples.map(p => f"${p(i)._1}%.3f").mkString("[", ",", "]")
+      samples.map(p => fmt(p(i)._1, 3)).mkString("[", ",", "]")
     }
     def gcOf(name: String): String = {
       val i = names.indexOf(name)
       samples.map(p => p(i)._2.toString).mkString("[", ",", "]")
+    }
+    def cpuOf(name: String): String = {
+      val i = names.indexOf(name)
+      samples.map(p => p(i)._3.toString).mkString("[", ",", "]")
     }
     val slowNames = results.sortBy(-_._2).take(10).map(_._1)
     val slowPasses = slowNames
       .map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
     val slowGc = slowNames
       .map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc}""")
+    // slowest10 per-pass process-CPU ms (round-15): lets the verdict's
+    // driver-vs-local adjudication read "wall spiked, cpu didn't" straight
+    // off the published line — the r14 q166/q165/q155 case needed a
+    // same-day local rerun to make that call.
+    val slowCpu = slowNames
+      .map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -221,6 +260,7 @@ object Bench {
     try {
       val allPasses = names.map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
       val allGc = names.map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
+      val allCpu = names.map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
       // pass0_over_median (round-13 verdict task 8): first-pass /
       // median per query, so one-time artifact-build cost (q151's gram
       // index, q316's L2 levels — paid on whichever pass first touches
@@ -231,11 +271,12 @@ object Bench {
       val p0om = names.zipWithIndex.map { case (n, i) =>
         val med = results(i)._2
         val r = if (med == 0.0) 1.0 else samples(0)(i)._1 / med
-        "\"" + n + "\":" + f"$r%.2f"
+        "\"" + n + "\":" + fmt(r, 2)
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
+          s""""per_pass_cpu_ms":$allCpu,""" +
           s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write $artifact failed: ${e.getMessage}")
