@@ -1136,6 +1136,12 @@ object Dedup {
     * order is threshold-free) reads it and pays only prefix-explode +
     * candidate join + verify.
     */
+  /** The 60-bit gram id over input column `w` — ONE definition so
+    * [[prefixArr]]'s index build and [[prefixArrArtifact]]'s global
+    * collision audit can never use different hash functions. */
+  private[graft] val GramIdSql =
+    "CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
   def prefixArr(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
     // Each doc's gram set as an array<long> of 60-bit md5 gram ids,
@@ -1151,13 +1157,12 @@ object Dedup {
     // Spark from the oracle (not hit both sides — the q22 symmetric-
     // fingerprint rule does NOT apply here). The id is 60-bit md5 over
     // a vocabulary-sized set: collision probability ~n²/2⁶¹ (≪1e-9 at
-    // any plausible vocab), and the artifact build ASSERTS per-doc id
-    // distinctness below, so a collision fails the build loudly instead
-    // of silently shrinking an intersect.
+    // any plausible vocab), and [[prefixArrArtifact]]'s build ASSERTS
+    // GLOBAL id↔gram distinctness over the vocabulary, so a cross-doc
+    // collision — the class that actually shrinks an intersect — fails
+    // the build loudly instead of passing silently.
     val ranked = tok.join(df, "w")
-      .select(col("doc_id"), col("df"),
-        expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-          .as("id"))
+      .select(col("doc_id"), col("df"), expr(GramIdSql).as("id"))
     ranked.groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, id))), x -> x.id)").as("ws"),
         count(lit(1)).as("m"))
@@ -1205,15 +1210,26 @@ object Dedup {
   private[graft] def prefixArrArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(graft.sources.Sources.artifactOnce(d, "prefix_arr_shared") { p =>
-      prefixArr(TextFns.wordGrams(Tables.documents(s, d), GramsN)
-        .select(col("doc_id"), col("g").as("w")))
+      val tok = TextFns.wordGrams(Tables.documents(s, d), GramsN)
+        .select(col("doc_id"), col("g").as("w"))
+      prefixArr(tok)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      // Build-time audit: 60-bit gram ids must be distinct within every
-      // doc (see the collision caveat in prefixArr) — one bounded scan
-      // of the just-written index, paid once per corpus snapshot.
-      val dup = s.read.parquet(p)
-        .where(size(array_distinct(col("ws"))) < size(col("ws"))).count()
-      require(dup == 0L, s"gram-id collision inside $dup docs — 60-bit id space exhausted?")
+      // Build-time audit (ADVICE r14): the collision class that would
+      // silently diverge Spark's long-id intersect from the DuckDB
+      // oracle's string intersect is two DIFFERENT grams sharing one
+      // 60-bit id — a CROSS-doc property a per-doc distinctness check
+      // cannot see. Assert it globally: over the gram VOCABULARY (one
+      // groupBy at vocabulary scale, paid once per corpus snapshot),
+      // every id must map to exactly one gram string. Probability is
+      // ~n²/2⁶¹, but six verify paths (q23/q73/q99/q151/q297/q334/q342)
+      // ride on this index, so the build fails loudly rather than
+      // trusting the odds.
+      val coll = tok.select(col("w")).distinct()
+        .groupBy(expr(GramIdSql).as("id"))
+        .agg(countDistinct(col("w")).as("n"))
+        .where(col("n") > 1).count()
+      require(coll == 0L,
+        s"$coll gram-id values map to >1 gram string — 60-bit id collision")
     })
 
   val prefixSimilarityJoin = Q(

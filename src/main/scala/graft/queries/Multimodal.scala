@@ -458,7 +458,17 @@ object Multimodal {
           "width * (ky * base + 5 * (ky * (ky - 1) div 2) + (height - ky) * 255)"))
         .withColumn("eb", expr(
           "width * height * (255 - (width - 1) - (height - 1))"))
-        .withColumn("slack", lit(4L) * col("width") * col("height"))
+        // Channel-sum slack DERIVED from the audited mae bound (ADVICE
+        // r14): |Σ_c(dec−exp)| ≤ Σ_rgb|dec−exp| = 3·w·h·mae ≤ 12·w·h,
+        // so no conformant decoder that keeps the audited mae ≤ 4 can
+        // flip a sum boolean — even one that concentrates all its error
+        // in one channel (mae averages over 3 channels, so a single
+        // channel may carry up to ~12/pixel). The sum audits therefore
+        // add signal only below the mae gate's ceiling: they pin the
+        // SIGNED per-channel drift a future decoder would need to stay
+        // inside, without putting an unaudited tighter band inside the
+        // oracle hash comparison.
+        .withColumn("slack", lit(12L) * col("width") * col("height"))
       f.select(col("doc_id"), col("width"), col("height"), col("raw_bytes"),
         (col("jpeg_bytes") > 0L && col("jpeg_bytes") < col("raw_bytes")).as("compressed"),
         (col("mae") <= 4.0).as("mae_ok"),

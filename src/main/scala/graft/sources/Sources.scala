@@ -63,16 +63,28 @@ object Sources {
     * finding). The fingerprint also suffixes the path, so a lazy reader
     * of the old artifact keeps reading the bytes it was handed.
     */
-  private val artifactMemo = scala.collection.mutable.HashMap.empty[String, String]
+  private val artifactMemo = scala.collection.mutable.HashMap.empty[String, () => String]
   def artifactOnce(d: String, name: String)(build: String => Unit): String = {
     val fp = dirFingerprint(d)
-    artifactMemo.synchronized {
+    // Per-key build lock (ADVICE r14): the global memo lock is held only
+    // long enough to install a lazy thunk; the Spark build itself runs
+    // under that key's own monitor (a local lazy val's LazyRef), so two
+    // unrelated first-touch builds proceed concurrently and a reader of
+    // an already-built artifact never blocks behind a different
+    // artifact's in-flight build. A failed build leaves the LazyRef
+    // uninitialized, so the next caller retries instead of caching the
+    // failure.
+    val thunk = artifactMemo.synchronized {
       artifactMemo.getOrElseUpdate(s"$name|$d@$fp", {
-        val p = scratchLeaf(d, s"${name}_$fp")
-        build(p)
-        p
+        lazy val built: String = {
+          val p = scratchLeaf(d, s"${name}_$fp")
+          build(p)
+          p
+        }
+        () => built
       })
     }
+    thunk()
   }
 
   /** Cheap dataset fingerprint — (relative path, size, mtime) of every
