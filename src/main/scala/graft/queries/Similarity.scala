@@ -530,15 +530,24 @@ object Similarity {
     * proof that append-then-probe ≡ rebuild-then-probe; `IvfDeltaSpec`
     * additionally proves it in-engine against a fresh full rebuild.
     */
+  /** The immutable base inverted file (the base slice assigned with the
+    * base-trained centroids, cell-partitioned) — a per-corpus-snapshot
+    * artifact shared by q341 (append) and q343 (compaction): both
+    * lifecycle stages operate on the SAME stored base, as they would in
+    * a deployment.
+    */
+  private[graft] def ivfBaseStore(s: SparkSession, d: String, d0: Long): String =
+    graft.sources.Sources.artifactOnce(d, "ivf_delta_base") { p =>
+      deltaAssign(s, d, d0, delta = false)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(p)
+    }
+
   val annIndexDelta = Q(
     "q341_ann_index_delta",
     (s, d) => {
       val d0 = deltaCut(s, d)
-      val base = graft.sources.Sources.artifactOnce(d, "ivf_delta_base") { p =>
-        deltaAssign(s, d, d0, delta = false)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("cell").parquet(p)
-      }
+      val base = ivfBaseStore(s, d, d0)
       // run-unique increment dir: bench reps must re-measure the append,
       // not accumulate duplicates into a shared store
       val inc = graft.sources.Sources.scratchLeaf(d,
@@ -550,6 +559,298 @@ object Similarity {
       val probes = ivfProbes(
         withCells(vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = d0)))
       ivfRank(probes, store)
+    },
+    Some(ivfOracle(IvfLloydSteps,
+      "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)"))
+  )
+
+  /** Per-cell increment-compaction trigger, as a ratio in integer form
+    * (compact cell j iff `Den·incRows(j) ≥ Num·totalRows(j)`, i.e.
+    * fraction ≥ 1/10 — no float boundary): q170 compacts tombstones at
+    * 0.75 because a tombstone's cost is rows re-filtered per read, but
+    * an ANN increment's cost is FILES re-opened and merged per probe
+    * (read amplification), so real inverted-file maintenance compacts at
+    * low single-digit percentages of accumulated delta. 1/10 sits at the
+    * fixture's natural increment fraction (the delta is ~10% of vec_ids,
+    * spread data-dependently across cells), so both regimes — compacted
+    * and carried-by-reference — are non-empty at every test SF
+    * (measured: 6/2 at sf0.001, 3/5 at sf0.01, 6/2 at sf0.1).
+    */
+  private[graft] val IvfIncCompactNum = 1
+  private[graft] val IvfIncCompactDen = 10
+
+  /** One wave of arriving vectors, `[lo, hi)` by vec_id, assigned
+    * against the base-trained centroid row — q341's deltaAssign
+    * generalized to a range so q343 can land MULTIPLE increments before
+    * the compaction decision. The range predicate pushes into the
+    * parquet scan (plan-gated in `IvfCompactSpec`), so each append is
+    * O(wave), never O(corpus).
+    */
+  private[graft] def waveAssign(s: SparkSession, d: String, d0: Long,
+      lo: Long, hi: Long): DataFrame =
+    withCells(vectors(s, d).where(col("vec_id") >= lo && col("vec_id") < hi),
+      ivfCents(s, d, maxId = d0))
+      .select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+
+  /** The q343 store handle: manifest-versioned views of the inverted
+    * file across the compaction boundary. `v3` is the pre-compaction
+    * view (base + two increments), `v4` the post-compaction view;
+    * `compacted` is the measured per-cell decision. Exposed so
+    * `IvfCompactSpec` can pin the file economics the oracle can't see.
+    */
+  private[graft] final case class IvfCompactStore(
+      root: String, d0: Long, dMid: Long, compactDir: String,
+      v3: Map[Long, Seq[String]], v4: Map[Long, Seq[String]],
+      compacted: Set[Long])
+
+  private def cellDirs(p: String): Map[Long, String] = {
+    val f = new java.io.File(p)
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(x => x.isDirectory && x.getName.startsWith("cell="))
+      .map(x => x.getName.drop(5).toLong -> x.getAbsolutePath).toMap
+  }
+
+  /** Read a manifest view. The live dirs are GROUPED BY their store
+    * root and each group mounts as ONE partition-discovering scan
+    * (`basePath` = the root, so the cell partition column comes back
+    * from the dir names) — one scan per store component (≤ 4: base,
+    * two increments, compact) instead of one per (cell, dir) leaf
+    * (≤ 24), which was most of q343's first-cut 6 s: per-scan planning
+    * overhead, not data. Selecting only the live leaf dirs under each
+    * basePath IS the manifest's partition-level liveness filter.
+    */
+  private[graft] def readStore(s: SparkSession,
+      m: Map[Long, Seq[String]]): DataFrame =
+    m.values.flatten.toSeq.distinct
+      .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      .toSeq.sortBy(_._1)
+      .map { case (root, ds) =>
+        s.read.option("basePath", root).parquet(ds.sorted: _*)
+          .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+      }.reduce(_ unionByName _)
+
+  /** q343's full store lifecycle — base, two increment appends, the
+    * per-cell compaction decision, the compaction commit — returning
+    * the handle. Run-unique root: bench reps re-measure the maintenance
+    * operation, not a cached store.
+    *
+    * Commit protocol (q143's manifest-versioning discipline): every
+    * reader resolves (version → cell → live dirs) through the persisted
+    * manifest, and the v4 row set is written only AFTER the compacted
+    * cell files are fully on disk — a probe pinned to v3 keeps reading
+    * the old dirs (which compaction never mutates), a probe opening v4
+    * sees only complete files, and no reader can observe a
+    * half-compacted store. Retired increments stay on disk until a
+    * vacuum pass (q168's discipline) collects unreferenced dirs; the
+    * manifest — not the filesystem — defines liveness.
+    */
+  private[graft] def compactStore(s: SparkSession, d: String): IvfCompactStore = {
+    import s.implicits._
+    val mx = vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val d0 = mx * 9 / 10
+    val dMid = (d0 + mx + 1) / 2
+    val base = ivfBaseStore(s, d, d0)
+    val root = graft.sources.Sources.scratchLeaf(d,
+      s"ivf_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    val incA = s"$root/inc_a"; val incB = s"$root/inc_b"
+    val compactDir = s"$root/compact"; val manifestDir = s"$root/manifest"
+    waveAssign(s, d, d0, d0, dMid)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(incA)
+    waveAssign(s, d, d0, dMid, Long.MaxValue)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(incB)
+    val baseDirs = cellDirs(base); val aDirs = cellDirs(incA); val bDirs = cellDirs(incB)
+    val cells = (baseDirs.keySet ++ aDirs.keySet ++ bDirs.keySet).toSeq.sorted
+    // each cell's live-dir list kept lexicographically sorted so the
+    // handle and manifestAsOf (which re-sorts after the collect) agree
+    val v3 = cells.map(j =>
+      j -> (baseDirs.get(j).toSeq ++ aDirs.get(j).toSeq ++ bDirs.get(j).toSeq).sorted).toMap
+    // versions 1..3 (base, +incA, +incB) in one metadata commit — a
+    // deployment commits each append as it lands; the boundary that
+    // matters for reader isolation is v3 → v4 below
+    val upTo3 =
+      cells.map(j => (1L, j, Seq(baseDirs(j)))) ++
+        cells.map(j => (2L, j, baseDirs.get(j).toSeq ++ aDirs.get(j).toSeq)) ++
+        cells.map(j => (3L, j, v3(j)))
+    upTo3.flatMap { case (v, j, ps) => ps.map(p => (v, j, p)) }
+      .toDF("version", "cell", "path")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestDir)
+    // the compaction DECISION: ONE bounded metadata aggregate over the
+    // three store components tagged base/increment (grouped on the
+    // partition column only — parquet-footer counts, never a corpus
+    // scan; ≤ 2·cells result rows), then integer-ratio per-cell triggers
+    val cnt = Seq(base -> "b", incA -> "i", incB -> "i")
+      .map { case (root, tag) =>
+        s.read.parquet(root)
+          .select(col("cell").cast("long").as("cell"), lit(tag).as("t"))
+      }.reduce(_ unionByName _)
+      .groupBy("cell", "t").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val compacted = cells.filter { j =>
+      val inc = cnt.getOrElse((j, "i"), 0L)
+      val total = cnt.getOrElse((j, "b"), 0L) + inc
+      IvfIncCompactDen * inc >= IvfIncCompactNum * total
+    }.toSet
+    // the compaction COMMIT: rewrite ONLY the triggered cells (the scan
+    // below prunes to them on the partition column), one new file set
+    // per cell, then publish v4 — untouched cells are carried by
+    // REFERENCE (their v3 paths verbatim), so compaction cost is
+    // proportional to the triggered cells, not the store
+    readStore(s, v3.filter(kv => compacted(kv._1)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(compactDir)
+    val cDirs = cellDirs(compactDir)
+    val v4 = cells.map(j =>
+      j -> (if (compacted(j)) Seq(cDirs(j)) else v3(j))).toMap
+    v4.toSeq.flatMap { case (j, ps) => ps.map(p => (4L, j, p)) }
+      .toDF("version", "cell", "path")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(manifestDir)
+    IvfCompactStore(root, d0, dMid, compactDir, v3, v4, compacted)
+  }
+
+  /** Resolve a manifest version to its per-cell live dirs — the read
+    * path every q343 probe takes (bounded collect: ≤ cells × 3 rows of
+    * (cell, path) metadata).
+    */
+  private[graft] def manifestAsOf(s: SparkSession, root: String,
+      v: Long): Map[Long, Seq[String]] =
+    s.read.parquet(s"$root/manifest").where(col("version") === v)
+      .select("cell", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (j, ps) => j -> ps.map(_._2).toSeq.sorted }
+
+  /** q343 — ANN INCREMENT COMPACTION (round-14 verdict task 2), the
+    * lifecycle half q341's scaladoc deferred: increments accumulate
+    * against the immutable base until a cell's increment fraction
+    * crosses [[IvfIncCompactNum]]/[[IvfIncCompactDen]], then that cell —
+    * and only that cell — is rewritten into a new base file and its
+    * increments retired from the manifest, exactly q170's
+    * threshold-compaction decision applied to the inverted file, with
+    * q143's manifest versioning isolating readers from the rewrite.
+    *
+    * Output: the SAME probe set served through the pre-compaction
+    * manifest (v3: base + 2 increments) and the post-compaction manifest
+    * (v4: mixed rewritten/shared cells), tagged by phase. The oracle
+    * computes the rebuild-from-scratch result ONCE and emits it under
+    * both tags — so the hash gate IS the probe-invariance proof across
+    * the compaction boundary: compaction changed the file layout and
+    * nothing else. `IvfCompactSpec` pins the file economics the result
+    * can't show (increments gone from v4, triggered cells rewritten
+    * once, untouched cells shared by reference).
+    */
+  val annIndexCompact = Q(
+    "q343_ann_index_compact",
+    (s, d) => {
+      val st = compactStore(s, d)
+      val probes = ivfProbes(withCells(
+        vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = st.d0)))
+      def serve(v: Long, phase: String): DataFrame =
+        ivfRank(probes, readStore(s, manifestAsOf(s, st.root, v)))
+          .withColumn("phase", lit(phase))
+      serve(3L, "pre").unionByName(serve(4L, "post"))
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps,
+        "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)")},
+            scored AS (
+              SELECT q.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM probes q JOIN assigned x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id),
+            res AS (
+              SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+                FROM scored) t
+              WHERE rnk <= 5)
+            SELECT ph.phase, res.probe_id, res.neighbor_id, res.cos_sim, res.rnk
+            FROM (VALUES ('pre'), ('post')) ph(phase) CROSS JOIN res""")
+  )
+
+  /** One serving step: a probe micro-batch against the stored inverted
+    * file (base + increment), with the store scan PRUNED to the batch's
+    * probed cells — the router step of an ANN serving tier. The probed
+    * cell set is a bounded collect (≤ batch probes × IvfNProbe values),
+    * and the `isInCollection` predicate on the partition column lands in
+    * the scan's PartitionFilters (`AnnServeSpec` plan-gates it), so each
+    * micro-batch reads `nprobe/k` of the index, never the whole store —
+    * at 100 TB the difference between a serving tier and a rescan.
+    */
+  private[graft] def serveBatch(s: SparkSession, probes: DataFrame,
+      base: String, inc: String): DataFrame = {
+    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    val store = s.read.parquet(base).unionByName(s.read.parquet(inc))
+      .where(col("cell").isInCollection(cells))
+    ivfRank(probes, store)
+  }
+
+  /** q344's full serving loop, factored so `AnnServeSpec` can drive the
+    * batching layout: stage the probe set as `nFiles` files keyed by
+    * probe (repartition on vec_id — BOTH of a probe's IvfNProbe cell
+    * rows must ride in the same micro-batch, or its per-batch top-5
+    * would rank over half its candidates), then stream them through
+    * `foreachBatch` with one file per trigger, serving each micro-batch
+    * against the stored index. Returns the served result and the number
+    * of non-empty micro-batches.
+    */
+  private[graft] def streamServe(s: SparkSession, d: String,
+      nFiles: Int): (DataFrame, Long) = {
+    val d0 = deltaCut(s, d)
+    val base = ivfBaseStore(s, d, d0)
+    val inc = graft.sources.Sources.artifactOnce(d, "ivf_inc_shared") { p =>
+      deltaAssign(s, d, d0, delta = true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(p)
+    }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = graft.sources.Sources.scratchLeaf(d, s"ann_probe_src_$runId")
+    val sink = graft.sources.Sources.scratchLeaf(d, s"ann_serve_out_$runId")
+    val probes = ivfProbes(withCells(
+      vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = d0)))
+    probes.repartition(nFiles, col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val schema = s.read.parquet(src).schema
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          serveBatch(batch.sparkSession, batch.toDF(), base, inc)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
+        }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(serve)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchLeaf(d, s"ann_serve_chk_$runId"))
+      .start()
+    q.awaitTermination()
+    (s.read.parquet(sink), batches.get())
+  }
+
+  /** q344 — STREAMING ANN SERVING (round-14 verdict task 3), the
+    * consumer of the q341-maintained index: probe requests arrive as a
+    * stream and are scored per micro-batch against the STORED
+    * cell-partitioned inverted file (base + increment, both per-corpus-
+    * snapshot artifacts — the serving tier never rebuilds what the
+    * maintenance path owns), with each micro-batch's store scan pruned
+    * to that batch's probed cells (q138's per-batch static re-planning
+    * + q76's partition-column probe, composed via `foreachBatch`). The
+    * probe stream is forced through MULTIPLE micro-batches (one staged
+    * file per trigger, `require`d ≥ 2), and the DuckDB oracle is the
+    * BATCH probe over the same probe set — hash equality proves the
+    * streamed, batch-pruned serving path emits exactly what one batch
+    * probe over the full store would. `AnnServeSpec` pins what the hash
+    * can't: the per-batch scans are partition-pruned, the result is
+    * batching-layout invariant, and appended vectors are serving-visible.
+    */
+  val annStreamServe = Q(
+    "q344_ann_stream_serve",
+    (s, d) => {
+      val (res, n) = streamServe(s, d, nFiles = 4)
+      require(n >= 2, s"expected multiple serving micro-batches, got $n")
+      res
     },
     Some(ivfOracle(IvfLloydSteps,
       "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)"))
@@ -2085,5 +2386,5 @@ object Similarity {
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
-      annIndexDelta)
+      annIndexDelta, annIndexCompact, annStreamServe)
 }

@@ -46,6 +46,32 @@ class IvfDeltaSpec extends AnyFunSuite {
       s"delta assignment scan is not range-pruned to the delta:\n$plan")
   }
 
+  test("q341: increment write order does not change probe results (r14 verdict task 5)") {
+    val d0 = S.deltaCut(spark, d)
+    val base = S.ivfBaseStore(spark, d, d0)
+    val delta = S.deltaAssign(spark, d, d0, delta = true)
+    def probeWith(inc: org.apache.spark.sql.DataFrame, leafName: String) = {
+      val p = graft.sources.Sources.scratchLeaf(d, leafName)
+      inc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(p)
+      val store = spark.read.parquet(base).unionByName(spark.read.parquet(p))
+      val probes = S.ivfProbes(S.withCells(
+        S.vectors(spark, d).where(col("vec_id") < 8), S.ivfCents(spark, d, maxId = d0)))
+      S.ivfRank(probes, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    }
+    // same increment content, opposite within-file row order and a
+    // different file fan-out — the physical layouts a retried or
+    // differently-parallelized append would produce
+    val asc = probeWith(delta.repartition(1).sortWithinPartitions(col("vec_id").asc),
+      "ivf_det_inc_asc")
+    val desc = probeWith(delta.repartition(3).sortWithinPartitions(col("vec_id").desc),
+      "ivf_det_inc_desc")
+    assert(asc.nonEmpty && asc == desc,
+      "probe results depend on the increment's physical write order")
+  }
+
   test("q341: increment is exactly the delta slice and appended vectors surface as neighbors") {
     val d0 = S.deltaCut(spark, d)
     val corpus = S.vectors(spark, d)
