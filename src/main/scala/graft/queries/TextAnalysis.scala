@@ -979,32 +979,49 @@ object TextAnalysis {
     * count exposed for the contraction spec. See [[textRank]] (q118) for
     * semantics and scale notes; the registered query is the top-20 slice.
     */
+  /** The TextRank co-occurrence graph — (src, dst, cnt, wsum), symmetric
+    * directed edges with out-weight sums — as a per-corpus-snapshot
+    * artifact (`artifactOnce`, the q151 train-once discipline). Stored
+    * because the iteration fold below mounts the edge relation once PER
+    * ITERATION: left lazy, the whole tokenize → bigram-explode → two
+    * shuffles chain re-executed 10× inside one q118 run (the q330/q316
+    * unrolled-recursion hazard — ~2/3 of q118's former 2.5 s), and the
+    * graph is corpus-deterministic so the store is shared across runs
+    * like every other index artifact.
+    */
+  private[graft] def textRankGraph(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.sources.Sources.artifactOnce(d, "textrank_graph") { p =>
+      // adjacent-token bigrams as a NARROW array transform (no positional
+      // self-join): docs shorter than 2 tokens contribute nothing — guarded
+      // explicitly because Spark's sequence(2, n) REVERSES for n < 2 where
+      // DuckDB's generate_series returns empty
+      val big = Tables.documents(s, d)
+        .select(TextFns.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(2, size(ws)),
+               i -> struct(element_at(ws, i-1) AS a, element_at(ws, i) AS b))""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+      // undirected co-occurrence graph as a symmetric directed edge list:
+      // each adjacency feeds both (u,v) and (v,u), so weights are symmetric
+      // and every node has out-edges — no dangling-mass redistribution term
+      val e = big.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(big.select(col("b").as("src"), col("a").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      val wout = e.groupBy("src").agg(sum("cnt").cast("double").as("wsum"))
+      e.join(wout, "src")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    })
+
   private[graft] def textRankScores(s: SparkSession, d: String,
       iters: Int = TextRankIters): DataFrame = {
-    // adjacent-token bigrams as a NARROW array transform (no positional
-    // self-join): docs shorter than 2 tokens contribute nothing — guarded
-    // explicitly because Spark's sequence(2, n) REVERSES for n < 2 where
-    // DuckDB's generate_series returns empty
-    val big = Tables.documents(s, d)
-      .select(TextFns.tokens(col("text")).as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(2, size(ws)),
-             i -> struct(element_at(ws, i-1) AS a, element_at(ws, i) AS b))""")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .where(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
-    // undirected co-occurrence graph as a symmetric directed edge list:
-    // each adjacency feeds both (u,v) and (v,u), so weights are symmetric
-    // and every node has out-edges — no dangling-mass redistribution term
-    val e = big.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(big.select(col("b").as("src"), col("a").as("dst")))
-      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
-    val wout = e.groupBy("src").agg(sum("cnt").cast("double").as("wsum"))
-    val nodes = e.select(col("src").as("w")).distinct()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val edges = e.join(wout, "src")
-    val r0 = nodes.crossJoin(broadcast(nRow))
-      .select(col("w"), (lit(1.0) / col("n")).as("r"))
+    val edges = textRankGraph(s, d)
+    val nodes = edges.select(col("src").as("w")).distinct()
+    // node count as a LITERAL (1-row metadata collect): crossJoined into
+    // every iteration, a lazy nRow would re-aggregate the node set 10×
+    val n = nodes.count().toDouble
+    val r0 = nodes.select(col("w"), (lit(1.0) / lit(n)).as("r"))
     (1 to iters).foldLeft(r0) { (r, _) =>
       // bit-exact cross-engine sums: fold contributions in src order
       // (array_sort(collect_list(struct)) + aggregate == DuckDB
@@ -1017,9 +1034,8 @@ object TextAnalysis {
         .agg(expr(
           """aggregate(array_sort(collect_list(struct(src, contrib))),
                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)""").as("s"))
-        .crossJoin(broadcast(nRow))
         .select(col("dst").as("w"),
-          ((lit(1.0) - lit(TextRankDamping)) / col("n")
+          ((lit(1.0) - lit(TextRankDamping)) / lit(n)
             + lit(TextRankDamping) * col("s")).as("r"))
     }
   }
@@ -1036,15 +1052,16 @@ object TextAnalysis {
     * Scale shape: the bigram build is a narrow array transform (no
     * positional self-join); the edge list aggregates once on (src, dst)
     * and is vocabulary²-bounded — in practice power-law sparse, far
-    * smaller than the token stream. Each iteration is one
-    * vocabulary-sized join + aggregation; the chained 10-step plan
-    * mounts the SAME edge subtree per step, which AQE materializes once
-    * and reuses (ReusedExchange, plan-gated like q23) — the iteration
-    * cost is 10 tiny re-aggregations, not 10 corpus scans. No forced
-    * broadcast on any corpus-growing relation (the only hint is the
-    * 1-row node-count mount). At 100 TB the per-iteration state is one
-    * (word, score) table — a checkpoint-per-iteration loop (q70's
-    * discipline) swaps in when plan depth outgrows the optimizer.
+    * smaller than the token stream — and is STORED once per corpus
+    * snapshot ([[textRankGraph]]; AQE's ReusedExchange deduped the edge
+    * SHUFFLE across the 10 mounted subtrees but still re-ran the
+    * upstream derivation — the stored graph removes the corpus from the
+    * iteration plan entirely, plan-gated in PlanSpec). Each iteration is
+    * then one vocabulary-sized join + aggregation over the stored
+    * relation. No forced broadcast on any corpus-growing relation. At
+    * 100 TB the per-iteration state is one (word, score) table — a
+    * checkpoint-per-iteration loop (q70's discipline) swaps in when plan
+    * depth outgrows the optimizer.
     *
     * Determinism: scores are raw doubles with NO rounding — every sum
     * folds in sorted src order on both engines (the q63 bit-exact
@@ -1319,33 +1336,85 @@ object TextAnalysis {
             FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""")
   )
 
-  /** q126 — the SKETCHED per-source quality gate: q120's exact
-    * rank-median replaced by `approx_percentile` (the KLL/GK sketch
-    * family q49 established) — the production shape at 100 TB, where an
-    * exact per-source median costs a full per-group sort and the sketch
-    * costs one mergeable pass. Same join-back and same `>= threshold`
-    * cut; rows-only by design (sketch thresholds are
-    * implementation-defined, like q19/q49/q105), with the contract
-    * carried by `QualityGateSpec`'s differential band instead of a hash:
-    * the sketched kept-set must stay close to q120's exact kept-set,
-    * and every source must retain a sane fraction. The q120/q126 pair
-    * completes the exact-twin discipline (q101/q105, q83/q104): audit
-    * with the exact gate, produce with the sketch.
+  /** The SKETCHED kept-set — q120's gate with the exact rank-median
+    * replaced by `approx_percentile` (the KLL/GK sketch family q49
+    * established), the production shape at 100 TB where an exact
+    * per-source median costs a full per-group sort and the sketch costs
+    * one mergeable pass. Factored so q126's audit and `QualityGateSpec`
+    * run the IDENTICAL sketch path.
+    */
+  private[graft] def sketchKept(s: SparkSession, d: String): DataFrame = {
+    val q = qualityScore.fn(s, d).select(col("doc_id"), col("quality"))
+    val src = Tables.documents(s, d).select(col("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"))
+    val scored = q.join(src, Seq("doc_id"))
+    val meds = scored.groupBy("source")
+      .agg(expr("approx_percentile(quality, 0.5, 10000)").as("med"))
+    scored.join(meds, Seq("source"))
+      .where(col("quality") >= col("med"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** q126 — the SKETCHED per-source quality gate, hash-gated via the
+    * audit-boolean discipline q103 established (round-14 verdict task
+    * 4): the sketch's THRESHOLD is implementation-defined (like
+    * q19/q49/q105), but its CONTRACT is not — so instead of emitting the
+    * impl-defined kept rows (rows-only forever), the query emits what
+    * the contract promises and the oracle expects: per source, the exact
+    * portable counts (`n_docs`, and `n_kept_exact` from q120's exact
+    * gate — the audit reference, computed by the query because an audit
+    * runs both paths; production runs the sketch alone) plus two
+    * booleans that must be TRUE for any conformant sketch — `band_ok`
+    * (kept-set symmetric difference vs the exact gate ≤ 10% of the
+    * corpus, integer form 10·|Δ| ≤ n) and `kept_nonempty` (no source
+    * gutted). A sketch change that breaks the contract now fails the
+    * HASH gate, not just a spec. The q120/q126 pair completes the
+    * exact-twin discipline (q101/q105, q83/q104): audit with the exact
+    * gate, produce with the sketch.
     */
   val qualityGateApprox = Q(
     "q126_quality_gate_approx",
     (s, d) => {
-      val q = qualityScore.fn(s, d).select(col("doc_id"), col("quality"))
       val src = Tables.documents(s, d).select(col("doc_id"),
         coalesce(col("source"), lit("unknown")).as("source"))
-      val scored = q.join(src, Seq("doc_id"))
-      val meds = scored.groupBy("source")
-        .agg(expr("approx_percentile(quality, 0.5, 10000)").as("med"))
-      scored.join(meds, Seq("source"))
-        .where(col("quality") >= col("med"))
-        .select(col("doc_id"), col("source"), col("quality"), col("med"))
+      val keptA = sketchKept(s, d)
+      val keptE = qualityGate.fn(s, d).select(col("doc_id"), col("source"))
+      // the global band: symmetric difference of the two kept-sets as a
+      // fraction of the corpus, compared in integer form (10·|Δ| ≤ n —
+      // no float boundary); both sides are 1-row aggregates
+      val aOnly = keptA.select(col("doc_id")).except(keptE.select(col("doc_id")))
+      val eOnly = keptE.select(col("doc_id")).except(keptA.select(col("doc_id")))
+      val band = aOnly.unionAll(eOnly).agg(count(lit(1)).as("sd"))
+        .crossJoin(src.agg(count(lit(1)).as("tot")))
+        .select((col("sd") * 10 <= col("tot")).as("band_ok"))
+      src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(keptE.groupBy("source").agg(count(lit(1)).as("n_kept_exact")),
+          Seq("source"), "left")
+        .join(keptA.groupBy("source").agg(count(lit(1)).as("n_kept_approx")),
+          Seq("source"), "left")
+        .crossJoin(broadcast(band))
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept_exact"), lit(0L)).as("n_kept_exact"),
+          (coalesce(col("n_kept_approx"), lit(0L)) >= 1L).as("kept_nonempty"),
+          col("band_ok"))
     },
-    None
+    Some(s"""WITH q AS (${qualityScore.oracle.get}),
+            s AS (SELECT q.doc_id, coalesce(d.source, 'unknown') AS source, q.quality
+                  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY quality, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM s),
+            m AS (SELECT source, quality AS med FROM r WHERE rn = (n + 1) // 2),
+            ke AS (SELECT s.source, count(*) AS n_kept_exact
+                   FROM s JOIN m USING (source) WHERE s.quality >= m.med
+                   GROUP BY s.source),
+            nd AS (SELECT source, count(*) AS n_docs FROM s GROUP BY source)
+            SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+                   CAST(ke.n_kept_exact AS BIGINT) AS n_kept_exact,
+                   TRUE AS kept_nonempty, TRUE AS band_ok
+            FROM nd JOIN ke USING (source)""")
   )
 
   /** q132 — RAG CHUNKING with overlap: split every document into
@@ -1947,7 +2016,16 @@ object TextAnalysis {
         .select(col("c_custkey").as("probe_key"),
           concat(substring(col("c_name"), 1, 9),
             reverse(expr("substring(c_name, 10)"))).as("probe_name"))
-      cust.crossJoin(broadcast(probes))
+      // The scoring loop is map-only, so its parallelism IS the scan's
+      // split count — and the local fixture is ONE tiny parquet file,
+      // which serialized all |corpus|×|probes| JW evaluations onto a
+      // single core (the whole of q270's former 3.1 s; r14 verdict task
+      // 6). The repartition stands in for the thousands of scan tasks a
+      // real corpus supplies (q201's discipline) — at 100 TB the scan
+      // is already wide and this exchange would be dropped, while here
+      // it shuffles only the tiny fixture to unlock 32-way scoring
+      // (isolated A/B at sf0.1: 2.75 s → 0.89 s, BASELINE.md r15 note).
+      cust.repartition(32).crossJoin(broadcast(probes))
         .select(col("probe_key"), col("probe_name"), col("c_custkey"),
           round(graft.functions.JaroWinkler(col("probe_name"), col("c_name")), 6)
             .as("jw"))

@@ -61,6 +61,12 @@ class DeterminismSpec extends AnyFunSuite {
   // percentile members, q340's top-20 score cut — natural-fixture ties
   // are scarce at sf0.001 (probed via DuckDB), so each also gets a
   // CRAFTED-tie test below that puts a tie exactly at its cut
+  // round-15 additions (r14 verdict task 5): the ANN lifecycle — q341's
+  // delta assignment + probe, q343's compaction decision + both manifest
+  // probes, q344's streamed serving — and q342's in-stream candidate
+  // emission, each under 1-split / 17-split / default layouts (the split
+  // size varies scan partitioning and, for the streaming pair, the state
+  // store partition count via shuffle width)
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
@@ -69,7 +75,9 @@ class DeterminismSpec extends AnyFunSuite {
       "q320_multitouch_attribution",
       "q321_qq_ventiles", "q322_trimmed_mean",
       "q326_session_paths", "q333_leaderboard_churn",
-      "q335_funnel_latency", "q340_personalized_pagerank")) {
+      "q335_funnel_latency", "q340_personalized_pagerank",
+      "q341_ann_index_delta", "q342_stream_neardup",
+      "q343_ann_index_compact", "q344_ann_stream_serve")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),

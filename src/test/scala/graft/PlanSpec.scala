@@ -292,17 +292,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nlJoins <= 2, s"q117 has $nlJoins NL joins (only centroid mounts are allowed)")
   }
 
-  test("q118: the 10-step iteration reuses the edge exchange at runtime (AQE)") {
-    // the chained PageRank plan mounts the identical edge-list subtree
-    // once per iteration; AQE must materialize that shuffle once and
-    // reuse it — otherwise every iteration re-scans the corpus and the
-    // loop costs 10 token-stream passes instead of one
+  test("q118: iterations mount the STORED co-occurrence graph, never the corpus") {
+    // the chained PageRank plan mounts the edge relation once per
+    // iteration; since r15 that relation is the textrank_graph artifact
+    // (left lazy, the tokenize → bigram-explode → two-shuffle build
+    // re-executed per iteration even under AQE exchange reuse — the
+    // q330/q316 unrolled-recursion hazard), so the executed plan must
+    // scan the stored graph and never re-derive it from documents
     val df = SparkEntry.queries("q118_textrank")(spark, d)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
-    assert(finalPlan.contains("ReusedExchange"),
-      "expected AQE to reuse the edge-list exchange across PageRank iterations")
+    assert(finalPlan.contains("textrank_graph"),
+      "edge relation should come from the stored textrank_graph artifact")
+    assert(!finalPlan.contains("documents.parquet"),
+      "an iteration re-derived the co-occurrence graph from the corpus")
   }
 
   test("q119: query-term selection is bounded top-k; postings prune via broadcast") {

@@ -43,23 +43,35 @@ class QualityGateSpec extends AnyFunSuite {
     }
   }
 
-  test("q126: sketched gate tracks the exact gate (rows-only contract band)") {
-    // q126 is rows-only by design (sketch thresholds are implementation-
-    // defined); its contract lives here: the approx-percentile kept-set
-    // must stay within a tight band of q120's exact kept-set, and no
-    // source may be gutted or passed wholesale.
+  test("q126: audit booleans match an independent recomputation of the band (hash-gate liveness)") {
+    // q126 is hash-gated on the contract's audit booleans (the q103
+    // discipline); this spec proves the booleans are COMPUTED, not
+    // constants: re-derive the symmetric-difference band and per-source
+    // kept counts from the factored sketch path + q120, and require the
+    // query's booleans to equal the independently computed predicates.
     val exact = SparkEntry.queries("q120_quality_gate")(spark, d)
       .collect().map(r => r.getAs[Long]("doc_id")).toSet
-    val approxRows = SparkEntry.queries("q126_quality_gate_approx")(spark, d)
+    val approxRows = queries.TextAnalysis.sketchKept(spark, d)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
     val approx = approxRows.map(_._1).toSet
     val total = Tables.documents(spark, d).count()
-
     val symDiff = ((exact -- approx) ++ (approx -- exact)).size
-    assert(symDiff.toDouble / total <= 0.10,
-      s"sketched gate drifted: $symDiff of $total docs differ from the exact gate")
-    approxRows.groupBy(_._2).foreach { case (src, rs) =>
-      assert(rs.nonEmpty, s"source $src fully gutted by the sketched gate")
+    val expectBand = 10L * symDiff <= total
+    val keptBySrc = approxRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    val out = SparkEntry.queries("q126_quality_gate_approx")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Boolean]("band_ok") == expectBand,
+        s"band_ok diverged from the recomputed band (symDiff=$symDiff of $total)")
+      assert(r.getAs[Boolean]("kept_nonempty") == (keptBySrc.getOrElse(src, 0L) >= 1L),
+        s"kept_nonempty for $src diverged from the recomputed sketch kept-set")
+      assert(r.getAs[Long]("n_kept_exact") * 2 >= r.getAs[Long]("n_docs"),
+        s"exact gate kept under half of source $src")
     }
+    // the contract itself (what the oracle's TRUEs assert) must hold
+    assert(expectBand, s"sketched gate drifted: $symDiff of $total docs differ")
+    assert(keptBySrc.values.forall(_ >= 1L), "a source was fully gutted")
   }
 }
