@@ -164,8 +164,25 @@ object Bench {
     // each round's verdict performs needs steal_frac/gc machine-
     // readable next to the numbers it qualifies (BASELINE.md round-8
     // protocol: a high-steal pass must not be graded).
+    //
+    // Round-15: the protocol is now ENFORCED in-process, not just
+    // recorded. A pass whose steal_frac exceeds SPARK_GRAFT_BENCH_MAX_
+    // STEAL (default 0.03) is DISCARDED and re-run, up to SPARK_GRAFT_
+    // BENCH_STEAL_RETRIES (default 2) extra passes per invocation —
+    // three r14/r15 close attempts were wasted re-running full benches
+    // by hand because one contended pass poisoned the medians. The gate
+    // reads an EXTERNAL contamination signal (hypervisor steal), never
+    // the measured times, so it cannot cherry-pick fast runs; every
+    // discarded pass stays in the telemetry array marked
+    // "discarded":true with its full counters, and if the retry budget
+    // runs out the contended pass is kept (and visible) rather than
+    // looping forever on a busy box.
+    val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL")
+      .map(_.toDouble).getOrElse(0.03)
+    val maxStealRetries = sys.env.get("SPARK_GRAFT_BENCH_STEAL_RETRIES")
+      .map(_.toInt).getOrElse(2)
     val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
-    val samples = Array.tabulate(reps) { pass =>
+    def runPass(pass: Int): (IndexedSeq[(Double, Long, Long)], Double, String) = {
       val (busy0, steal0, iow0) = cpuJiffies
       val gc0 = gcMillis
       val pc0 = processCpuNanos
@@ -197,11 +214,11 @@ object Bench {
       val stealFrac = if (db + ds == 0) 0.0 else ds.toDouble / (db + ds)
       val iowaitFrac = if (db + di == 0) 0.0 else di.toDouble / (db + di)
       val passCpuMs = if (pc0 < 0) -1L else (processCpuNanos - pc0) / 1000000L
-      passTelemetry += (s"""{"pass":$pass,"steal_frac":${fmt(stealFrac, 4)},""" +
+      val tjBase = s"""{"pass":$pass,"steal_frac":${fmt(stealFrac, 4)},""" +
         s""""busy_jiffies":$db,"steal_jiffies":$ds,""" +
         s""""iowait_jiffies":$di,"iowait_frac":${fmt(iowaitFrac, 4)},""" +
         s""""process_cpu_ms":$passCpuMs,""" +
-        s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb}""")
+        s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb"""
       if (debug) {
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
@@ -210,8 +227,30 @@ object Bench {
           System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g cpu_ms=$c")
         }
       }
-      times
+      (times.toIndexedSeq, stealFrac, tjBase)
     }
+    val acceptedPasses =
+      new scala.collection.mutable.ArrayBuffer[IndexedSeq[(Double, Long, Long)]]
+    var stealRetries = 0
+    var passNo = 0
+    while (acceptedPasses.size < reps) {
+      val (times, stealFrac, tjBase) = runPass(passNo)
+      if (stealFrac > maxSteal && stealRetries < maxStealRetries) {
+        stealRetries += 1
+        passTelemetry += tjBase + ""","discarded":true}"""
+        System.err.println(f"[bench] pass $passNo discarded: steal_frac=" +
+          f"$stealFrac%.4f > $maxSteal%.4f (retry $stealRetries/$maxStealRetries)")
+      } else {
+        if (stealFrac > maxSteal) {
+          passTelemetry += tjBase + ""","over_max_steal":true}"""
+          System.err.println(f"[bench] pass $passNo KEPT despite steal_frac=" +
+            f"$stealFrac%.4f — retry budget exhausted; medians are suspect")
+        } else passTelemetry += tjBase + "}"
+        acceptedPasses += times
+      }
+      passNo += 1
+    }
+    val samples = acceptedPasses.toArray
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
