@@ -379,7 +379,15 @@ object Multimodal {
   private[graft] def jpegFeatures(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
+      // the codec loop is map-only, so its parallelism is the scan's
+      // split count, and the local documents table is ONE parquet file
+      // (the q270 single-core lesson, r15): fan the 8-byte id relation
+      // out by doc_id BEFORE any payload exists — media bytes still
+      // never shuffle (PlanSpec gates every Exchange as id-keyed), and
+      // at 100 TB the scan is already wide so this exchange would not
+      // exist
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(32, col("doc_id"))
         .mapPartitions { it =>
           // writer + explicit-quality param once per partition
           imageIoOnHeap()
@@ -521,6 +529,10 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       val fmt = () => new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      // NO id fan-out here, unlike q103/q110: WAV encode is ~µs/doc, so
+      // the q270-style repartition COSTS more than it buys (A/B'd at
+      // sf0.1: 0.98 s single-split vs 1.74 s fanned — the exchange+stage
+      // overhead exceeds the codec work it parallelizes)
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           val format = fmt()
@@ -660,7 +672,9 @@ object Multimodal {
     "q110_gif_video",
     (s, d) => {
       import s.implicits._
+      // id fan-out before payload creation (q103's comment)
       val encoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(32, col("doc_id"))
         .mapPartitions { it =>
           imageIoOnHeap()
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()

@@ -207,12 +207,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q103/q108/q110: codec pipelines are pure per-partition chains (no shuffle)") {
+  test("q103/q108/q110: codec pipelines shuffle ids only, never a payload byte") {
     // encode → decode → features never moves a payload byte between
-    // partitions; an Exchange here means media bytes on the wire
-    for (q <- Seq("q103_jpeg_decode", "q108_wav_audio", "q110_gif_video")) {
-      assert(!plan(q).contains("Exchange"), s"$q shuffles its payloads")
+    // partitions. Since r15 the HEAVY codecs (jpeg, gif) fan the 8-byte
+    // id relation out by doc_id before any payload exists (the q270
+    // single-core lesson: one local parquet file = one scan split = one
+    // core for the whole codec loop — q110 5.6 → 0.5 s), so their gate
+    // is q164's: every Exchange must be keyed by the id. q108 stays a
+    // pure chain — WAV encode is ~µs/doc and the fan-out COSTS more
+    // than it buys (A/B in the query's comment).
+    for (q <- Seq("q103_jpeg_decode", "q110_gif_video")) {
+      val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.nonEmpty, s"$q lost its id fan-out")
+      assert(exchanges.forall(_.contains("doc_id")),
+        s"non-id shuffle in $q:\n${exchanges.mkString("\n")}")
     }
+    assert(!plan("q108_wav_audio").contains("Exchange"),
+      "q108 shuffles (its codec work is too cheap to amortize an exchange)")
   }
 
   test("q164: the only shuffle is the metadata hash groupBy (payloads never shuffle)") {
