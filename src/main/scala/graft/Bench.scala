@@ -327,9 +327,12 @@ object Bench {
     // prefix makes the trailer non-JSON, so a consumer that json-parses
     // the whole stream or the last line still sees exactly ONE JSON
     // object on stdout (the full line above).
+    // trailer numbers route through the locale-pinned fmt too (ADVICE
+    // r15): the driver greps this text, and a comma-decimal default
+    // locale would corrupt it exactly like the JSON fields it mirrors
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => f"$k=$v%.2f" }.mkString(",")
-    println(f"""# trailer v1 total_sec=$total%.2f queries=${results.size} sec_per_query=${total / results.size}%.3f slowest10=$slowest""")
+      .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(",")
+    println(s"""# trailer v1 total_sec=${fmt(total, 2)} queries=${results.size} sec_per_query=${fmt(total / results.size, 3)} slowest10=$slowest""")
     spark.stop()
   }
 }

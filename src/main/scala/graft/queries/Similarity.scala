@@ -537,7 +537,10 @@ object Similarity {
     * a deployment.
     */
   private[graft] def ivfBaseStore(s: SparkSession, d: String, d0: Long): String =
-    graft.sources.Sources.artifactOnce(d, "ivf_delta_base") { p =>
+    // d0 folded into the artifact key (ADVICE r15): two callers with
+    // different cuts must build two artifacts, not silently share the
+    // first caller's — the invariant is structural, not call-site luck
+    graft.sources.Sources.artifactOnce(d, s"ivf_delta_base_$d0") { p =>
       deltaAssign(s, d, d0, delta = false)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cell").parquet(p)
@@ -670,7 +673,9 @@ object Similarity {
     // deployment commits each append as it lands; the boundary that
     // matters for reader isolation is v3 → v4 below
     val upTo3 =
-      cells.map(j => (1L, j, Seq(baseDirs(j)))) ++
+      // .get(j).toSeq (ADVICE r15): a cell populated only by delta
+      // vectors has no base dir — its v1 entry is simply empty
+      cells.map(j => (1L, j, baseDirs.get(j).toSeq)) ++
         cells.map(j => (2L, j, baseDirs.get(j).toSeq ++ aDirs.get(j).toSeq)) ++
         cells.map(j => (3L, j, v3(j)))
     upTo3.flatMap { case (v, j, ps) => ps.map(p => (v, j, p)) }
@@ -697,10 +702,18 @@ object Similarity {
     // per cell, then publish v4 — untouched cells are carried by
     // REFERENCE (their v3 paths verbatim), so compaction cost is
     // proportional to the triggered cells, not the store
-    readStore(s, v3.filter(kv => compacted(kv._1)))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell").parquet(compactDir)
-    val cDirs = cellDirs(compactDir)
+    // empty-trigger guard (ADVICE r15): when NO cell crosses the
+    // threshold (a shrinking or skewed delta), the commit is a no-op —
+    // v4 republishes v3's paths verbatim and nothing is rewritten
+    // (readStore on an empty map would have no scan to reduce over)
+    val cDirs =
+      if (compacted.isEmpty) Map.empty[Long, String]
+      else {
+        readStore(s, v3.filter(kv => compacted(kv._1)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(compactDir)
+        cellDirs(compactDir)
+      }
     val v4 = cells.map(j =>
       j -> (if (compacted(j)) Seq(cDirs(j)) else v3(j))).toMap
     v4.toSeq.flatMap { case (j, ps) => ps.map(p => (4L, j, p)) }
