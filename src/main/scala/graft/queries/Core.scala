@@ -349,17 +349,37 @@ object Core {
             FROM orders""")
   )
 
-  /** q19 — approximate distinct (HLL++). Approximate by definition, so no
-    * SQL oracle — driver runs the rows-only check; exactness is asserted
-    * within rtsd bounds in the ScalaTest spec instead.
+  /** q19 — approximate distinct (HLL++), HASH-GATED via the
+    * audit-boolean discipline (q103/q126, round-15 verdict task 1): the
+    * HLL estimate itself is implementation-defined, but its CONTRACT is
+    * not — so the query emits the exact distincts (portable) plus one
+    * boolean per sketch that any conformant HLL++ at the default
+    * rsd=0.05 must satisfy: estimate within 15% (3·rsd, integer-form
+    * `20·|Δ| ≤ 3·exact`) of the exact cardinality. The oracle computes
+    * the exacts and expects the booleans TRUE — a sketch regression now
+    * fails the hash gate, not just a spec. Deterministic across runs:
+    * HLL registers are max() folds, order-insensitive under Spark's
+    * partial aggregation. The audit runs both paths (exact Expand +
+    * sketch); production runs the sketch alone — q105 is the same
+    * discipline applied to the profile operator.
     */
   val approxDistinct = Q(
     "q19_approx_distinct",
     (s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-    None
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) * 20 <= col("exact_parts") * 3)
+            .as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) * 20 <= col("exact_orders") * 3)
+            .as("orders_ok")),
+    Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+            count(DISTINCT l_orderkey) AS exact_orders,
+            TRUE AS parts_ok, TRUE AS orders_ok
+            FROM lineitem""")
   )
 
   /** q161 — the TPC-H Q5 SHAPE (local-supplier volume): six tables — two

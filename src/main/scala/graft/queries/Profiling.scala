@@ -58,17 +58,19 @@ object Profiling {
   )
 
   /** q105 — the 100 TB variant q101's scaladoc promises: the SAME
-    * one-pass long-form profile with the exact count-distincts swapped
-    * for `approx_count_distinct` (HLL++, the q19 sketch). The Expand
-    * that exact multi-column DISTINCT needs disappears — every statistic
-    * is now a plain streaming aggregate, so the profile is one true scan
-    * with no row multiplication at any corpus size. Approximate by
-    * definition ⇒ rows-only at the driver (like q19/q49); the error is
-    * spec-bounded instead: `ProfilingHllSpec` checks every column's HLL
-    * estimate against q101's exact distinct within the sketch's
-    * documented accuracy (default rsd 5%, asserted at ≤ 15% for slack),
-    * and that the non-approximate columns (nulls/min/max/row count)
-    * remain EXACTLY equal to q101's.
+    * one-pass long-form profile with the count-distincts served by
+    * `approx_count_distinct` (HLL++, the q19 sketch) — every sketched
+    * statistic is a plain streaming aggregate, so the production profile
+    * is one true scan with no row multiplication at any corpus size.
+    * HASH-GATED via the audit-boolean discipline (q103/q126, round-15
+    * verdict task 1): the HLL estimate is engine-specific, so the query
+    * emits the exact distincts (the q101 companions — an audit runs both
+    * paths; production runs the sketch alone) plus a per-column `hll_ok`
+    * boolean the oracle expects TRUE — estimate within 15% (3·rsd at the
+    * default rsd=0.05, integer form) of exact, with ±1 absolute slack so
+    * tiny cardinalities (where HLL++'s sparse mode is exact anyway)
+    * don't demand a sub-unit band. `ProfilingHllSpec` additionally pins
+    * the estimates against q101's exacts in-engine.
     */
   val profileHll = Q(
     "q105_profile_hll",
@@ -77,18 +79,33 @@ object Profiling {
       val aggs = Cols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-          approx_count_distinct(col(c)).as(s"dist_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          approx_count_distinct(col(c)).as(s"hll_$c"),
           min(col(c)).cast("string").as(s"min_$c"),
           max(col(c)).cast("string").as(s"max_$c"))
       } :+ count(lit(1)).as("n_rows")
       val one = docs.agg(aggs.head, aggs.tail: _*)
       one.select(
         expr(s"""stack(${Cols.size},
-                 ${Cols.map(c => s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")})
-                 AS (col_name, n_null, n_distinct_approx, min_str, max_str)"""),
+                 ${Cols.map(c => s"'$c', null_$c, dist_$c, " +
+            s"abs(hll_$c - dist_$c) * 20 <= dist_$c * 3 OR abs(hll_$c - dist_$c) <= 1, " +
+            s"min_$c, max_$c").mkString(", ")})
+                 AS (col_name, n_null, n_distinct_exact, hll_ok, min_str, max_str)"""),
         col("n_rows"))
     },
-    None // HLL estimates are engine-specific; bounds in ProfilingHllSpec
+    Some {
+      val selects = Cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT $c) AS n_distinct_exact,
+                   TRUE AS hll_ok,
+                   CAST(min($c) AS VARCHAR) AS min_str,
+                   CAST(max($c) AS VARCHAR) AS max_str,
+                   count(*) AS n_rows
+            FROM documents"""
+      }
+      selects.mkString("\n UNION ALL \n")
+    }
   )
 
   /** q129 — MATERIALIZED-AGGREGATE MAINTENANCE: refresh per-source

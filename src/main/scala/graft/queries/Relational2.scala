@@ -179,18 +179,66 @@ object Relational2 {
 
   /** q49 — approximate percentile sketch (GK/KLL-family): mergeable,
     * bounded-memory — the 100 TB answer when exact percentiles (q40)
-    * would need a full sort. No SQL oracle (approximate by definition);
-    * the spec bounds it against q40's exact values.
+    * would need a full sort. HASH-GATED via the audit-boolean
+    * discipline (q103/q126, round-15 verdict task 1): the sketch value
+    * is implementation-defined, but its published contract — rank error
+    * ≤ n/accuracy — is portable. The query emits per group the exact
+    * DISCRETE percentiles (value at 1-based rank ⌈q·n⌉, an explicit
+    * integer-rank window both engines compute identically) plus one
+    * boolean per quantile asserting the sketch value lies between the
+    * exact values at ranks target ∓ slack, slack = ⌈n/10000⌉ + 2 (the
+    * guarantee at accuracy=10000 plus two ranks of rounding headroom for
+    * the sketch's internal target). The oracle computes the exacts and
+    * expects the booleans TRUE. The audit pays the exact sort; production
+    * runs the sketch alone.
     */
   val approxPercentile = Q(
     "q49_approx_percentile",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
-          expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90")),
-    None
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+      val ranked = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy(col("v").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        // integer-form ranks: ⌈q·n⌉ = (q_num·n + q_den − 1) div q_den —
+        // no float ceil at the engine boundary
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r90", expr("(9 * n + 9) div 10"))
+        .withColumn("slack", expr("(n + 9999) div 10000 + 2"))
+      val exacts = ranked.groupBy("l_returnflag").agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === col("r50"), col("v"))).as("p50_exact"),
+        max(when(col("rn") === col("r90"), col("v"))).as("p90_exact"),
+        max(when(col("rn") === greatest(lit(1L), col("r50") - col("slack")),
+          col("v"))).as("lo50"),
+        max(when(col("rn") === least(col("n"), col("r50") + col("slack")),
+          col("v"))).as("hi50"),
+        max(when(col("rn") === greatest(lit(1L), col("r90") - col("slack")),
+          col("v"))).as("lo90"),
+        max(when(col("rn") === least(col("n"), col("r90") + col("slack")),
+          col("v"))).as("hi90"))
+      val ap = li.groupBy("l_returnflag").agg(
+        expr("approx_percentile(v, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(v, 0.9, 10000)").as("ap90"))
+      exacts.join(ap, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("p50_exact"), col("p90_exact"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("ap50_ok"),
+          (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("ap90_ok"))
+    },
+    Some("""WITH r AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v
+                       FROM lineitem),
+            rk AS (SELECT l_returnflag, v,
+                          row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY v) AS rn,
+                          count(*) OVER (PARTITION BY l_returnflag) AS n
+                   FROM r)
+            SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_exact,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_exact,
+                   TRUE AS ap50_ok, TRUE AS ap90_ok
+            FROM rk GROUP BY l_returnflag""")
   )
 
   /** q50 — array-function surface over the embedding column: length,

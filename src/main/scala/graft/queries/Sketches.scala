@@ -167,14 +167,17 @@ object Sketches {
     * what lets a 100 TB store serve any range from O(days) KB-sized
     * rows.
     *
-    * Contract (rows-only by design, the q19/q49/q126 class): every
-    * served quantile is within `QuantileSketch.RelErrBound` (2⁻⁷ ≈
-    * 0.8%) of the exact order statistic RELATIVELY — the bucket walk
-    * locates the exact rank's bucket, only within-bucket position is
-    * approximate — and any two-level merge equals the flat merge
-    * bit-for-bit. `SketchSpec` proves both on every prefix range
-    * against an exact sort, plus merge-order invariance; the registered
-    * run exercises day1/week1/full-span ranges × three quantiles.
+    * Contract (HASH-GATED via the audit-boolean discipline, like
+    * q19/q49/q105/q126): every served quantile is within
+    * `QuantileSketch.RelErrBound` (2⁻⁷ ≈ 0.8%) of the exact order
+    * statistic RELATIVELY — the bucket walk locates the exact rank's
+    * bucket, only within-bucket position is approximate — and any
+    * two-level merge equals the flat merge bit-for-bit. The query emits
+    * the exact order statistics (portable companions the oracle
+    * recomputes) plus the per-row `est_ok` contract boolean; `SketchSpec`
+    * additionally proves the band on every prefix range against an exact
+    * sort, plus merge-order invariance; the registered run exercises
+    * day1/week1/full-span ranges × three quantiles.
     *
     * Scale shape: the store build is ONE shuffle on day with KB partial
     * sketches (map-side merge); range service reads the
@@ -210,16 +213,65 @@ object Sketches {
           .map(r => graft.functions.BucketCount(
             r.getAs[Int]("bucket"), r.getAs[Long]("cnt")))
           .toSeq
-        val n = merged.map(_.cnt).sum
         Seq(0.5, 0.9, 0.99).map { q =>
-          (tag, q, graft.functions.QuantileSketch.quantile(merged, q), n)
+          (tag, q, graft.functions.QuantileSketch.quantile(merged, q))
         }
       }
-      rows.toDF("range_tag", "quantile", "est", "n")
+      val ests = rows.toDF("range_tag", "quantile", "est")
+      // the EXACT audit side (hash-gated graduation, round-15 verdict
+      // task 1): the exact order statistic at 1-based rank ⌈q·n⌉ per
+      // range, computed with explicit integer-form ranks both engines
+      // share — the full per-range sort is the cost the sketch store
+      // exists to avoid, paid here because an audit runs both paths
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+      val rangesDf = broadcast(
+        ranges.map { case (t, a, b) => (t, a.toString, b.toString) }
+          .toDF("range_tag", "a", "b"))
+      val ranked = ev
+        .join(rangesDf, col("day").between(col("a"), col("b")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("range_tag").orderBy(col("value").asc)))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("range_tag")))
+      val qdf = broadcast(Seq((0.5, 1L, 2L), (0.9, 9L, 10L), (0.99, 99L, 100L))
+        .toDF("quantile", "num", "den"))
+      val exacts = ranked.join(qdf,
+        col("rn") === greatest(lit(1L), expr("(num * n + den - 1) div den")))
+        .select(col("range_tag"), col("quantile"), col("n"),
+          col("value").as("exact_val"))
+      // est_ok is the store's published contract: the served quantile
+      // within RelErrBound (2^-7) of the exact order statistic,
+      // RELATIVELY — the oracle expects it TRUE
+      exacts.join(ests, Seq("range_tag", "quantile"))
+        .select(col("range_tag"), col("quantile"), col("n"), col("exact_val"),
+          (abs(col("est") - col("exact_val")) <=
+            col("exact_val") * lit(graft.functions.QuantileSketch.RelErrBound))
+            .as("est_ok"))
     },
-    None // rows-only by design: the bucket index is IEEE-bit arithmetic
-         // DuckDB can't replay; the contract lives in SketchSpec's
-         // band + merge-equality proofs (q19/q49 discipline)
+    // graduated from rows-only (round-15 verdict task 1): the bucket
+    // index is IEEE-bit arithmetic DuckDB can't replay, so the oracle
+    // pins the EXACT companions + the contract boolean instead — the
+    // q19/q49/q105/q126 audit-boolean discipline; SketchSpec still
+    // proves the band on every prefix range and merge-order invariance
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+            span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            r AS (SELECT 'day1' AS range_tag, lo AS a, lo AS b FROM span
+                  UNION ALL SELECT 'week1', lo, lo + INTERVAL 6 DAY FROM span
+                  UNION ALL SELECT 'all', lo, hi FROM span),
+            rk AS (SELECT r.range_tag, d.value,
+                          row_number() OVER (PARTITION BY r.range_tag
+                                             ORDER BY d.value) AS rn,
+                          count(*) OVER (PARTITION BY r.range_tag) AS n
+                   FROM r JOIN d ON d.day BETWEEN r.a AND r.b),
+            qs AS (SELECT CAST(quantile AS DOUBLE) AS quantile, num, den
+                   FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+                     t(quantile, num, den))
+            SELECT rk.range_tag, qs.quantile, CAST(rk.n AS BIGINT) AS n,
+                   rk.value AS exact_val, TRUE AS est_ok
+            FROM rk JOIN qs
+              ON rk.rn = greatest(1, (qs.num * rk.n + qs.den - 1) // qs.den)""")
   )
 
   /** q256 — KMV (k-minimum-values / bottom-k) SKETCH INTERSECTION: the

