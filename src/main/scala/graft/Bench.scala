@@ -76,6 +76,54 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${decimals}f",
       java.lang.Double.valueOf(v))
 
+  /** Passes contaminated by NON-STEAL same-box contention (round-15
+    * verdict task 2 — the gate's blind spot): hypervisor steal is zero
+    * when the contender shares this guest, but the symptom is still in
+    * the telemetry — a query's per-pass process-CPU far above its
+    * cross-pass MINIMUM on unchanged code (the r15 q155 signature: 50 s
+    * CPU vs a 10 s clean pass at steal 0.008; a descheduled-only pass
+    * inflates wall, not CPU, and a real regression inflates EVERY pass,
+    * so neither trips this). The reference is the min, not the median:
+    * contention only ever ADDS cpu, so the cleanest pass is the truth,
+    * and a median is itself contaminated in the motivating 2-of-3-bad
+    * case. A pass is flagged iff some query's CPU exceeds `factor`× the
+    * cross-pass min AND the excess clears `floorMs` (so JIT/GC jitter on
+    * sub-second queries never trips it). The FIRST accepted pass is
+    * exempt: one-time shared-artifact builds (q151's gram index, the
+    * Lloyd chains, q316's L2 levels — see pass0_over_median) land on it
+    * by construction and carry exactly this CPU signature; a 3-pass
+    * median already tolerates one contaminated pass, and contention that
+    * persists into later passes is caught there (verified against the
+    * r15 close artifact: every would-be flag under a no-exemption rule
+    * was a pass-0 build; no later pass came near the threshold). Needs
+    * ≥ 3 passes — with fewer there is no reference to arbitrate.
+    * Queries with a -1 sample (platform bean missing) are skipped.
+    */
+  private[graft] def cpuContaminatedPasses(cpuByPass: Seq[Seq[Long]],
+      factor: Double, floorMs: Long): Set[Int] = {
+    if (cpuByPass.size < 3) return Set.empty
+    val nq = cpuByPass.map(_.length).min
+    (for {
+      j <- 0 until nq
+      col = cpuByPass.map(_(j))
+      if col.forall(_ >= 0)
+      m = col.min
+      i <- 1 until cpuByPass.size // first accepted pass exempt (builds)
+      if cpuByPass(i)(j).toDouble > m.toDouble * factor && cpuByPass(i)(j) - m > floorMs
+    } yield i).toSet
+  }
+
+  /** Total CPU excess of pass `i` over the cross-pass per-query minima —
+    * the tie-breaker for which flagged pass to discard first. */
+  private[graft] def cpuInflationMs(cpuByPass: Seq[Seq[Long]], i: Int): Long = {
+    val nq = cpuByPass.map(_.length).min
+    (0 until nq).map { j =>
+      val col = cpuByPass.map(_(j))
+      if (col.exists(_ < 0)) 0L
+      else math.max(0L, cpuByPass(i)(j) - col.min)
+    }.sum
+  }
+
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -229,28 +277,73 @@ object Bench {
       }
       (times.toIndexedSeq, stealFrac, tjBase)
     }
-    val acceptedPasses =
-      new scala.collection.mutable.ArrayBuffer[IndexedSeq[(Double, Long, Long)]]
+    // Pass records finalize their telemetry JSON at the END of the run:
+    // the cpu-inflation gate below can only judge a pass against the
+    // cross-pass medians, i.e. after its successors exist.
+    final class PassRec(val times: IndexedSeq[(Double, Long, Long)],
+        val tjBase: String) {
+      var flags: List[String] = Nil
+      def discarded: Boolean = flags.exists(_.startsWith("discarded"))
+      def json: String =
+        tjBase + flags.map(f => s""","$f":true""").mkString + "}"
+    }
+    val recs = new scala.collection.mutable.ArrayBuffer[PassRec]
+    def accepted = recs.filter(!_.discarded)
     var stealRetries = 0
     var passNo = 0
-    while (acceptedPasses.size < reps) {
+    def acquirePasses(): Unit = while (accepted.size < reps) {
       val (times, stealFrac, tjBase) = runPass(passNo)
+      val r = new PassRec(times, tjBase)
       if (stealFrac > maxSteal && stealRetries < maxStealRetries) {
         stealRetries += 1
-        passTelemetry += tjBase + ""","discarded":true}"""
+        r.flags ::= "discarded"
         System.err.println(f"[bench] pass $passNo discarded: steal_frac=" +
           f"$stealFrac%.4f > $maxSteal%.4f (retry $stealRetries/$maxStealRetries)")
-      } else {
-        if (stealFrac > maxSteal) {
-          passTelemetry += tjBase + ""","over_max_steal":true}"""
-          System.err.println(f"[bench] pass $passNo KEPT despite steal_frac=" +
-            f"$stealFrac%.4f — retry budget exhausted; medians are suspect")
-        } else passTelemetry += tjBase + "}"
-        acceptedPasses += times
+      } else if (stealFrac > maxSteal) {
+        r.flags ::= "over_max_steal"
+        System.err.println(f"[bench] pass $passNo KEPT despite steal_frac=" +
+          f"$stealFrac%.4f — retry budget exhausted; medians are suspect")
       }
+      recs += r
       passNo += 1
     }
-    val samples = acceptedPasses.toArray
+    acquirePasses()
+    // Round-16: the non-steal contamination gate (verdict task 2). Same
+    // external-signal principle as the steal gate — the discriminator is
+    // process-CPU (work actually burned), never the wall times the bench
+    // publishes, so it cannot cherry-pick fast runs; every discarded
+    // pass stays in the telemetry with its counters and a flag.
+    val maxCpuInfl = sys.env.get("SPARK_GRAFT_BENCH_CPU_INFL")
+      .map(_.toDouble).getOrElse(3.0)
+    val cpuFloorMs = sys.env.get("SPARK_GRAFT_BENCH_CPU_FLOOR_MS")
+      .map(_.toLong).getOrElse(5000L)
+    val maxCpuRetries = sys.env.get("SPARK_GRAFT_BENCH_CPU_RETRIES")
+      .map(_.toInt).getOrElse(2)
+    var cpuRetries = 0
+    var settled = false
+    while (!settled) {
+      val acc = accepted.toIndexedSeq
+      val cpuByPass = acc.map(_.times.map(_._3))
+      val flagged = cpuContaminatedPasses(cpuByPass, maxCpuInfl, cpuFloorMs)
+      if (flagged.isEmpty) settled = true
+      else if (cpuRetries < maxCpuRetries) {
+        cpuRetries += 1
+        val worst = flagged.maxBy(i => cpuInflationMs(cpuByPass, i))
+        acc(worst).flags ::= "discarded_cpu"
+        System.err.println(s"[bench] pass discarded: per-query process-CPU " +
+          s"inflated ${fmt(cpuInflationMs(cpuByPass, worst) / 1000.0, 1)} s over " +
+          s"cross-pass medians at steal under the gate — same-box contention " +
+          s"(retry $cpuRetries/$maxCpuRetries)")
+        acquirePasses()
+      } else {
+        flagged.foreach(i => acc(i).flags ::= "over_cpu_inflation")
+        System.err.println("[bench] cpu-inflation retry budget exhausted; " +
+          "contaminated passes KEPT and flagged — medians are suspect")
+        settled = true
+      }
+    }
+    recs.foreach(r => passTelemetry += r.json)
+    val samples = accepted.toArray.map(_.times)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -260,6 +353,24 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // ambient_band_est (round-15 verdict task 7): the cross-pass
+    // same-code dispersion — median over queries of each query's
+    // (max−min)/median across the ACCEPTED passes. This is the
+    // machine-readable form of the "uniform sub-steal ambient band"
+    // adjudication BASELINE.md r15 recorded in prose: two artifacts
+    // whose totals differ by less than this band are the same code.
+    // computed over the NON-FIRST accepted passes: the first pass
+    // carries one-time codegen/build costs that the published medians
+    // already exclude, and the band exists to qualify those medians
+    val ambientBand = {
+      val ss = if (samples.length >= 3) samples.toSeq.drop(1) else samples.toSeq
+      val rel = names.indices.flatMap { i =>
+        val xs = ss.map(_(i)._1)
+        val m = median(xs)
+        if (m <= 0.0 || xs.size < 2) None else Some((xs.max - xs.min) / m)
+      }
+      if (rel.isEmpty) 0.0 else median(rel)
+    }
     val telemetry = passTelemetry.mkString("[", ",", "]")
     // Per-pass seconds for the slowest10 ride in the PUBLISHED JSON
     // (round-11 verdict task 3): when one pass runs under heavy CPU
@@ -289,7 +400,7 @@ object Bench {
     // same-day local rerun to make that call.
     val slowCpu = slowNames
       .map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -314,6 +425,7 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
+          s""""ambient_band_est":${fmt(ambientBand, 4)},""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
           s""""per_pass_cpu_ms":$allCpu,""" +
           s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")

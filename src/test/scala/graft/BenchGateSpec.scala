@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's non-steal contamination gate (round-15 verdict task 2):
+  * a pass whose per-query process-CPU inflates far beyond the
+  * cross-pass median is same-box contention the steal counter cannot
+  * see (the r15 q155 driver signature: 50 s CPU vs a 10 s clean median
+  * at steal 0.008). The decision function must flag exactly that shape
+  * and nothing else — in particular a uniform real regression (every
+  * pass inflated together) and ordinary jitter must sail through.
+  */
+class BenchGateSpec extends AnyFunSuite {
+  private val factor = 3.0
+  private val floor = 5000L
+
+  test("a synthetic contended pass is auto-discarded") {
+    // 3 passes × 4 queries; pass 1 burned 50 s on query 2 vs a 10 s median
+    val cpu = Seq(
+      Seq(900L, 2000L, 10400L, 300L),
+      Seq(910L, 2100L, 50300L, 310L),
+      Seq(905L, 1900L, 10600L, 305L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set(1))
+    assert(Bench.cpuInflationMs(cpu, 1) > 39000L)
+  }
+
+  test("clean passes with ordinary jitter are not flagged") {
+    val cpu = Seq(
+      Seq(900L, 2000L, 10400L, 300L),
+      Seq(950L, 2200L, 11800L, 340L),
+      Seq(880L, 1900L, 9700L, 290L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set.empty[Int])
+  }
+
+  test("a large ratio below the absolute floor is not flagged (sub-second queries)") {
+    // 5× the median but only +1.2 s of excess — JIT/GC jitter territory
+    val cpu = Seq(Seq(300L), Seq(1500L), Seq(310L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set.empty[Int])
+  }
+
+  test("a uniform real regression (all passes inflated together) is not flagged") {
+    val cpu = Seq(Seq(50000L), Seq(51000L), Seq(49500L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set.empty[Int])
+  }
+
+  test("fewer than 3 passes cannot arbitrate; -1 platform samples are skipped") {
+    assert(Bench.cpuContaminatedPasses(
+      Seq(Seq(1000L), Seq(90000L)), factor, floor) === Set.empty[Int])
+    assert(Bench.cpuContaminatedPasses(
+      Seq(Seq(-1L), Seq(-1L), Seq(-1L)), factor, floor) === Set.empty[Int])
+  }
+
+  test("a one-time artifact build on the first accepted pass is exempt (the pass0_over_median shape)") {
+    // the r15 close artifact's q316 signature: pass 0 pays the shared
+    // L2-level build, later passes serve it — structure, not contention
+    val cpu = Seq(
+      Seq(15820L, 1020L),
+      Seq(1020L, 1100L),
+      Seq(1330L, 990L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set.empty[Int])
+  }
+
+  test("the r15 q155 driver shape (2 of 3 passes contaminated) still flags the non-first one") {
+    // cpu [50.3s, 57.1s, 10.4s]: a median reference is itself
+    // contaminated here; the min reference catches pass 1, and the
+    // exempt pass 0 is the one bad pass a 3-pass median tolerates
+    val cpu = Seq(
+      Seq(50300L, 1000L),
+      Seq(57100L, 1010L),
+      Seq(10400L, 990L))
+    assert(Bench.cpuContaminatedPasses(cpu, factor, floor) === Set(1))
+  }
+
+  test("two contaminated passes flag both; the worse one ranks first for discard") {
+    val cpu = Seq(
+      Seq(10000L, 2000L),
+      Seq(80000L, 2100L),
+      Seq(10100L, 40000L),
+      Seq(10050L, 2050L),
+      Seq(9900L, 1950L))
+    val flagged = Bench.cpuContaminatedPasses(cpu, factor, floor)
+    assert(flagged === Set(1, 2))
+    assert(Bench.cpuInflationMs(cpu, 1) > Bench.cpuInflationMs(cpu, 2))
+  }
+}
