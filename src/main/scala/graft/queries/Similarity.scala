@@ -647,14 +647,35 @@ object Similarity {
     * vacuum pass (q168's discipline) collects unreferenced dirs; the
     * manifest — not the filesystem — defines liveness.
     */
-  private[graft] def compactStore(s: SparkSession, d: String): IvfCompactStore = {
+  /** The store as of version 3 — base plus two uncompacted increments —
+    * with everything the compaction commit (and q346's mid-serve commit)
+    * needs. `base` points either at the shared per-corpus artifact
+    * (q343: cheap, immutable, outside any vacuum's domain) or at a copy
+    * under the run root (`privateBase`, q345: the manifest then OWNS
+    * every dir it references, which is what makes a vacuum of the root
+    * safe and complete).
+    */
+  private[graft] final case class IvfStoreV3(
+      root: String, d0: Long, dMid: Long, base: String,
+      incA: String, incB: String, compactDir: String, manifestDir: String,
+      cells: Seq[Long], v3: Map[Long, Seq[String]])
+
+  private[graft] def buildStoreV3(s: SparkSession, d: String,
+      privateBase: Boolean = false): IvfStoreV3 = {
     import s.implicits._
     val mx = vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0)
     val d0 = mx * 9 / 10
     val dMid = (d0 + mx + 1) / 2
-    val base = ivfBaseStore(s, d, d0)
     val root = graft.sources.Sources.scratchLeaf(d,
       s"ivf_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    val base =
+      if (privateBase) {
+        val p = s"$root/base"
+        deltaAssign(s, d, d0, delta = false)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(p)
+        p
+      } else ivfBaseStore(s, d, d0)
     val incA = s"$root/inc_a"; val incB = s"$root/inc_b"
     val compactDir = s"$root/compact"; val manifestDir = s"$root/manifest"
     waveAssign(s, d, d0, d0, dMid)
@@ -681,13 +702,23 @@ object Similarity {
     upTo3.flatMap { case (v, j, ps) => ps.map(p => (v, j, p)) }
       .toDF("version", "cell", "path")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestDir)
+    IvfStoreV3(root, d0, dMid, base, incA, incB, compactDir, manifestDir, cells, v3)
+  }
+
+  /** The v3 → v4 compaction commit over a built store — factored from
+    * [[compactStore]] so q346 can fire it BETWEEN serving micro-batches
+    * (a live commit under a running reader loop).
+    */
+  private[graft] def commitCompaction(s: SparkSession, st: IvfStoreV3): IvfCompactStore = {
+    import s.implicits._
+    import st._
     // the compaction DECISION: ONE bounded metadata aggregate over the
     // three store components tagged base/increment (grouped on the
     // partition column only — parquet-footer counts, never a corpus
     // scan; ≤ 2·cells result rows), then integer-ratio per-cell triggers
     val cnt = Seq(base -> "b", incA -> "i", incB -> "i")
-      .map { case (root, tag) =>
-        s.read.parquet(root)
+      .map { case (comp, tag) =>
+        s.read.parquet(comp)
           .select(col("cell").cast("long").as("cell"), lit(tag).as("t"))
       }.reduce(_ unionByName _)
       .groupBy("cell", "t").agg(count(lit(1)).as("n")).collect()
@@ -721,6 +752,10 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(manifestDir)
     IvfCompactStore(root, d0, dMid, compactDir, v3, v4, compacted)
   }
+
+  private[graft] def compactStore(s: SparkSession, d: String,
+      privateBase: Boolean = false): IvfCompactStore =
+    commitCompaction(s, buildStoreV3(s, d, privateBase))
 
   /** Resolve a manifest version to its per-cell live dirs — the read
     * path every q343 probe takes (bounded collect: ≤ cells × 3 rows of
@@ -778,6 +813,97 @@ object Similarity {
               WHERE rnk <= 5)
             SELECT ph.phase, res.probe_id, res.neighbor_id, res.cos_sim, res.rnk
             FROM (VALUES ('pre'), ('post')) ph(phase) CROSS JOIN res""")
+  )
+
+  /** What a vacuum pass retired and retained, for the spec's file
+    * economics (`prunedManifestRows` counts the dropped below-floor
+    * manifest entries).
+    */
+  private[graft] final case class VacuumReport(
+      deleted: Seq[String], kept: Seq[String], prunedManifestRows: Long)
+
+  /** q345's GC pass — q168's vacuum discipline applied to the ANN store
+    * (the debt q343's commit protocol declared): delete every cell dir
+    * UNDER THE STORE ROOT that no manifest version ≥ `keepFrom`
+    * references, and prune the manifest to the retention floor in the
+    * same maintenance commit. The manifest — not the filesystem —
+    * defines liveness, so the pass is pure bounded metadata: one
+    * manifest collect (≤ versions × cells rows), one directory listing
+    * per store component, filesystem deletes proportional to the
+    * retired dirs — never a data scan, at any corpus size. Safety is
+    * structural: candidates come only from under the root, so a store
+    * whose base is the SHARED corpus artifact (q343's cheap default)
+    * can never lose it to a vacuum — only a `privateBase` store (q345),
+    * whose manifest owns everything it references, retires base dirs.
+    * Vacuum is an exclusive maintenance operation (it rewrites the
+    * manifest in place); readers pinned to versions ≥ the floor are
+    * unaffected because their dirs are never candidates.
+    */
+  private[graft] def vacuumStore(s: SparkSession, root: String,
+      keepFrom: Long): VacuumReport = {
+    import s.implicits._
+    val manifestDir = s"$root/manifest"
+    val all = s.read.parquet(manifestDir)
+      .select(col("version").cast("long"), col("cell").cast("long"), col("path"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val retained = all.filter(_._1 >= keepFrom)
+    require(retained.nonEmpty,
+      s"vacuum would retire every version in $manifestDir (keepFrom=$keepFrom)")
+    val live = retained.map(_._3).toSet
+    val comps = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName != "manifest")
+    val cand = comps
+      .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getAbsolutePath).sorted.toSeq
+    val (kept, dead) = cand.partition(live)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    dead.foreach(p => rm(new java.io.File(p)))
+    // prune the manifest to the floor: below-floor rows point at dirs
+    // that may no longer exist — they leave in the same commit
+    retained.toSeq.toDF("version", "cell", "path")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestDir)
+    VacuumReport(dead, kept, (all.length - retained.length).toLong)
+  }
+
+  /** q345 — ANN STORE VACUUM (round-15 verdict task 3), the lifecycle
+    * stage q343's scaladoc deferred: after the v4 compaction commit,
+    * the retired increments (and, on a store that owns its base, the
+    * retired base dirs of compacted cells) still sit on disk — a real
+    * serving tier leaks files without a GC pass. The query builds a
+    * `privateBase` store (the manifest owns every dir under the root),
+    * commits the compaction, serves the probe set through the live v4
+    * manifest, MATERIALIZES that result, runs the vacuum at retention
+    * floor v4, and serves again — the tags mark real before/after
+    * reads, not two lazy views of the same files. The oracle (q343's:
+    * the rebuild emitted under both tags) hashes pre ≡ post ≡ rebuild,
+    * so the gate IS the proof that a vacuum is invisible to live
+    * readers; `IvfVacuumSpec` pins the file economics the result can't
+    * show (retired dirs actually deleted, v4 dirs untouched, below-
+    * floor manifest rows pruned, shared-base stores structurally safe).
+    */
+  val annStoreVacuum = Q(
+    "q345_ann_store_vacuum",
+    (s, d) => {
+      val st = compactStore(s, d, privateBase = true)
+      val probes = ivfProbes(withCells(
+        vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = st.d0)))
+      def serve(phase: String): DataFrame =
+        ivfRank(probes, readStore(s, manifestAsOf(s, st.root, 4L)))
+          .withColumn("phase", lit(phase))
+      val preDf = serve("pre")
+      val preRows = preDf.collect() // bounded: probes × top-5
+      val rep = vacuumStore(s, st.root, keepFrom = 4L)
+      require(rep.deleted.nonEmpty,
+        "vacuum retired nothing — fixture dead (no cell compacted?)")
+      s.createDataFrame(java.util.Arrays.asList(preRows: _*), preDf.schema)
+        .unionByName(serve("post"))
+    },
+    annIndexCompact.oracle // same semantics: vacuum must change nothing a reader sees
   )
 
   /** One serving step: a probe micro-batch against the stored inverted
@@ -2399,5 +2525,5 @@ object Similarity {
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
-      annIndexDelta, annIndexCompact, annStreamServe)
+      annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum)
 }
