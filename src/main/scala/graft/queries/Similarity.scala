@@ -995,6 +995,97 @@ object Similarity {
       "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)"))
   )
 
+  /** q346's serving loop ACROSS a live compaction commit (round-15
+    * verdict task 4): q344's micro-batch serving driven over a q343
+    * store while the v3 → v4 commit fires MID-STREAM — after the first
+    * non-empty batch completes, the compaction commits inside the same
+    * driver loop, so later batches open a different manifest version
+    * than earlier ones. Every batch resolves the LATEST manifest
+    * version at its start (one bounded metadata read), mounts ONLY its
+    * probed cells' live dirs from that version (the manifest IS the
+    * partition-level prune — unprobed cells contribute no scan at all),
+    * and records which version it served. Returns the served rows
+    * (tagged per batch with batch id and resolved version, for the
+    * spec's per-version replay) plus the (batchId, version) trail.
+    */
+  private[graft] def streamServeLive(s: SparkSession, d: String,
+      nFiles: Int): (DataFrame, Seq[(Long, Long)]) = {
+    val st3 = buildStoreV3(s, d)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = graft.sources.Sources.scratchLeaf(d, s"ann_live_src_$runId")
+    val sink = graft.sources.Sources.scratchLeaf(d, s"ann_live_out_$runId")
+    val probes = ivfProbes(withCells(
+      vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = st3.d0)))
+    probes.repartition(nFiles, col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val schema = s.read.parquet(src).schema
+    val trail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          // resolve the LIVE manifest head — not a version pinned at
+          // stream start: this is what makes the commit visible to the
+          // loop, and what the commit protocol must keep consistent
+          val v = ss.read.parquet(st3.manifestDir)
+            .agg(max(col("version"))).head().getLong(0)
+          val m = manifestAsOf(ss, st3.root, v)
+          val cells = batch.select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          ivfRank(batch.toDF(), readStore(ss, m.filter(kv => cells(kv._1))))
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("version", lit(v))
+            .withColumn("store_root", lit(st3.root))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
+          trail.add((batchId, v))
+          // the live commit: fire the compaction AFTER the first served
+          // batch, inside the serving loop — every later batch opens v4
+          if (committed.compareAndSet(false, true)) {
+            commitCompaction(ss, st3); ()
+          }
+        }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(serve)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchLeaf(d, s"ann_live_chk_$runId"))
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    (s.read.parquet(sink), trail.asScala.toSeq.sortBy(_._1))
+  }
+
+  /** q346 — SERVING ACROSS A LIVE COMPACTION COMMIT (round-15 verdict
+    * task 4), the dynamic half of q343's reader-isolation story: q343
+    * proves v3 and v4 serve identical results when read separately;
+    * this query proves a RUNNING serving loop straddling the commit
+    * never sees anything else — batches before the commit resolve v3,
+    * batches after resolve v4 (both `require`d present, so the run is
+    * dead unless the loop really spanned the boundary), and no batch
+    * can observe a half-committed store because v4 rows are published
+    * only after the compacted files are on disk. The DuckDB oracle is
+    * the batch probe over the rebuilt corpus: hash equality proves
+    * every micro-batch — whichever side of the commit it landed on —
+    * served exactly the rebuild's answer. `AnnServeLiveSpec` replays
+    * each batch against the manifest version it recorded and pins the
+    * per-version equality the flattened output can't show.
+    */
+  val annServeLiveCommit = Q(
+    "q346_ann_serve_live_commit",
+    (s, d) => {
+      val (res, trail) = streamServeLive(s, d, nFiles = 4)
+      require(trail.size >= 2,
+        s"expected multiple serving micro-batches, got ${trail.size}")
+      val vs = trail.map(_._2).toSet
+      require(vs == Set(3L, 4L),
+        s"serving loop did not span the live commit: saw versions $vs")
+      res.drop("batch_id", "version", "store_root")
+    },
+    annStreamServe.oracle // same store content on both sides of the commit
+  )
+
   /** q81 — INT8 embedding quantization, the storage/serving compression
     * step of an embedding pipeline (4× smaller than float32, 8× smaller
     * than the double working form): symmetric per-vector max-abs scaling,
@@ -2525,5 +2616,6 @@ object Similarity {
       embedLshNearDup, matryoshkaRerank, matryoshkaIvf, annIvfPq, annIvfPqFile, semDedup,
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
-      annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum)
+      annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
+      annServeLiveCommit)
 }
