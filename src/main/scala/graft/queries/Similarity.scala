@@ -1517,7 +1517,7 @@ object Similarity {
     * subvector's dot against each code — an 8×8 double table riding on
     * the (bounded) probe rows.
     */
-  private def pqProbesLut(probes: DataFrame, booksRow: DataFrame): DataFrame =
+  private[graft] def pqProbesLut(probes: DataFrame, booksRow: DataFrame): DataFrame =
     probes.crossJoin(broadcast(booksRow))
       .withColumn("lut", transform(col("books"), mb => {
         val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
@@ -1596,6 +1596,96 @@ object Similarity {
       pqAdcRank(pqProbesLut(ivfProbes(ev), booksRow), enc, vectors(s, d))
     },
     annIvfPq.oracle // identical semantics: the code file is q111, materialized
+  )
+
+  /** One PQ serving step (q347): a probe micro-batch — each probe row
+    * carrying its precomputed 8×8 ADC lookup table — scored against the
+    * materialized PQ code file with the scan pruned to the batch's
+    * probed cells, then exact-reranked candidate-sized against the base
+    * vector table. Factored so `AnnPqServeSpec` can plan-gate the
+    * partition prune on a static batch.
+    */
+  private[graft] def servePqBatch(s: SparkSession, batch: DataFrame,
+      encPath: String, d: String): DataFrame = {
+    val cells = batch.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val enc = s.read.parquet(encPath)
+      .where(col("cell").isInCollection(cells))
+    pqAdcRank(batch, enc, vectors(s, d))
+  }
+
+  /** q347's serving loop: q344's streaming shape with q114's
+    * compressed store as the serving tier. The PQ code file and the
+    * probe LUTs are built ONCE before the stream (train-once — the
+    * loop measures serving); probes stage as `nFiles` files keyed by
+    * vec_id (a probe's IvfNProbe cell rows must share a micro-batch or
+    * its candidate cut would rank over half its candidates) and stream
+    * through `foreachBatch`, each batch ADC-scanning only its probed
+    * cells' CODES and fetching full vectors only for the candidate-
+    * sized rerank join.
+    */
+  private[graft] def streamServePq(s: SparkSession, d: String,
+      nFiles: Int): (DataFrame, Long) = {
+    val ev = ivfWithCells(s, d, ivfCents(s, d))
+    val booksRow = pqBooksRow(pqBooks(s, d))
+    val enc = graft.sources.Sources.artifactOnce(d, "ivf_pq_file_serve") { p =>
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      pqEncode(corpus, booksRow)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(p)
+    }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = graft.sources.Sources.scratchLeaf(d, s"pq_probe_src_$runId")
+    val sink = graft.sources.Sources.scratchLeaf(d, s"pq_serve_out_$runId")
+    pqProbesLut(ivfProbes(ev), booksRow)
+      .repartition(nFiles, col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val schema = s.read.parquet(src).schema
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          servePqBatch(batch.sparkSession, batch.toDF(), enc, d)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
+        }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(serve)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchLeaf(d, s"pq_serve_chk_$runId"))
+      .start()
+    q.awaitTermination()
+    (s.read.parquet(sink), batches.get())
+  }
+
+  /** q347 — PQ-COMPRESSED STREAMING SERVING (round-15 verdict task 6):
+    * q344 streams probes against an inverted file of FULL vectors; at
+    * 100 TB the serving tier reads codes, not floats (q114's file is
+    * the measured 18.6× smaller artifact), so this query routes the
+    * q344 loop through the materialized PQ store — per micro-batch an
+    * ADC scan over the probed cells' 8-byte code rows (the probe's 8×8
+    * lookup table rides on the probe row), a per-probe candidate cut,
+    * and an exact cosine rerank that fetches full vectors ONLY for the
+    * candidate set. The DuckDB oracle is q111's full PQ chain: hash
+    * equality proves the streamed, batch-pruned, compressed path emits
+    * exactly what the one-shot ADC search does — and because the
+    * rerank is exact over the ADC short list, the top-5 is the same
+    * whether the store holds codes or vectors wherever ADC recall
+    * admits the true neighbors. `AnnPqServeSpec` pins the pruned scan,
+    * the batching-layout invariance, and that the serving scan reads
+    * no vector column at all.
+    */
+  val annPqStreamServe = Q(
+    "q347_ann_pq_stream_serve",
+    (s, d) => {
+      val (res, n) = streamServePq(s, d, nFiles = 4)
+      require(n >= 2, s"expected multiple serving micro-batches, got $n")
+      res
+    },
+    annIvfPq.oracle // the compressed serving path must equal the one-shot ADC search
   )
 
   /** The q111 oracle: the shared coarse CTE chain, then the PQ Lloyd
@@ -2617,5 +2707,5 @@ object Similarity {
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
       annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
-      annServeLiveCommit)
+      annServeLiveCommit, annPqStreamServe)
 }
