@@ -67,6 +67,10 @@ class DeterminismSpec extends AnyFunSuite {
   // emission, each under 1-split / 17-split / default layouts (the split
   // size varies scan partitioning and, for the streaming pair, the state
   // store partition count via shuffle width)
+  // round-16 additions (r15 verdict task 8): the lifecycle closers with
+  // order-sensitive FILE LISTINGS — q345's vacuum candidate walk +
+  // manifest prune, q346's live-commit version trail, q347's code-file
+  // staging — exactly the class the matrix exists for
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
@@ -77,7 +81,9 @@ class DeterminismSpec extends AnyFunSuite {
       "q326_session_paths", "q333_leaderboard_churn",
       "q335_funnel_latency", "q340_personalized_pagerank",
       "q341_ann_index_delta", "q342_stream_neardup",
-      "q343_ann_index_compact", "q344_ann_stream_serve")) {
+      "q343_ann_index_compact", "q344_ann_stream_serve",
+      "q345_ann_store_vacuum", "q346_ann_serve_live_commit",
+      "q347_ann_pq_stream_serve")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
