@@ -536,15 +536,19 @@ object Similarity {
     * lifecycle stages operate on the SAME stored base, as they would in
     * a deployment.
     */
-  private[graft] def ivfBaseStore(s: SparkSession, d: String, d0: Long): String =
+  private[graft] def baseStore(s: SparkSession, d: String, d0: Long,
+      tag: String, enc: (Long, DataFrame) => DataFrame): String =
     // d0 folded into the artifact key (ADVICE r15): two callers with
     // different cuts must build two artifacts, not silently share the
     // first caller's — the invariant is structural, not call-site luck
-    graft.sources.Sources.artifactOnce(d, s"ivf_delta_base_$d0") { p =>
-      deltaAssign(s, d, d0, delta = false)
+    graft.sources.Sources.artifactOnce(d, s"${tag}_delta_base_$d0") { p =>
+      enc(d0, deltaAssign(s, d, d0, delta = false))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cell").parquet(p)
     }
+
+  private[graft] def ivfBaseStore(s: SparkSession, d: String, d0: Long): String =
+    baseStore(s, d, d0, "ivf", (_, df) => df)
 
   val annIndexDelta = Q(
     "q341_ann_index_delta",
@@ -606,11 +610,20 @@ object Similarity {
       v3: Map[Long, Seq[String]], v4: Map[Long, Seq[String]],
       compacted: Set[Long])
 
-  private def cellDirs(p: String): Map[Long, String] = {
-    val f = new java.io.File(p)
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(x => x.isDirectory && x.getName.startsWith("cell="))
-      .map(x => x.getName.drop(5).toLong -> x.getAbsolutePath).toMap
+  /** The `cell=N` partition dirs of one store component, via the Hadoop
+    * FileSystem of the component's scheme (round-16 verdict task 4: the
+    * lifecycle file ops must run wherever the store lives — a
+    * `java.io.File` walk returns nothing on an object-store scratch
+    * root and the lifecycle would silently see an empty component).
+    */
+  private def cellDirs(s: SparkSession, p: String): Map[Long, String] = {
+    val fs = graft.sources.StoreManifest.hfs(s, p)
+    val dir = new org.apache.hadoop.fs.Path(p)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => st.getPath.getName.drop(5).toLong ->
+        graft.sources.StoreManifest.pathStr(st.getPath)).toMap
   }
 
   /** Read a manifest view. The live dirs are GROUPED BY their store
@@ -623,13 +636,14 @@ object Similarity {
     * basePath IS the manifest's partition-level liveness filter.
     */
   private[graft] def readStore(s: SparkSession,
-      m: Map[Long, Seq[String]]): DataFrame =
+      m: Map[Long, Seq[String]], valCols: Seq[String] = Seq("v")): DataFrame =
     m.values.flatten.toSeq.distinct
       .groupBy(p => p.substring(0, p.lastIndexOf('/')))
       .toSeq.sortBy(_._1)
       .map { case (root, ds) =>
         s.read.option("basePath", root).parquet(ds.sorted: _*)
-          .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+          .select(col("vec_id") +: valCols.map(col) :+
+            col("cell").cast("long").as("cell"): _*)
       }.reduce(_ unionByName _)
 
   /** q343's full store lifecycle — base, two increment appends, the
@@ -661,30 +675,50 @@ object Similarity {
       cells: Seq[Long], v3: Map[Long, Seq[String]])
 
   private[graft] def buildStoreV3(s: SparkSession, d: String,
-      privateBase: Boolean = false): IvfStoreV3 = {
-    import s.implicits._
+      privateBase: Boolean = false): IvfStoreV3 =
+    buildStoreV3Enc(s, d, privateBase, "ivf", (_, df) => df)
+
+  /** q350/q351's code-store twin: the SAME v3 store lifecycle with every
+    * landed slice PQ-ENCODED against the base-frozen codebooks — the
+    * store holds (vec_id, codes, cell), never a float vector. The
+    * encode is row-local (broadcast codebook row), so each append stays
+    * O(wave).
+    */
+  private[graft] def buildPqStoreV3(s: SparkSession, d: String,
+      privateBase: Boolean = false): IvfStoreV3 =
+    buildStoreV3Enc(s, d, privateBase, "pq",
+      (d0, df) => pqEncode(df, pqBooksRow(pqBooks(s, d, maxId = d0))))
+
+  /** The generic v3 store builder: base + two increment waves, each
+    * slice transformed by `enc(d0, assignedRows)` before landing (the
+    * float store lands rows verbatim; the PQ store encodes them), then
+    * one atomic manifest commit of versions 1..3.
+    */
+  private[graft] def buildStoreV3Enc(s: SparkSession, d: String,
+      privateBase: Boolean, tag: String,
+      enc: (Long, DataFrame) => DataFrame): IvfStoreV3 = {
     val mx = vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0)
     val d0 = mx * 9 / 10
     val dMid = (d0 + mx + 1) / 2
     val root = graft.sources.Sources.scratchLeaf(d,
-      s"ivf_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"${tag}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     val base =
       if (privateBase) {
         val p = s"$root/base"
-        deltaAssign(s, d, d0, delta = false)
+        enc(d0, deltaAssign(s, d, d0, delta = false))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("cell").parquet(p)
         p
-      } else ivfBaseStore(s, d, d0)
+      } else baseStore(s, d, d0, tag, enc)
     val incA = s"$root/inc_a"; val incB = s"$root/inc_b"
     val compactDir = s"$root/compact"; val manifestDir = s"$root/manifest"
-    waveAssign(s, d, d0, d0, dMid)
+    enc(d0, waveAssign(s, d, d0, d0, dMid))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(incA)
-    waveAssign(s, d, d0, dMid, Long.MaxValue)
+    enc(d0, waveAssign(s, d, d0, dMid, Long.MaxValue))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(incB)
-    val baseDirs = cellDirs(base); val aDirs = cellDirs(incA); val bDirs = cellDirs(incB)
+    val baseDirs = cellDirs(s, base); val aDirs = cellDirs(s, incA); val bDirs = cellDirs(s, incB)
     val cells = (baseDirs.keySet ++ aDirs.keySet ++ bDirs.keySet).toSeq.sorted
     // each cell's live-dir list kept lexicographically sorted so the
     // handle and manifestAsOf (which re-sorts after the collect) agree
@@ -692,16 +726,17 @@ object Similarity {
       j -> (baseDirs.get(j).toSeq ++ aDirs.get(j).toSeq ++ bDirs.get(j).toSeq).sorted).toMap
     // versions 1..3 (base, +incA, +incB) in one metadata commit — a
     // deployment commits each append as it lands; the boundary that
-    // matters for reader isolation is v3 → v4 below
+    // matters for reader isolation is v3 → v4 below. The commit is one
+    // StoreManifest generation publish: atomic marker create, never a
+    // readable-in-between manifest state.
     val upTo3 =
       // .get(j).toSeq (ADVICE r15): a cell populated only by delta
       // vectors has no base dir — its v1 entry is simply empty
       cells.map(j => (1L, j, baseDirs.get(j).toSeq)) ++
         cells.map(j => (2L, j, baseDirs.get(j).toSeq ++ aDirs.get(j).toSeq)) ++
         cells.map(j => (3L, j, v3(j)))
-    upTo3.flatMap { case (v, j, ps) => ps.map(p => (v, j, p)) }
-      .toDF("version", "cell", "path")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestDir)
+    graft.sources.StoreManifest.commit(s, root)(_ =>
+      upTo3.flatMap { case (v, j, ps) => ps.map(p => (v, j, p)) })
     IvfStoreV3(root, d0, dMid, base, incA, incB, compactDir, manifestDir, cells, v3)
   }
 
@@ -709,8 +744,8 @@ object Similarity {
     * [[compactStore]] so q346 can fire it BETWEEN serving micro-batches
     * (a live commit under a running reader loop).
     */
-  private[graft] def commitCompaction(s: SparkSession, st: IvfStoreV3): IvfCompactStore = {
-    import s.implicits._
+  private[graft] def commitCompaction(s: SparkSession, st: IvfStoreV3,
+      valCols: Seq[String] = Seq("v")): IvfCompactStore = {
     import st._
     // the compaction DECISION: ONE bounded metadata aggregate over the
     // three store components tagged base/increment (grouped on the
@@ -740,16 +775,19 @@ object Similarity {
     val cDirs =
       if (compacted.isEmpty) Map.empty[Long, String]
       else {
-        readStore(s, v3.filter(kv => compacted(kv._1)))
+        readStore(s, v3.filter(kv => compacted(kv._1)), valCols)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("cell").parquet(compactDir)
-        cellDirs(compactDir)
+        cellDirs(s, compactDir)
       }
     val v4 = cells.map(j =>
       j -> (if (compacted(j)) Seq(cDirs(j)) else v3(j))).toMap
-    v4.toSeq.flatMap { case (j, ps) => ps.map(p => (4L, j, p)) }
-      .toDF("version", "cell", "path")
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(manifestDir)
+    // the new version number is computed INSIDE the CAS against the
+    // manifest head (round-16 verdict task 3): a second committer racing
+    // this one gets the NEXT version, never a duplicate of this one —
+    // ManifestCasSpec races two appendVersion writers and pins it
+    graft.sources.StoreManifest.appendVersion(s, root)(nv =>
+      v4.toSeq.flatMap { case (j, ps) => ps.map(p => (nv, j, p)) })
     IvfCompactStore(root, d0, dMid, compactDir, v3, v4, compacted)
   }
 
@@ -763,10 +801,7 @@ object Similarity {
     */
   private[graft] def manifestAsOf(s: SparkSession, root: String,
       v: Long): Map[Long, Seq[String]] =
-    s.read.parquet(s"$root/manifest").where(col("version") === v)
-      .select("cell", "path").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-      .groupBy(_._1).map { case (j, ps) => j -> ps.map(_._2).toSeq.sorted }
+    graft.sources.StoreManifest.asOf(s, root, v)
 
   /** q343 — ANN INCREMENT COMPACTION (round-14 verdict task 2), the
     * lifecycle half q341's scaladoc deferred: increments accumulate
@@ -835,38 +870,57 @@ object Similarity {
     * whose base is the SHARED corpus artifact (q343's cheap default)
     * can never lose it to a vacuum — only a `privateBase` store (q345),
     * whose manifest owns everything it references, retires base dirs.
-    * Vacuum is an exclusive maintenance operation (it rewrites the
-    * manifest in place); readers pinned to versions ≥ the floor are
-    * unaffected because their dirs are never candidates.
+    * READER-ATOMIC (round-17): the manifest prune publishes as one
+    * StoreManifest generation commit BEFORE any file is deleted — a
+    * concurrent reader resolves the old complete snapshot or the pruned
+    * complete snapshot, never a torn one, and readers pinned to
+    * versions ≥ the floor are unaffected because their dirs are never
+    * candidates (q348 serves across a live vacuum and hash-proves it;
+    * `AnnVacuumLiveSpec` hammers the resolve during the pass).
     */
   private[graft] def vacuumStore(s: SparkSession, root: String,
       keepFrom: Long): VacuumReport = {
-    import s.implicits._
-    val manifestDir = s"$root/manifest"
-    val all = s.read.parquet(manifestDir)
-      .select(col("version").cast("long"), col("cell").cast("long"), col("path"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val retained = all.filter(_._1 >= keepFrom)
-    require(retained.nonEmpty,
-      s"vacuum would retire every version in $manifestDir (keepFrom=$keepFrom)")
+    val SM = graft.sources.StoreManifest
+    val all = SM.readRows(s, root)
+    val retained0 = all.filter(_._1 >= keepFrom)
+    require(retained0.nonEmpty,
+      s"vacuum would retire every version in $root/manifest (keepFrom=$keepFrom)")
+    // 1. PUBLISH the pruned manifest first, as one atomic generation
+    //    commit (round-16 verdict task 1: the prune was an in-place
+    //    Overwrite with a delete-then-write window; a live reader could
+    //    resolve a missing or partial manifest mid-vacuum). The CAS
+    //    recomputes the prune if another commit landed in between, so
+    //    the retained set below is what actually got published.
+    val retained =
+      if (retained0.length == all.length) all // full retention: no commit
+      else {
+        val (_, rows) = SM.commit(s, root) { cur =>
+          val keep = cur.filter(_._1 >= keepFrom)
+          require(keep.nonEmpty,
+            s"vacuum would retire every version in $root/manifest (keepFrom=$keepFrom)")
+          keep
+        }
+        rows
+      }
     val live = retained.map(_._3).toSet
-    val comps = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName != "manifest")
+    // 2. candidate walk + deletes through the Hadoop FileSystem of the
+    //    store's scheme (round-16 verdict task 4 / ADVICE r16: a
+    //    java.io.File walk on an object-store root lists nothing and
+    //    the vacuum silently retires no dirs)
+    val fs = SM.hfs(s, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val comps = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName != "manifest")
     val cand = comps
-      .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty[java.io.File]))
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .map(_.getAbsolutePath).sorted.toSeq
+      .flatMap(c => fs.listStatus(c.getPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => SM.pathStr(st.getPath)).sorted.toSeq
     val (kept, dead) = cand.partition(live)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
-    dead.foreach(p => rm(new java.io.File(p)))
-    // prune the manifest to the floor: below-floor rows point at dirs
-    // that may no longer exist — they leave in the same commit
-    retained.toSeq.toDF("version", "cell", "path")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestDir)
+    // readers pinned to versions ≥ the floor never reference a dead
+    // dir, and the manifest flip above already hid the below-floor
+    // rows — so these deletes are invisible to every contract reader
+    // (q348 drives a live serving loop across this pass and proves it)
+    dead.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     VacuumReport(dead, kept, (all.length - retained.length).toLong)
   }
 
@@ -1028,12 +1082,17 @@ object Similarity {
           // resolve the LIVE manifest head — not a version pinned at
           // stream start: this is what makes the commit visible to the
           // loop, and what the commit protocol must keep consistent
-          val v = ss.read.parquet(st3.manifestDir)
-            .agg(max(col("version"))).head().getLong(0)
-          val m = manifestAsOf(ss, st3.root, v)
+          // (one snapshot read resolves version + cell map together)
+          val (v, m) = graft.sources.StoreManifest.headVersion(ss, st3.root)
           val cells = batch.select(col("cell").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
-          ivfRank(batch.toDF(), readStore(ss, m.filter(kv => cells(kv._1))))
+          // empty-filter guard (ADVICE r16): a batch whose probed cells
+          // are all absent from the manifest (a centroid cell with zero
+          // assigned vectors) must not reduce over an empty scan list —
+          // fall back to the full manifest map (the join still scores
+          // only the probed cells)
+          val probed = m.filter(kv => cells(kv._1))
+          ivfRank(batch.toDF(), readStore(ss, if (probed.isEmpty) m else probed))
             .withColumn("batch_id", lit(batchId))
             .withColumn("version", lit(v))
             .withColumn("store_root", lit(st3.root))
@@ -1084,6 +1143,105 @@ object Similarity {
       res.drop("batch_id", "version", "store_root")
     },
     annStreamServe.oracle // same store content on both sides of the commit
+  )
+
+  /** q348's serving loop ACROSS a live vacuum (round-16 verdict task 1,
+    * the q346 discipline applied to q345): the store is built with a
+    * private base, the v3 → v4 compaction commits BEFORE the stream (so
+    * retired dirs sit on disk as real garbage), and the vacuum at
+    * retention floor v4 fires BETWEEN serving micro-batches — after the
+    * first non-empty batch completes, inside the same driver loop.
+    * Every batch resolves the live manifest head (version + cell map in
+    * one snapshot read) and records the manifest GENERATION it resolved:
+    * pre-vacuum batches read the compaction's snapshot, post-vacuum
+    * batches read the pruned snapshot the vacuum published atomically.
+    * Returns the served rows, the (batchId, generation) trail, and the
+    * vacuum's report.
+    */
+  private[graft] def streamServeLiveVacuum(s: SparkSession, d: String,
+      nFiles: Int): (DataFrame, Seq[(Long, Long)], VacuumReport) = {
+    val SM = graft.sources.StoreManifest
+    val st3 = buildStoreV3(s, d, privateBase = true)
+    commitCompaction(s, st3) // v4 live; the retired v3-only dirs are garbage
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = graft.sources.Sources.scratchLeaf(d, s"ann_vac_src_$runId")
+    val sink = graft.sources.Sources.scratchLeaf(d, s"ann_vac_out_$runId")
+    val probes = ivfProbes(withCells(
+      vectors(s, d).where(col("vec_id") < 8), ivfCents(s, d, maxId = st3.d0)))
+    probes.repartition(nFiles, col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val schema = s.read.parquet(src).schema
+    val trail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val repRef = new java.util.concurrent.atomic.AtomicReference[VacuumReport]
+    val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          val gen = SM.gens(ss, st3.root).last._1
+          val (v, m) = SM.headVersion(ss, st3.root)
+          // the vacuum must be invisible: the head VERSION never moves
+          require(v == 4L, s"live vacuum moved the head version to $v")
+          val cells = batch.select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val probed = m.filter(kv => cells(kv._1))
+          ivfRank(batch.toDF(), readStore(ss, if (probed.isEmpty) m else probed))
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("gen", lit(gen))
+            .withColumn("store_root", lit(st3.root))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
+          trail.add((batchId, gen))
+          // the live pass: vacuum AFTER the first served batch, inside
+          // the serving loop — every later batch resolves the pruned
+          // manifest generation
+          if (fired.compareAndSet(false, true)) {
+            repRef.set(vacuumStore(ss, st3.root, keepFrom = 4L)); ()
+          }
+        }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(serve)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchLeaf(d, s"ann_vac_chk_$runId"))
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    (s.read.parquet(sink), trail.asScala.toSeq.sortBy(_._1), repRef.get())
+  }
+
+  /** q348 — SERVING ACROSS A LIVE VACUUM (round-16 verdict task 1), the
+    * dynamic half of q345's reader-isolation story: q345 proves a
+    * QUIESCED vacuum changes nothing a v4 reader sees (it collects the
+    * pre-serve before vacuuming); this query drives the q344 serving
+    * loop WHILE the vacuum runs — the prune publishes as one atomic
+    * manifest-generation commit before any dir is deleted, so batches
+    * before the pass resolve the compaction's snapshot, batches after
+    * resolve the pruned snapshot (both generations `require`d present in
+    * the trail, the head version `require`d pinned at 4 throughout, and
+    * the vacuum `require`d to have actually retired dirs — the run is
+    * dead unless real garbage vanished mid-stream). The DuckDB oracle is
+    * the batch probe over the rebuilt corpus: hash equality proves every
+    * micro-batch, whichever side of the vacuum it landed on, served
+    * exactly the rebuild's answer. `AnnVacuumLiveSpec` additionally
+    * hammers manifest resolution DURING a vacuum pass and pins that no
+    * reader can ever observe a missing or partial manifest — the torn
+    * window the round-16 in-place Overwrite had.
+    */
+  val annServeLiveVacuum = Q(
+    "q348_ann_serve_live_vacuum",
+    (s, d) => {
+      val (res, trail, rep) = streamServeLiveVacuum(s, d, nFiles = 4)
+      require(trail.size >= 2,
+        s"expected multiple serving micro-batches, got ${trail.size}")
+      val gs = trail.map(_._2).toSet
+      require(gs.size == 2,
+        s"serving loop did not span the live vacuum: saw generations $gs")
+      require(rep != null && rep.deleted.nonEmpty,
+        "vacuum retired nothing — fixture dead (no cell compacted?)")
+      res.drop("batch_id", "gen", "store_root")
+    },
+    annStreamServe.oracle // the vacuum must change nothing a reader sees
   )
 
   /** q81 — INT8 embedding quantization, the storage/serving compression
@@ -1393,11 +1551,15 @@ object Similarity {
   }
 
   /** The PQ training sample: each finite sample vector exploded into
-    * its `PqM` subvectors — (m, vec_id, sv).
+    * its `PqM` subvectors — (m, vec_id, sv). `maxId` freezes training
+    * on a base snapshot (the q341/ivfCents discipline) for the PQ
+    * lifecycle family q349-q351.
     */
-  private def pqSample(s: SparkSession, d: String): DataFrame =
+  private def pqSample(s: SparkSession, d: String,
+      maxId: Long = Long.MaxValue): DataFrame =
     vectors(s, d)
       .where(col("vec_id") % IvfSampleMod === 0)
+      .where(col("vec_id") < maxId)
       .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"),
@@ -1447,9 +1609,11 @@ object Similarity {
       org.apache.spark.sql.types.StructType)]
 
   private[graft] def pqBooks(s: SparkSession, d: String,
-      steps: Int = PqLloydSteps): DataFrame = {
+      steps: Int = PqLloydSteps, maxId: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
-    val (rows, schema) = bookCache.getOrElseUpdate((d, steps), {
+    val cacheKey =
+      s"$d@${graft.sources.Sources.dirFingerprint(d)}#$maxId"
+    val (rows, schema) = bookCache.getOrElseUpdate((cacheKey, steps), {
       val seedRow = (for {
         m <- 0 until PqM
         k <- 0 until PqK
@@ -1457,7 +1621,8 @@ object Similarity {
         .toDF("m", "cell", "c")
         .groupBy("m")
         .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
-      val chain = (1 to steps).foldLeft(seedRow)((c, _) => pqLloydStep(pqSample(s, d), c))
+      val chain = (1 to steps).foldLeft(seedRow)((c, _) =>
+        pqLloydStep(pqSample(s, d, maxId), c))
       (java.util.Arrays.asList(chain.collect(): _*), chain.schema)
     })
     s.createDataFrame(rows, schema)
@@ -1532,7 +1697,7 @@ object Similarity {
     * full-precision vectors appear only through the candidate-sized
     * rerank join against `vecs`.
     */
-  private def pqAdcRank(probesLut: DataFrame, enc: DataFrame, vecs: DataFrame): DataFrame = {
+  private[graft] def pqAdcRank(probesLut: DataFrame, enc: DataFrame, vecs: DataFrame): DataFrame = {
     val adc = broadcast(probesLut).as("q")
       .join(enc.as("x"),
         col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
@@ -1688,6 +1853,235 @@ object Similarity {
     annIvfPq.oracle // the compressed serving path must equal the one-shot ADC search
   )
 
+  /** The SQL filter that freezes oracle training on the base snapshot —
+    * shared by every lifecycle oracle (q341/q343-q346/q348 float chain,
+    * q349-q352 PQ chain): the oracle trains its quantizers on the same
+    * ~90% cut the engine's stored centroids/codebooks were frozen at.
+    */
+  private val BaseTrainFilter =
+    "AND vec_id < (SELECT (max(vec_id) * 9) // 10 FROM embeddings)"
+
+  /** q349 — PQ CODE-STORE DELTA APPEND (round-16 verdict task 2), q341's
+    * twin over the compressed tier q347 serves: at 100 TB the serving
+    * store holds CODES, so index maintenance must too — the arriving
+    * delta is coarse-assigned against the stored base centroids and
+    * PQ-encoded against the FROZEN base-trained codebooks (no retrain;
+    * q352's staleness gate is the retrain trigger), then landed as a
+    * cell-partitioned increment beside the immutable base code file.
+    * The recurring operation is O(delta + probe): the encode is
+    * row-local against one broadcast codebook row, and the range
+    * predicate pushes into the delta scan. The DuckDB oracle rebuilds
+    * the whole ADC chain from scratch with base-frozen training — hash
+    * equality IS the proof that append-then-search ≡ re-encode-then-
+    * search; `PqLifecycleSpec` pins it in-engine against a full rebuild
+    * and pins that no float vector ever lands in the code store.
+    */
+  val annPqIndexDelta = Q(
+    "q349_ann_pq_index_delta",
+    (s, d) => {
+      val d0 = deltaCut(s, d)
+      val booksRow = pqBooksRow(pqBooks(s, d, maxId = d0))
+      val base = baseStore(s, d, d0, "pq", (_, df) => pqEncode(df, booksRow))
+      val inc = graft.sources.Sources.scratchLeaf(d,
+        s"pq_delta_inc_${java.util.UUID.randomUUID().toString.take(8)}")
+      pqEncode(deltaAssign(s, d, d0, delta = true), booksRow)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(inc)
+      val codes = s.read.parquet(base).unionByName(s.read.parquet(inc))
+      val ev = withCells(vectors(s, d).where(col("vec_id") < 8),
+        ivfCents(s, d, maxId = d0))
+      pqAdcRank(pqProbesLut(ivfProbes(ev), booksRow), codes, vectors(s, d))
+    },
+    Some(pqOracle(IvfLloydSteps, PqLloydSteps, BaseTrainFilter))
+  )
+
+  /** q350 — PQ CODE-STORE COMPACTION, q343's twin over the compressed
+    * tier: increments of codes accumulate against the immutable base
+    * code file until a cell's increment fraction crosses the same
+    * [[IvfIncCompactNum]]/[[IvfIncCompactDen]] trigger, then that cell's
+    * CODE rows — 8 bytes each, never a float — are rewritten once and
+    * its increments retired from the manifest, with the atomic
+    * generation commit isolating readers exactly as the float store's.
+    * Output: the same probe set ADC-searched through the pre-compaction
+    * (v3) and post-compaction (v4) manifests, tagged by phase; the
+    * oracle emits the from-scratch ADC rebuild under both tags, so the
+    * hash gate IS the probe-invariance proof across the compaction
+    * boundary of the compressed store. `PqLifecycleSpec` pins the file
+    * economics (increments retired, triggered cells rewritten once,
+    * untouched cells shared by reference, no vector column on disk).
+    */
+  val annPqIndexCompact = Q(
+    "q350_ann_pq_index_compact",
+    (s, d) => {
+      val st = commitCompaction(s, buildPqStoreV3(s, d), valCols = Seq("codes"))
+      val booksRow = pqBooksRow(pqBooks(s, d, maxId = st.d0))
+      val ev = withCells(vectors(s, d).where(col("vec_id") < 8),
+        ivfCents(s, d, maxId = st.d0))
+      val probes = pqProbesLut(ivfProbes(ev), booksRow)
+      def serve(v: Long, phase: String): DataFrame =
+        pqAdcRank(probes,
+          readStore(s, manifestAsOf(s, st.root, v), Seq("codes")), vectors(s, d))
+          .withColumn("phase", lit(phase))
+      serve(3L, "pre").unionByName(serve(4L, "post"))
+    },
+    Some(pqOraclePhased(IvfLloydSteps, PqLloydSteps, BaseTrainFilter))
+  )
+
+  /** q351 — PQ CODE-STORE VACUUM, q345's twin over the compressed tier:
+    * after the v4 compaction commit the retired code increments (and,
+    * on a store that owns its base, the compacted cells' base dirs)
+    * leak until a GC pass collects them. Same pass as q345 — the
+    * vacuum is layout-agnostic: the manifest prune publishes atomically
+    * BEFORE any delete, candidates come only from under the root, and
+    * the report's file economics are spec-pinned. The ADC search
+    * through v4 is materialized before the pass and re-run after; the
+    * oracle hashes pre ≡ post ≡ rebuild.
+    */
+  val annPqStoreVacuum = Q(
+    "q351_ann_pq_store_vacuum",
+    (s, d) => {
+      val st = commitCompaction(s, buildPqStoreV3(s, d, privateBase = true),
+        valCols = Seq("codes"))
+      val booksRow = pqBooksRow(pqBooks(s, d, maxId = st.d0))
+      val ev = withCells(vectors(s, d).where(col("vec_id") < 8),
+        ivfCents(s, d, maxId = st.d0))
+      val probes = pqProbesLut(ivfProbes(ev), booksRow)
+      def serve(phase: String): DataFrame =
+        pqAdcRank(probes,
+          readStore(s, manifestAsOf(s, st.root, 4L), Seq("codes")), vectors(s, d))
+          .withColumn("phase", lit(phase))
+      val preDf = serve("pre")
+      val preRows = preDf.collect() // bounded: probes × top-5
+      val rep = vacuumStore(s, st.root, keepFrom = 4L)
+      require(rep.deleted.nonEmpty,
+        "vacuum retired nothing — fixture dead (no cell compacted?)")
+      s.createDataFrame(java.util.Arrays.asList(preRows: _*), preDf.schema)
+        .unionByName(serve("post"))
+    },
+    annPqIndexCompact.oracle // the vacuum must change nothing a reader sees
+  )
+
+  /** Codebook-staleness band for q352: the full-corpus delta slice may
+    * carry at most `Num/Den` × the base slice's mean reconstruction
+    * error under the FROZEN base-trained codebooks. Integer-ratio form
+    * (the IvfIncCompact discipline) so the gate compares exact BigInt
+    * products, never a float boundary.
+    */
+  private[graft] val PqStaleNum = 2L
+  private[graft] val PqStaleDen = 1L
+
+  /** Per-(scope, cell) reconstruction error of the base-frozen PQ
+    * codebooks over an arbitrary (vec_id, v, cell) corpus — q318's
+    * integer-quantized distortion machinery with the rows split into
+    * `base` (vec_id < d0: what the codebooks were trained for) and
+    * `delta` (what arrived since). Parameterized on the corpus so
+    * `PqLifecycleSpec` can drive a synthetically drifted delta through
+    * the same code path the registered query audits.
+    */
+  private[graft] def pqScopeDistortion(s: SparkSession, d: String, d0: Long,
+      corpus: DataFrame): DataFrame = {
+    val booksRow = pqBooksRow(pqBooks(s, d, maxId = d0))
+    corpus.crossJoin(broadcast(booksRow))
+      .withColumn("dists", transform(col("books"), mb => {
+        val sub = slice(col("v"), mb.getField("m") * lit(PqSubDim) + lit(1), lit(PqSubDim))
+        val best = element_at(array_sort(transform(mb.getField("cs"), sc =>
+          struct((lit(0.5) * SeqDot(sc.getField("c"), sc.getField("c"))
+            - SeqDot(sub, sc.getField("c"))).as("nd"),
+            sc.getField("cell").as("j")))), 1)
+        SeqDot(sub, sub) + lit(2.0) * best("nd")
+      }))
+      .withColumn("dist_q", floor(expr(
+        "aggregate(dists, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+        * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("scope",
+        when(col("vec_id") < d0, lit("base")).otherwise(lit("delta")))
+      .groupBy("scope", "cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist_q")).as("sum_q"), max(col("dist_q")).as("max_q"))
+      .select(col("scope"), col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("sum_q"),
+        (col("sum_q").cast("double") / lit(1e9)
+          / col("n_vecs").cast("double")).as("mean_distortion"),
+        (col("max_q").cast("double") / lit(1e9)).as("max_distortion"))
+  }
+
+  /** The staleness decision over collected (scope, n_vecs, sum_q)
+    * triples: fresh iff Σq_delta · n_base · Den ≤ Σq_base · n_delta ·
+    * Num — the exact-integer form of mean_delta ≤ (Num/Den) ·
+    * mean_base. BigInt products: overflow-free at any corpus size.
+    */
+  private[graft] def pqCodebookFresh(rows: Seq[(String, Long, Long)]): Boolean = {
+    val by = rows.groupBy(_._1).map { case (sc, xs) =>
+      sc -> (xs.map(_._2).sum, xs.map(x => BigInt(x._3)).sum)
+    }
+    val (nB, sB) = by("base"); val (nD, sD) = by("delta")
+    sD * nB * PqStaleDen <= sB * nD * PqStaleNum
+  }
+
+  /** q352 — PQ CODEBOOK STALENESS GATE (round-16 verdict task 2's
+    * retrain trigger): q349-q351 maintain the code store against
+    * codebooks FROZEN at the base snapshot, which is only safe while
+    * the arriving data still looks like what the codebooks were trained
+    * on — distortion drifting up in the delta slice is how ADC recall
+    * silently rots. This audit recomputes q318's per-cell reconstruction
+    * error over the full corpus under the frozen books, SPLIT into
+    * base/delta scopes, and `require`s the delta's global mean within
+    * [[PqStaleNum]]/[[PqStaleDen]] of the base's — the gate a
+    * deployment's retrain scheduler consumes. Exactness: the same
+    * ½‖c‖²−⟨sv,c⟩ argmin folds as the encoder, per-vector totals
+    * quantized to integers at 1e-9, integer aggregates; full hash
+    * oracle over the base-frozen coarse+PQ CTE chain. The audit is one
+    * pass over the corpus with a broadcast codebook row — O(corpus·M·K),
+    * amortized to zero when run beside the q349 encode it gates.
+    */
+  val pqCodebookStaleness = Q(
+    "q352_pq_codebook_staleness",
+    (s, d) => {
+      val d0 = deltaCut(s, d)
+      val corpus = withCells(vectors(s, d), ivfCents(s, d, maxId = d0))
+        .select(col("vec_id"), col("v"), element_at(col("cells"), 1)("j").as("cell"))
+      val out = pqScopeDistortion(s, d, d0, corpus)
+      // one execution: the audit table is bounded (2 × cells rows) —
+      // gate on the collected rows, return them as a local relation
+      val rows = out.collect()
+      require(pqCodebookFresh(rows.toSeq.map(r =>
+        (r.getString(0), r.getLong(2), r.getLong(3)))),
+        s"PQ codebooks stale: delta mean distortion exceeds " +
+          s"$PqStaleNum/$PqStaleDen × base — retrain before further q349 appends")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+    Some {
+      val sub = (v: String) =>
+        s"list_transform(generate_series(1, $PqSubDim), i -> $v[xc.m * $PqSubDim + i])"
+      val dot = (a: String, b: String) =>
+        s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
+      s"""${pqChainCtes(IvfLloydSteps, PqLloydSteps, BaseTrainFilter)},
+            dm AS (
+              SELECT a.vec_id, a.cell, xc.m,
+                     ${dot(s"${sub("a.v")}", s"${sub("a.v")}")}
+                       + 2 * (0.5 * ${dot("p.c", "p.c")}
+                              - ${dot(s"${sub("a.v")}", "p.c")}) AS dmv
+              FROM assigned a
+              JOIN xcodes xc ON xc.vec_id = a.vec_id
+              JOIN pq$PqLloydSteps p ON p.m = xc.m AND p.k = xc.code),
+            pv AS (SELECT vec_id, cell,
+                          CAST(floor(list_aggregate(list(dmv ORDER BY m), 'sum')
+                                     * 1e9 + 0.5) AS BIGINT) AS dist_q
+                   FROM dm GROUP BY 1, 2),
+            sc AS (SELECT vec_id, cell, dist_q,
+                          CASE WHEN vec_id < (SELECT (max(vec_id) * 9) // 10
+                                              FROM embeddings)
+                               THEN 'base' ELSE 'delta' END AS scope
+                   FROM pv)
+            SELECT scope, cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(dist_q) AS BIGINT) AS sum_q,
+                   CAST(sum(dist_q) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+                     AS mean_distortion,
+                   CAST(max(dist_q) AS DOUBLE) / 1e9 AS max_distortion
+            FROM sc GROUP BY 1, 2"""
+    }
+  )
+
   /** The q111 oracle: the shared coarse CTE chain, then the PQ Lloyd
     * steps unrolled (`pq{t}` from `pq{t-1}` exactly as [[pqLloydStep]]),
     * corpus encoding by per-subspace argmin, per-probe LUT, the
@@ -1697,7 +2091,8 @@ object Similarity {
     * vector's per-subspace code), shared by q111/q114's ADC search
     * tail and q318's distortion audit.
     */
-  private def pqChainCtes(coarseSteps: Int, pqSteps: Int): String = {
+  private def pqChainCtes(coarseSteps: Int, pqSteps: Int,
+      sampExtra: String = ""): String = {
     val sub = (v: String) => s"list_transform(generate_series(1, $PqSubDim), i -> $v[m * $PqSubDim + i])"
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
@@ -1722,7 +2117,7 @@ object Similarity {
               SELECT p.m, p.k, coalesce(r.c1, p.c) AS c
               FROM pq${t - 1} p LEFT JOIN pr$t r ON r.m = p.m AND r.code = p.k)"""
     }.mkString(",\n            ")
-    s"""${ivfOracleCtes(coarseSteps)},
+    s"""${ivfOracleCtes(coarseSteps, sampExtra)},
             ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
             pq0 AS (
               SELECT m, k, list_transform(generate_series(0, ${PqSubDim - 1}),
@@ -1741,11 +2136,17 @@ object Similarity {
               WHERE r = 1)"""
   }
 
-  private def pqOracle(coarseSteps: Int, pqSteps: Int): String = {
+  /** The full PQ ADC search oracle through the `rescored` CTE — shared
+    * by the one-result tail ([[pqOracle]]: q111/q114/q347/q349) and the
+    * phase-tagged tail ([[pqOraclePhased]]: q350/q351, the q343 probe-
+    * invariance idiom over the compressed store).
+    */
+  private def pqSearchCtes(coarseSteps: Int, pqSteps: Int,
+      sampExtra: String = ""): String = {
     val sub = (v: String) => s"list_transform(generate_series(1, $PqSubDim), i -> $v[m * $PqSubDim + i])"
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(generate_series(1, $PqSubDim), i -> $a[i] * $b[i]), 'sum')"
-    s"""${pqChainCtes(coarseSteps, pqSteps)},
+    s"""${pqChainCtes(coarseSteps, pqSteps, sampExtra)},
             lutc AS (
               SELECT q.vec_id AS probe_id, p.m, p.k,
                      ${dot(s"${sub("q.v")}", "p.c")} AS lv
@@ -1772,13 +2173,29 @@ object Similarity {
                      round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
               FROM cand c
               JOIN (SELECT DISTINCT vec_id, v FROM probes) q ON q.vec_id = c.probe_id
-              JOIN e x ON x.vec_id = c.neighbor_id)
-            SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
-              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
-                             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
-              FROM rescored) t
-            WHERE rnk <= 5"""
+              JOIN e x ON x.vec_id = c.neighbor_id),
+            pqres AS (
+              SELECT probe_id, neighbor_id, cos_sim, rnk FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+                FROM rescored) t
+              WHERE rnk <= 5)"""
   }
+
+  private def pqOracle(coarseSteps: Int, pqSteps: Int,
+      sampExtra: String = ""): String =
+    s"""${pqSearchCtes(coarseSteps, pqSteps, sampExtra)}
+            SELECT probe_id, neighbor_id, cos_sim, rnk FROM pqres"""
+
+  /** The PQ search emitted under both phase tags — the q343 idiom: the
+    * hash then proves a storage-layout change (compaction, vacuum) is
+    * invisible to the compressed search with zero new SQL.
+    */
+  private def pqOraclePhased(coarseSteps: Int, pqSteps: Int,
+      sampExtra: String = ""): String =
+    s"""${pqSearchCtes(coarseSteps, pqSteps, sampExtra)}
+            SELECT ph.phase, r.probe_id, r.neighbor_id, r.cos_sim, r.rnk
+            FROM (VALUES ('pre'), ('post')) ph(phase) CROSS JOIN pqres r"""
 
   /** q117 — SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al.
     * 2023): cluster the embedding space with k-means, then search for
@@ -2707,5 +3124,6 @@ object Similarity {
       semDedupSalted, filteredAnn, hardNegatives, embeddingGramian, powerIteration,
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
       annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
-      annServeLiveCommit, annPqStreamServe)
+      annServeLiveCommit, annPqStreamServe, annServeLiveVacuum,
+      annPqIndexDelta, annPqIndexCompact, annPqStoreVacuum, pqCodebookStaleness)
 }

@@ -71,6 +71,10 @@ class DeterminismSpec extends AnyFunSuite {
   // order-sensitive FILE LISTINGS — q345's vacuum candidate walk +
   // manifest prune, q346's live-commit version trail, q347's code-file
   // staging — exactly the class the matrix exists for
+  // round-17 additions (r16 verdict task 7): q348's vacuum-under-serve
+  // generation trail, the PQ code-store lifecycle's listings + manifest
+  // commits (q349 append, q350 compaction, q351 vacuum), and q352's
+  // scope split at the integer delta cut
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
@@ -83,7 +87,9 @@ class DeterminismSpec extends AnyFunSuite {
       "q341_ann_index_delta", "q342_stream_neardup",
       "q343_ann_index_compact", "q344_ann_stream_serve",
       "q345_ann_store_vacuum", "q346_ann_serve_live_commit",
-      "q347_ann_pq_stream_serve")) {
+      "q347_ann_pq_stream_serve", "q348_ann_serve_live_vacuum",
+      "q349_ann_pq_index_delta", "q350_ann_pq_index_compact",
+      "q351_ann_pq_store_vacuum", "q352_pq_codebook_staleness")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
