@@ -124,6 +124,37 @@ object Bench {
     }.sum
   }
 
+  /** Adaptive inter-pass backoff after the Nth CONSECUTIVE steal
+    * discard (round-16 verdict task 5): a contention storm should spend
+    * wall-clock waiting it out, not burn the retry budget re-measuring
+    * into the same storm — doubling from `baseMs`, capped at `capMs`,
+    * reset the moment a pass is accepted.
+    */
+  private[graft] def stealBackoffMs(consecutive: Int, baseMs: Long,
+      capMs: Long): Long =
+    if (consecutive <= 0) 0L
+    else math.min(capMs, baseMs << math.min(consecutive - 1, 20))
+
+  /** Scale-slope tripwire (round-16 verdict task 6): queries whose
+    * measured cost grows SUPERLINEARLY in rows between the small and
+    * main scale factors. A linear query's main/small ratio is < rowRatio
+    * (fixed overhead only shrinks it); n·log n lands just above; an
+    * accidental O(n²) heads toward rowRatio². `factor` (default 2 ⇒
+    * threshold 2×rowRatio at the 10× SF step) keeps n·log n and
+    * single-pass noise out, and `floorSec` ignores queries whose main-SF
+    * excess is under a second (fixed-overhead territory). Conservative
+    * by construction: one-time artifact builds landing in the small-SF
+    * pass inflate the denominator and can only UNDER-flag — the warm
+    * pass before the timed slope pass exists to keep that rare.
+    */
+  private[graft] def slopeFlags(main: Seq[(String, Double)],
+      small: Map[String, Double], rowRatio: Double, factor: Double,
+      floorSec: Double): Seq[String] =
+    main.collect {
+      case (n, t) if small.get(n).exists(s0 =>
+        s0 > 0.0 && t > factor * rowRatio * s0 && t - s0 > floorSec) => n
+    }
+
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -157,9 +188,10 @@ object Bench {
       spark.streams.resetTerminated()
     }
 
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def materializeAt(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+    def materialize(name: String): Unit = materializeAt(name, sfDir)
 
     def tempViews(): Set[String] =
       if (clean) spark.catalog.listTables().collect().map(_.name).toSet
@@ -227,8 +259,14 @@ object Bench {
     // looping forever on a busy box.
     val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL")
       .map(_.toDouble).getOrElse(0.03)
+    // retry budget 2 → 4 with the adaptive backoff below (round-16
+    // verdict task 5): a storm now costs waiting wall-clock, not budget
     val maxStealRetries = sys.env.get("SPARK_GRAFT_BENCH_STEAL_RETRIES")
-      .map(_.toInt).getOrElse(2)
+      .map(_.toInt).getOrElse(4)
+    val backoffBaseMs = sys.env.get("SPARK_GRAFT_BENCH_BACKOFF_MS")
+      .map(_.toLong).getOrElse(10000L)
+    val backoffCapMs = sys.env.get("SPARK_GRAFT_BENCH_BACKOFF_CAP_MS")
+      .map(_.toLong).getOrElse(120000L)
     val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
     def runPass(pass: Int): (IndexedSeq[(Double, Long, Long)], Double, String) = {
       val (busy0, steal0, iow0) = cpuJiffies
@@ -290,20 +328,26 @@ object Bench {
     val recs = new scala.collection.mutable.ArrayBuffer[PassRec]
     def accepted = recs.filter(!_.discarded)
     var stealRetries = 0
+    var consecutiveSteal = 0
     var passNo = 0
     def acquirePasses(): Unit = while (accepted.size < reps) {
       val (times, stealFrac, tjBase) = runPass(passNo)
       val r = new PassRec(times, tjBase)
       if (stealFrac > maxSteal && stealRetries < maxStealRetries) {
         stealRetries += 1
+        consecutiveSteal += 1
         r.flags ::= "discarded"
+        val waitMs = stealBackoffMs(consecutiveSteal, backoffBaseMs, backoffCapMs)
         System.err.println(f"[bench] pass $passNo discarded: steal_frac=" +
-          f"$stealFrac%.4f > $maxSteal%.4f (retry $stealRetries/$maxStealRetries)")
+          f"$stealFrac%.4f > $maxSteal%.4f (retry $stealRetries/$maxStealRetries, " +
+          s"backing off ${waitMs / 1000} s)")
+        Thread.sleep(waitMs)
       } else if (stealFrac > maxSteal) {
         r.flags ::= "over_max_steal"
         System.err.println(f"[bench] pass $passNo KEPT despite steal_frac=" +
           f"$stealFrac%.4f — retry budget exhausted; medians are suspect")
       }
+      if (!r.discarded) consecutiveSteal = 0
       recs += r
       passNo += 1
     }
@@ -330,9 +374,12 @@ object Bench {
         cpuRetries += 1
         val worst = flagged.maxBy(i => cpuInflationMs(cpuByPass, i))
         acc(worst).flags ::= "discarded_cpu"
+        // "minima", not "medians" (ADVICE r16): the gate's reference is
+        // the cross-pass per-query MINIMUM — the message feeds the
+        // adjudication protocol and must name the implemented reference
         System.err.println(s"[bench] pass discarded: per-query process-CPU " +
           s"inflated ${fmt(cpuInflationMs(cpuByPass, worst) / 1000.0, 1)} s over " +
-          s"cross-pass medians at steal under the gate — same-box contention " +
+          s"cross-pass minima at steal under the gate — same-box contention " +
           s"(retry $cpuRetries/$maxCpuRetries)")
         acquirePasses()
       } else {
@@ -371,6 +418,65 @@ object Bench {
       }
       if (rel.isEmpty) 0.0 else median(rel)
     }
+    // Scale-slope tripwire (round-16 verdict task 6): one warm + one
+    // timed pass of the whole suite at a SMALLER scale factor (default:
+    // the sf0.01 sibling of an sf0.1 run; SPARK_GRAFT_BENCH_SLOPE_DIR
+    // overrides, empty disables), then flag queries whose main-SF median
+    // exceeds factor × rowRatio × small-SF time — the mechanical catch
+    // for an accidental O(n²) the day it lands, instead of at a judge's
+    // plan read. The warm pass keeps first-touch page cache and one-time
+    // per-dir artifact builds out of the timed slope denominators.
+    val slopeDir = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").getOrElse(
+      if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "")
+    val slopeSecs: Map[String, Double] =
+      if (slopeDir.isEmpty || slopeDir == sfDir ||
+        !new java.io.File(slopeDir).isDirectory) Map.empty
+      else {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings").foreach { t =>
+          try Tables(spark, slopeDir, t).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] slope warm $t failed: ${e.getMessage}")
+          }
+        }
+        try Tables.events(spark, slopeDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] slope warm events failed: ${e.getMessage}")
+        }
+        def slopePass(timed: Boolean): Map[String, Double] =
+          names.map { n =>
+            val before = tempViews()
+            val t0 = System.nanoTime()
+            try materializeAt(n, slopeDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] slope $n failed: ${e.getMessage}")
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            cleanup(before)
+            n -> (if (timed) dt else 0.0)
+          }.toMap
+        slopePass(timed = false) // warm: builds + page cache, untimed
+        slopePass(timed = true)
+      }
+    val slopeRatio = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_RATIO")
+      .map(_.toDouble).getOrElse {
+        def sfOf(p: String): Option[Double] =
+          "sf([0-9]+\\.[0-9]+)".r.findAllMatchIn(p).toSeq.lastOption
+            .map(_.group(1).toDouble)
+        (for { a <- sfOf(sfDir); b <- sfOf(slopeDir) if b > 0 } yield a / b)
+          .getOrElse(10.0)
+      }
+    val slopeFactor = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_FACTOR")
+      .map(_.toDouble).getOrElse(2.0)
+    val slopeFloorSec = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_FLOOR_SEC")
+      .map(_.toDouble).getOrElse(1.0)
+    val flaggedSlope =
+      if (slopeSecs.isEmpty) Seq.empty[String]
+      else slopeFlags(results, slopeSecs, slopeRatio, slopeFactor, slopeFloorSec)
+    if (flaggedSlope.nonEmpty)
+      System.err.println(s"[bench] SLOPE FLAGS (cost superlinear in rows " +
+        s"at ${fmt(slopeRatio, 1)}x SF step): ${flaggedSlope.mkString(",")}")
+    val slopeFlagsJson = flaggedSlope.map("\"" + _ + "\"").mkString("[", ",", "]")
     val telemetry = passTelemetry.mkString("[", ",", "]")
     // Per-pass seconds for the slowest10 ride in the PUBLISHED JSON
     // (round-11 verdict task 3): when one pass runs under heavy CPU
@@ -400,7 +506,7 @@ object Bench {
     // same-day local rerun to make that call.
     val slowCpu = slowNames
       .map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"slope_flags":$slopeFlagsJson,"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -423,9 +529,22 @@ object Bench {
         val r = if (med == 0.0) 1.0 else samples(0)(i)._1 / med
         "\"" + n + "\":" + fmt(r, 2)
       }.mkString("{", ",", "}")
+      // scale_slope: per-query main-SF-median / small-SF ratio (the
+      // artifact's round-over-round superlinearity diff surface); the
+      // timed slope seconds ride beside it for re-derivation
+      val slopeRatios = names.flatMap { n =>
+        slopeSecs.get(n).filter(_ > 0.0).map(s0 =>
+          "\"" + n + "\":" + fmt(results(names.indexOf(n))._2 / s0, 2))
+      }.mkString("{", ",", "}")
+      val slopeSecsJson = names.flatMap { n =>
+        slopeSecs.get(n).map(s0 => "\"" + n + "\":" + fmt(s0, 3))
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
           s""""ambient_band_est":${fmt(ambientBand, 4)},""" +
+          s""""slope_sf_dir":"$slopeDir","slope_row_ratio":${fmt(slopeRatio, 2)},""" +
+          s""""slope_flags":$slopeFlagsJson,"scale_slope":$slopeRatios,""" +
+          s""""slope_secs":$slopeSecsJson,""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
           s""""per_pass_cpu_ms":$allCpu,""" +
           s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")

@@ -61,9 +61,12 @@ class AnnPqServeSpec extends AnyFunSuite {
       .filter(l => l.contains("ivf_pq_file_serve") && l.contains("ReadSchema"))
       .mkString("\n")
     assert(encScan.nonEmpty, s"no code-file scan found in plan:\n$plan")
-    assert(!encScan.contains("\"v\""),
+    // ReadSchema renders unquoted (struct<vec_id:bigint,codes:...>), so
+    // match the field:type form a real vector column would print
+    // (ADVICE r16: the quoted form `"v"` was vacuously absent)
+    assert(!encScan.replaceAll("\\s", "").contains("v:array"),
       s"the serving scan reads a vector column from the code file:\n$encScan")
-    assert(encScan.contains("codes"),
+    assert(encScan.replaceAll("\\s", "").contains("codes:array"),
       s"the serving scan does not read the code column:\n$encScan")
   }
 }

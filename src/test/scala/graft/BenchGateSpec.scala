@@ -82,4 +82,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(flagged === Set(1, 2))
     assert(Bench.cpuInflationMs(cpu, 1) > Bench.cpuInflationMs(cpu, 2))
   }
+
+  test("steal backoff doubles per consecutive discard, caps, and resets at zero") {
+    assert(Bench.stealBackoffMs(0, 10000L, 120000L) === 0L)
+    assert(Bench.stealBackoffMs(1, 10000L, 120000L) === 10000L)
+    assert(Bench.stealBackoffMs(2, 10000L, 120000L) === 20000L)
+    assert(Bench.stealBackoffMs(3, 10000L, 120000L) === 40000L)
+    assert(Bench.stealBackoffMs(5, 10000L, 120000L) === 120000L) // capped
+    assert(Bench.stealBackoffMs(60, 10000L, 120000L) === 120000L) // no overflow
+  }
+
+  test("slope flags catch the quadratic shape and nothing else") {
+    val rowRatio = 10.0; val factor = 2.0; val floorSec = 1.0
+    val main = Seq(
+      "q_linear" -> 3.0, // 10× rows, ~8× time (fixed overhead) — clean
+      "q_nlogn" -> 4.4, // ~11× — clean under factor 2
+      "q_quadratic" -> 30.0, // ~75× — the accidental O(n²)
+      "q_tiny_quad" -> 0.9, // superlinear but under the excess floor
+      "q_fixed" -> 0.5) // pure startup floor at both SFs
+    val small = Map("q_linear" -> 0.38, "q_nlogn" -> 0.4,
+      "q_quadratic" -> 0.4, "q_tiny_quad" -> 0.02, "q_fixed" -> 0.45)
+    assert(Bench.slopeFlags(main, small, rowRatio, factor, floorSec)
+      === Seq("q_quadratic"))
+  }
+
+  test("slope flags skip queries with no or zero small-SF sample") {
+    val main = Seq("q_a" -> 50.0, "q_b" -> 50.0)
+    assert(Bench.slopeFlags(main, Map("q_b" -> 0.0), 10.0, 2.0, 1.0)
+      === Seq.empty[String])
+  }
 }
