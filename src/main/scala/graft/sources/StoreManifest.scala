@@ -83,10 +83,12 @@ object StoreManifest {
       .filter(st => st.isFile && st.getPath.getName.startsWith("commit_"))
       .flatMap { st =>
         val g = st.getPath.getName.stripPrefix("commit_").toLong
-        readSmall(fs, st.getPath).map(_.trim).flatMap { leaf =>
+        // filter BEFORE constructing the Path: a marker read mid-write
+        // (created, content not yet flushed) yields an empty leaf, and
+        // Path("") throws — the torn window this resolve must absorb
+        readSmall(fs, st.getPath).map(_.trim).filter(_.nonEmpty).flatMap { leaf =>
           val snap = new Path(dir, leaf)
-          if (leaf.nonEmpty && fs.exists(new Path(snap, "_SUCCESS")))
-            Some(g -> pathStr(snap))
+          if (fs.exists(new Path(snap, "_SUCCESS"))) Some(g -> pathStr(snap))
           else None
         }
       }.sortBy(_._1)
@@ -140,7 +142,8 @@ object StoreManifest {
     * and the WHOLE update recomputes against the new head. Returns
     * (generation, committed rows).
     */
-  def commit(s: SparkSession, root: String)(update: Rows => Rows): (Long, Rows) = {
+  def commit(s: SparkSession, root: String, reclaimAgeMs: Long = 60000L)(
+      update: Rows => Rows): (Long, Rows) = {
     import s.implicits._
     val fs = hfs(s, root)
     val dir = new Path(manifestDir(root))
@@ -148,6 +151,27 @@ object StoreManifest {
     while (attempt < 20) {
       attempt += 1
       val headG = gens(s, root).lastOption.map(_._1).getOrElse(0L)
+      // Reclaim TORN markers above the resolvable head: a snapshot is
+      // fully on disk before its marker is created, so a marker that
+      // doesn't resolve means its committer crashed mid-content-write —
+      // left in place it would block the CAS at that generation forever.
+      // Reclaim only markers older than `reclaimAgeMs` (a live committer
+      // closes its marker within milliseconds of creating it; the age
+      // grace makes deleting a mid-write marker — and the read-race of
+      // its just-finished twin — practically impossible) and re-check
+      // resolvability at delete time.
+      if (fs.exists(dir)) {
+        val now = System.currentTimeMillis()
+        fs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("commit_"))
+          .filter(_.getPath.getName.stripPrefix("commit_").toLong > headG)
+          .filter(now - _.getModificationTime >= reclaimAgeMs)
+          .foreach { st =>
+            val resolvable = readSmall(fs, st.getPath).map(_.trim).exists(leaf =>
+              leaf.nonEmpty && fs.exists(new Path(new Path(dir, leaf), "_SUCCESS")))
+            if (!resolvable) { fs.delete(st.getPath, false); () }
+          }
+      }
       val cur = readRows(s, root)
       val next = update(cur)
       val leaf = s"snap_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -180,9 +204,10 @@ object StoreManifest {
     * committers get distinct versions, in commit order. Returns the
     * committed version.
     */
-  def appendVersion(s: SparkSession, root: String)(rowsFor: Long => Rows): Long = {
+  def appendVersion(s: SparkSession, root: String,
+      reclaimAgeMs: Long = 60000L)(rowsFor: Long => Rows): Long = {
     var out = 0L
-    commit(s, root) { cur =>
+    commit(s, root, reclaimAgeMs) { cur =>
       val nv = (if (cur.isEmpty) 0L else cur.map(_._1).max) + 1
       out = nv
       cur ++ rowsFor(nv)

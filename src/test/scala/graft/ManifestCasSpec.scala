@@ -104,6 +104,20 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(StoreManifest.readRows(spark, root).map(_._1).toSet == Set(1L, 2L))
   }
 
+  test("a torn marker AT the CAS target is reclaimed past the age grace (self-healing)") {
+    val root = freshRoot()
+    StoreManifest.commit(spark, root)(_ => Seq((1L, 0L, s"$root/a/cell=0")))
+    val fs = StoreManifest.hfs(spark, root)
+    // a committer that crashed between marker create and content write
+    // left a torn commit_2 exactly where the next CAS must land
+    val torn = new org.apache.hadoop.fs.Path(s"$root/manifest/commit_2")
+    fs.create(torn, false).close()
+    val v = StoreManifest.appendVersion(spark, root, reclaimAgeMs = 0L)(nv =>
+      Seq((nv, 0L, s"$root/b/cell=0")))
+    assert(v == 2L, "commit did not reclaim the torn marker blocking its target")
+    assert(StoreManifest.readRows(spark, root).map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("commits retire generations two behind the head and keep a grace window") {
     val root = freshRoot()
     (1 to 4).foreach { v =>
