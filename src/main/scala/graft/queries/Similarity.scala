@@ -1961,6 +1961,90 @@ object Similarity {
     annPqIndexCompact.oracle // the vacuum must change nothing a reader sees
   )
 
+  /** q353's serving loop ACROSS a live code-store compaction — q346's
+    * shape with q350's compressed store as the serving tier: probe
+    * micro-batches (each carrying its 8×8 ADC lookup table) resolve the
+    * LIVE manifest head at their start, ADC-scan only their probed
+    * cells' code dirs from that snapshot, and the v3 → v4 compaction
+    * commits inside the loop after the first served batch. Returns the
+    * served rows (tagged with batch id + resolved version) and the
+    * (batchId, version) trail.
+    */
+  private[graft] def streamServeLivePq(s: SparkSession, d: String,
+      nFiles: Int): (DataFrame, Seq[(Long, Long)]) = {
+    val st3 = buildPqStoreV3(s, d)
+    val booksRow = pqBooksRow(pqBooks(s, d, maxId = st3.d0))
+    val ev = withCells(vectors(s, d).where(col("vec_id") < 8),
+      ivfCents(s, d, maxId = st3.d0))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = graft.sources.Sources.scratchLeaf(d, s"pq_live_src_$runId")
+    val sink = graft.sources.Sources.scratchLeaf(d, s"pq_live_out_$runId")
+    pqProbesLut(ivfProbes(ev), booksRow)
+      .repartition(nFiles, col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val schema = s.read.parquet(src).schema
+    val trail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          val (v, m) = graft.sources.StoreManifest.headVersion(ss, st3.root)
+          val cells = batch.select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val probed = m.filter(kv => cells(kv._1))
+          pqAdcRank(batch.toDF(),
+            readStore(ss, if (probed.isEmpty) m else probed, Seq("codes")),
+            vectors(ss, d))
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("version", lit(v))
+            .withColumn("store_root", lit(st3.root))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
+          trail.add((batchId, v))
+          if (committed.compareAndSet(false, true)) {
+            commitCompaction(ss, st3, valCols = Seq("codes")); ()
+          }
+        }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(serve)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchLeaf(d, s"pq_live_chk_$runId"))
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    (s.read.parquet(sink), trail.asScala.toSeq.sortBy(_._1))
+  }
+
+  /** q353 — PQ SERVING ACROSS A LIVE COMPACTION COMMIT, completing the
+    * dynamic-reader symmetry between the tiers: the float store has
+    * both static (q343) and live (q346) reader-isolation proofs; the
+    * compressed store q347 actually serves from had only the static
+    * pair (q350/q351). This query drives the ADC serving loop WHILE the
+    * code-store compaction commits mid-stream — batches before the
+    * commit resolve v3, batches after resolve v4 (`require`d to span
+    * both), every batch mounting only its probed cells' code dirs from
+    * the snapshot it resolved. Oracle = the base-frozen ADC rebuild:
+    * hash equality proves every micro-batch, either side of the commit,
+    * served exactly the rebuild's answer over 8-byte codes.
+    * `PqLifecycleSpec` pins the monotone version trail and the
+    * per-version pinned replay.
+    */
+  val annPqServeLiveCommit = Q(
+    "q353_ann_pq_serve_live_commit",
+    (s, d) => {
+      val (res, trail) = streamServeLivePq(s, d, nFiles = 4)
+      require(trail.size >= 2,
+        s"expected multiple serving micro-batches, got ${trail.size}")
+      val vs = trail.map(_._2).toSet
+      require(vs == Set(3L, 4L),
+        s"serving loop did not span the live commit: saw versions $vs")
+      res.drop("batch_id", "version", "store_root")
+    },
+    Some(pqOracle(IvfLloydSteps, PqLloydSteps, BaseTrainFilter))
+  )
+
   /** Codebook-staleness band for q352: the full-corpus delta slice may
     * carry at most `Num/Den` × the base slice's mean reconstruction
     * error under the FROZEN base-trained codebooks. Integer-ratio form
@@ -3125,5 +3209,6 @@ object Similarity {
       rrfFusion, mutualKnn, pqDistortionAudit, mmrRerank, centroidClassifier,
       annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
       annServeLiveCommit, annPqStreamServe, annServeLiveVacuum,
-      annPqIndexDelta, annPqIndexCompact, annPqStoreVacuum, pqCodebookStaleness)
+      annPqIndexDelta, annPqIndexCompact, annPqStoreVacuum, pqCodebookStaleness,
+      annPqServeLiveCommit)
 }

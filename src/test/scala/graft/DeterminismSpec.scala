@@ -89,7 +89,8 @@ class DeterminismSpec extends AnyFunSuite {
       "q345_ann_store_vacuum", "q346_ann_serve_live_commit",
       "q347_ann_pq_stream_serve", "q348_ann_serve_live_vacuum",
       "q349_ann_pq_index_delta", "q350_ann_pq_index_compact",
-      "q351_ann_pq_store_vacuum", "q352_pq_codebook_staleness")) {
+      "q351_ann_pq_store_vacuum", "q352_pq_codebook_staleness",
+      "q353_ann_pq_serve_live_commit")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),

@@ -91,6 +91,34 @@ class PqLifecycleSpec extends AnyFunSuite {
     assert(serve() == before, "the v4 ADC search changed across the vacuum")
   }
 
+  test("q353: the version trail spans the live code-store commit; batches replay pinned") {
+    val (res, trail) = S.streamServeLivePq(spark, d, nFiles = 4)
+    assert(trail.size >= 2, s"need multiple batches, got $trail")
+    val vs = trail.map(_._2)
+    assert(vs.head == 3L && vs.last == 4L && vs.sorted == vs,
+      s"trail $trail did not step 3 -> 4 across the commit")
+    // per-version pinned replay: each batch's stored rows equal a fresh
+    // ADC serve of that batch's probes against the version it recorded
+    val all = res.collect()
+    val root = all.head.getAs[String]("store_root")
+    val d0 = S.deltaCut(spark, d)
+    val (_, probes) = frozenParts(d0)
+    val byBatch = all.groupBy(_.getAs[Long]("batch_id"))
+    trail.foreach { case (bid, v) =>
+      val served = byBatch(bid).map(r =>
+        (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk")))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val probeIds = served.map(_._1).toSet
+      val replay = rows(S.pqAdcRank(
+        probes.where(col("vec_id").isin(probeIds.toSeq: _*)),
+        S.readStore(spark, S.manifestAsOf(spark, root, v), Seq("codes")),
+        S.vectors(spark, d)))
+      assert(served == replay,
+        s"batch $bid (version $v): mid-stream ADC result diverged from a pinned v$v replay")
+    }
+  }
+
   test("q352: the gate is fresh on the real corpus and stale on a drifted delta") {
     val d0 = S.deltaCut(spark, d)
     val corpus = S.withCells(S.vectors(spark, d), S.ivfCents(spark, d, maxId = d0))
