@@ -1307,6 +1307,205 @@ object Similarity {
             FROM qs""")
   )
 
+  /** q354 — SQ8 MIPS SEARCH TIER: the search path over q81's int8
+    * record format (scale + codes), the tier between the float scans
+    * (q27/q63) and the 8-byte PQ codes (q111/q347) on the compression
+    * spectrum. q81 defined the serving record — symmetric per-vector
+    * max-abs scaling, `q_i = floor(v_i·127/scale + 0.5)` — but nothing
+    * SEARCHED it; this query is maximum-inner-product search over the
+    * codes: candidates ranked by the dequantized integer dot product
+    * `(Σ cq_i·cx_i)·sq·sx/127²` (every product and the 64-term sum are
+    * integer-valued doubles < 2^53, so the score is EXACT on both
+    * engines — no float-accumulation drift to band away), cut to the
+    * top-20 per probe through the bounded `TopKAggregator` (shuffle
+    * carries k·tasks rows, never the scored corpus — q60's discipline),
+    * then exact-reranked on the float vectors fetched for CANDIDATES
+    * ONLY via an id-keyed broadcast join (q347's code-scan/float-fetch
+    * split, applied to SQ8).
+    *
+    * Scale story (100 TB): the scoring scan reads 64 int8 codes + one
+    * scale (~72 B/row) instead of 64 doubles (512 B) — the 7× I/O cut
+    * is why serving tiers quantize — and float I/O is bounded by
+    * O(probes·20) rerank fetches. Vectors whose scale is 0 (all-zero or
+    * non-finite — q81's cleaned-scale rule) are excluded on both sides:
+    * they carry no usable direction and their codes are all zero.
+    * Unquantizable probes simply produce no rows, deterministically.
+    *
+    * The oracle replays the identical chain — q81's quantization CTEs,
+    * the integer-dot candidate cut, the float rerank — with the strict
+    * left-fold dot spelling (`list_aggregate(list_transform(...))`)
+    * that is bit-equal to the native SeqDot loop (q63's argmax relies
+    * on the same pairing), so every score column hashes UNROUNDED.
+    */
+  val sq8Mips = Q(
+    "q354_ann_sq8_mips",
+    (s, d) => {
+      import s.implicits._
+      // q81's record: cleaned scale + int8 codes, minus scale-0 rows
+      val rec = vectors(s, d)
+        .select(col("vec_id"), col("v"),
+          expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))").as("maxabs"))
+        .select(col("vec_id"), col("v"),
+          expr("""CASE WHEN maxabs = 0.0 OR isnan(maxabs)
+                         OR maxabs = CAST('Infinity' AS DOUBLE)
+                       THEN CAST(0.0 AS DOUBLE) ELSE maxabs END""").as("scale"))
+        .where(col("scale") > 0.0)
+        .select(col("vec_id"), col("scale"),
+          expr("""transform(v, x -> CAST(greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                    CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))) AS DOUBLE))""").as("qv"))
+      val probes = rec.where(col("vec_id") < 8)
+      val scoredPairs = broadcast(
+        probes.select(col("vec_id").as("probe_id"), col("qv").as("pq"), col("scale").as("sq")))
+        .join(rec.select(col("vec_id").as("neighbor_id"), col("qv").as("xq"), col("scale").as("sx")),
+          col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (SeqDot(col("pq"), col("xq")) * col("sq") * col("sx") / lit(16129.0)).as("ascore"))
+        .as[(Long, Long, Double)]
+      val cands = scoredPairs.groupByKey(_._1)
+        .mapValues { case (_, id, a) => ScoredId(id, a) }
+        .agg(new TopKAggregator(20).toColumn.name("topk"))
+        .flatMap { case (p, topk) => topk.iterator.map(sid => (p, sid.id, sid.score)) }
+        .toDF("probe_id", "neighbor_id", "approx_dot")
+      val pvec = vectors(s, d).where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val xvec = vectors(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("xv"))
+      val rr = broadcast(cands)
+        .join(xvec, Seq("neighbor_id"))
+        .join(broadcast(pvec), Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), col("approx_dot"),
+          SeqDot(col("pv"), col("xv")).as("dot"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      rr.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            m AS (SELECT vec_id, v,
+                         coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0.0)
+                           AS maxabs
+                  FROM e),
+            sc AS (SELECT vec_id, v,
+                          CASE WHEN maxabs = 0.0 OR isnan(maxabs) OR isinf(maxabs)
+                               THEN 0.0 ELSE maxabs END AS scale
+                   FROM m),
+            qs AS (SELECT vec_id, v, scale,
+                          list_transform(v, x -> CAST(greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                            CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))) AS DOUBLE)) AS q
+                   FROM sc WHERE scale > 0.0),
+            p AS (SELECT * FROM qs WHERE vec_id < 8),
+            scored AS (
+              SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> p.q[i] * x.q[i]), 'sum') * p.scale * x.scale / 16129.0 AS ascore,
+                     p.v AS pv, x.v AS xv
+              FROM p JOIN qs x ON x.vec_id <> p.vec_id),
+            cut AS (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY ascore DESC, neighbor_id) AS crk
+              FROM scored),
+            rr AS (
+              SELECT probe_id, neighbor_id, ascore AS approx_dot,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> pv[i] * xv[i]), 'sum') AS dot
+              FROM cut WHERE crk <= 20)
+            SELECT probe_id, neighbor_id, approx_dot, dot, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                             ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM rr) t
+            WHERE rnk <= 5""")
+  )
+
+  /** q355 — ANN RECALL AUDIT: the retrieval-quality eval the ANN family
+    * lacked. q318/q352 audit what quantization does to DISTANCES; nothing
+    * audited what cell-probing does to the ANSWER — the recall\@k curve
+    * against exact ground truth is the table that picks a serving
+    * config's nprobe, and at 100 TB it is computed offline on a probe
+    * SAMPLE exactly like this (ground truth costs one brute scan per
+    * probe, so the audit's cost is O(sample·corpus) by construction —
+    * the audit is cheap because the probe set is, never because the
+    * corpus is).
+    *
+    * One scored relation serves every setting: each probe carries ALL
+    * `IvfCentroids` cells with their rank `r` (the probe-order position
+    * from the same sorted-cells array q63 probes), the corpus joins on
+    * cell equality ONCE (each corpus vector lives in exactly one cell,
+    * so no candidate appears twice), and a settings explode slices the
+    * relation at nprobe ∈ {1,2,4,8}. Per (nprobe, probe) top-5 goes
+    * through the bounded `TopKAggregator` (q60 discipline). The
+    * nprobe=8 branch probes EVERY cell — it IS the brute-force ground
+    * truth by construction, which makes the audit self-calibrating:
+    * hits(nprobe=8) ≡ 5 is a definitional identity the output exhibits
+    * rather than a claim a reader must trust. Output is the exact
+    * integer audit table (nprobe, probe_id, ivf_n, hits) on a literal
+    * settings×probes spine, so empty cells surface as 0-rows instead of
+    * vanishing. `RecallAuditSpec` pins recall monotone in nprobe and
+    * the nprobe=8 identity.
+    */
+  val annRecallAudit = Q(
+    "q355_ann_recall_audit",
+    (s, d) => {
+      import s.implicits._
+      val ev = ivfWithCells(s, d, ivfCents(s, d))
+      val corpus = ev.select(col("vec_id"), col("v"),
+        element_at(col("cells"), 1)("j").as("cell"))
+      val probes = ev.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("v"), posexplode(col("cells")))
+        .select(col("vec_id"), col("v"), (col("pos") + 1).as("r"), col("col")("j").as("cell"))
+      val scored = broadcast(probes).as("q")
+        .join(corpus.as("x"),
+          col("x.cell") === col("q.cell") && col("x.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("probe_id"), col("q.r").as("r"),
+          col("x.vec_id").as("neighbor_id"),
+          round(CosineSimilarity(col("q.v"), col("x.v")), 6).as("cos_sim"))
+      val settings = Seq(1L, 2L, 4L, 8L)
+      val top5 = scored
+        .withColumn("nprobe", explode(typedLit(settings)))
+        .where(col("r") <= col("nprobe"))
+        .select(col("nprobe"), col("probe_id"), col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(t => (t._1, t._2))
+        .mapValues(t => ScoredId(t._3, t._4))
+        .agg(new TopKAggregator(5).toColumn.name("topk"))
+        .flatMap { case ((np, p), topk) => topk.iterator.map(sid => (np, p, sid.id)) }
+        .toDF("nprobe", "probe_id", "neighbor_id")
+      val truth = top5.where(col("nprobe") === 8L)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      val spine = (for { np <- settings; p <- 0L until 8L } yield (np, p))
+        .toDF("nprobe", "probe_id")
+      spine.join(top5, Seq("nprobe", "probe_id"), "left")
+        .join(truth, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("nprobe", "probe_id")
+        .agg(count(col("neighbor_id")).as("ivf_n"), count(col("hit")).as("hits"))
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            pr AS (SELECT vec_id, v, j AS cell, r FROM ranked WHERE vec_id < 8),
+            settings AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+            sc2 AS (
+              SELECT q.vec_id AS probe_id, q.r, x.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, x.v), 6) AS cos_sim
+              FROM pr q JOIN assigned x
+                ON x.cell = q.cell AND x.vec_id <> q.vec_id),
+            iv AS (
+              SELECT nprobe, probe_id, neighbor_id FROM (
+                SELECT st.nprobe, s2.probe_id, s2.neighbor_id,
+                       row_number() OVER (PARTITION BY st.nprobe, s2.probe_id
+                                          ORDER BY s2.cos_sim DESC, s2.neighbor_id) AS rk
+                FROM settings st JOIN sc2 s2 ON s2.r <= st.nprobe) t
+              WHERE rk <= 5),
+            truth AS (SELECT probe_id, neighbor_id, 1 AS hit
+                      FROM iv WHERE nprobe = 8),
+            spine AS (SELECT st.nprobe, CAST(g.range AS BIGINT) AS probe_id
+                      FROM settings st, range(0, 8) g)
+            SELECT s.nprobe, s.probe_id,
+                   CAST(count(i.neighbor_id) AS BIGINT) AS ivf_n,
+                   CAST(count(t.hit) AS BIGINT) AS hits
+            FROM spine s
+            LEFT JOIN iv i ON i.nprobe = s.nprobe AND i.probe_id = s.probe_id
+            LEFT JOIN truth t ON t.probe_id = i.probe_id
+                             AND t.neighbor_id = i.neighbor_id
+            GROUP BY 1, 2""")
+  )
+
   private val NearDupPlanes = 10
   private[graft] val NearDupThreshold = 0.38
 
@@ -3210,5 +3409,5 @@ object Similarity {
       annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
       annServeLiveCommit, annPqStreamServe, annServeLiveVacuum,
       annPqIndexDelta, annPqIndexCompact, annPqStoreVacuum, pqCodebookStaleness,
-      annPqServeLiveCommit)
+      annPqServeLiveCommit, sq8Mips, annRecallAudit)
 }
