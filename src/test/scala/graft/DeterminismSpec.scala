@@ -75,6 +75,9 @@ class DeterminismSpec extends AnyFunSuite {
   // generation trail, the PQ code-store lifecycle's listings + manifest
   // commits (q349 append, q350 compaction, q351 vacuum), and q352's
   // scope split at the integer delta cut
+  // round-17 late additions: q354's TopK(20) candidate cut + rank-5
+  // rerank boundary, q355's per-(nprobe, probe) TopK(5) cuts — both ride
+  // bounded typed aggregators whose merge order the layouts vary
   for (q <- Seq("q217_mode", "q222_argmax", "q229_consistent_sample",
       "q230_weighted_median", "q236_intersect_all",
       "q297_containment_dedup", "q302_cusum_changepoint",
@@ -90,7 +93,8 @@ class DeterminismSpec extends AnyFunSuite {
       "q347_ann_pq_stream_serve", "q348_ann_serve_live_vacuum",
       "q349_ann_pq_index_delta", "q350_ann_pq_index_compact",
       "q351_ann_pq_store_vacuum", "q352_pq_codebook_staleness",
-      "q353_ann_pq_serve_live_commit")) {
+      "q353_ann_pq_serve_live_commit",
+      "q354_ann_sq8_mips", "q355_ann_recall_audit")) {
     test(s"$q: identical result under 1, 17, and planner-chosen partitions") {
       val rs = underLayouts(q)
       assert(rs(0) == rs(1) && rs(1) == rs(2),
