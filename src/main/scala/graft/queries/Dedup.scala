@@ -1785,11 +1785,102 @@ object Dedup {
          AND abs(da - db) <= $StreamHorizonSec""")
   )
 
+  /** q356 — LSH S-CURVE AUDIT: the detection-probability curve of q23's
+    * banding scheme measured against exact ground truth — the dedup
+    * family's twin of q355's ANN recall audit. q310 calibrates the
+    * ESTIMATOR on pairs the pipeline already found; nothing measured
+    * which true pairs the banding FINDS AT ALL — the recall knob a
+    * (bands × rows) design is chosen by. Every pair sharing ≥ 1 shingle
+    * (the complete ground-truth relation for any J > 0 — q24's
+    * completeness argument) is bucketed by exact Jaccard DECILE computed
+    * in pure integers (`(10·c) div (na+nb−c)` — no float boundary can
+    * move a pair across a bucket), left-joined against q23's band-bucket
+    * candidate set, and counted: per decile, how many true pairs exist
+    * and how many the bands caught. Beside each bucket rides the
+    * theoretical S-curve value 1−(1−m²)⁶ at the bucket midpoint (6
+    * bands of 2 rows — the scheme's design parameters), computed by one
+    * fixed IEEE sequence on both engines so the whole table hashes.
+    * Pigeonhole anchor: identical gram sets (J = 1) have identical
+    * signatures, so bucket 10's detection is definitionally total —
+    * `ScurveAuditSpec` pins it, plus the live middle of the curve.
+    *
+    * Scale shape: the ground-truth side is inherently quadratic in
+    * per-shingle document frequency — that is WHY it is an audit, not a
+    * production path (q23 exists so the corpus never pays this). At
+    * 100 TB the audit runs on a bounded corpus sample (its cost is a
+    * dial, like q355's probe sample); the instrument semantics verified
+    * here are sample-size-free. The candidate side reuses the exact
+    * q23 chain (one gram pass, k min-columns, row-local band keys).
+    */
+  val lshScurveAudit = Q(
+    "q356_lsh_scurve_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = TextFns.wordGrams(docs, GramsN)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      val exact = inter
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          expr("(10 * c) div (sa.n + sb.n - c)").as("bucket"))
+      val bands = bandRows(grams)
+      val cand = bands.as("x")
+        .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+        .withColumn("hit", lit(1))
+      val det = exact.join(cand, Seq("da", "db"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_detected"))
+      val spine = {
+        import s.implicits._
+        (0L to 10L).toDF("bucket")
+      }
+      spine.join(det, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+        .withColumn("m", least((col("bucket").cast("double") + lit(0.5)) / lit(10.0), lit(1.0)))
+        .withColumn("u", lit(1.0) - col("m") * col("m"))
+        .withColumn("t", (col("u") * col("u")) * col("u"))
+        .select(col("bucket"), col("n_pairs"), col("n_detected"),
+          (lit(1.0) - col("t") * col("t")).as("theory_mid"))
+    },
+    Some(s"""WITH $sqlBandsCtes,
+             cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                      FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+             inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             ex AS (SELECT i.da, i.db,
+                           (10 * i.c) // (sa.n + sb.n - i.c) AS bucket
+                    FROM inter i
+                    JOIN sizes sa ON sa.doc_id = i.da
+                    JOIN sizes sb ON sb.doc_id = i.db),
+             det AS (SELECT e.bucket, count(*) AS n_pairs, count(c.da) AS n_detected
+                     FROM ex e LEFT JOIN cand c ON c.da = e.da AND c.db = e.db
+                     GROUP BY 1),
+             spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 11)),
+             j AS (SELECT s.bucket,
+                          CAST(coalesce(d.n_pairs, 0) AS BIGINT) AS n_pairs,
+                          CAST(coalesce(d.n_detected, 0) AS BIGINT) AS n_detected
+                   FROM spine s LEFT JOIN det d ON d.bucket = s.bucket),
+             m1 AS (SELECT *, LEAST((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0) AS m FROM j),
+             u1 AS (SELECT *, 1.0 - m * m AS u FROM m1),
+             t1 AS (SELECT *, (u * u) * u AS t FROM u1)
+             SELECT bucket, n_pairs, n_detected, 1.0 - t * t AS theory_mid FROM t1""")
+  )
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, ngramJaccard, simhash, embeddingNearDup,
       editDistance, dedupComponents, ngramJaccardCapped, simhashPairs,
       simhashPairsCapped, segmentDedup, cdcChunkDedup, incrementalDedup,
       componentKeeper, triangleCensus, prefixSimilarityJoin, substrDupFraction,
       kCoreDense, containmentDedup, contaminationHops, dedupConsensus,
-      minhashEstimatorAudit, streamNearDup)
+      minhashEstimatorAudit, streamNearDup, lshScurveAudit)
 }
