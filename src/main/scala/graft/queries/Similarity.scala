@@ -1506,6 +1506,97 @@ object Similarity {
             GROUP BY 1, 2""")
   )
 
+  /** q357 — IVF CELL-QUALITY AUDIT: the third leg of the eval harness
+    * (q355 measures recall, q356 measures the dedup S-curve; this
+    * explains WHY recall looks the way it does). Per learned cell:
+    * occupancy `n` (the hot-partition tripwire — at 100 TB a cell with
+    * 10× the mean occupancy is a straggler every probe of it pays),
+    * within-cell scatter Σ‖x−c‖² (how tight the quantizer's cells
+    * actually are — the k-selection instrument beside q117's dial), and
+    * `n_boundary`, the members whose best-vs-second centroid margin is
+    * under 0.01 — exactly the vectors a 1-probe search loses to the
+    * neighboring cell, i.e. the structural floor under q355's
+    * nprobe = 1 recall row.
+    *
+    * Exactness: scatter and margin are per-member fixed IEEE sequences
+    * (the strict-fold distance, the dt₁−dt₂ subtraction) quantized to
+    * integer MICROS (`floor(x·10⁶ + 0.5)` — the q330 rule) BEFORE
+    * aggregation, so the per-cell sums are order-free exact integers
+    * and the whole table hashes. Non-finite vectors are excluded (the
+    * q331 rule — a NaN distance would poison the cast); the spine is
+    * the literal cell range so empty cells surface as zero rows. One
+    * corpus pass against the broadcast centroid row — no shuffle wider
+    * than the 8-cell aggregate. `IvfCellAuditSpec` replays the table
+    * from collected centroids in plain Scala and pins the boundary
+    * population live and partial.
+    */
+  val ivfCellAudit = Q(
+    "q357_ivf_cell_audit",
+    (s, d) => {
+      val cents = ivfCents(s, d)
+      val finite = vectors(s, d)
+        .where(expr("NOT exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"))
+      val mem = finite.crossJoin(broadcast(cents))
+        .withColumn("cells", array_sort(transform(col("cs"), sc =>
+          struct((-SeqDot(col("v"), sc.getField("c"))).as("nd"),
+            sc.getField("cell").as("j")))))
+        .withColumn("cell", element_at(col("cells"), 1)("j").cast("long"))
+        .withColumn("own_c", element_at(filter(col("cs"),
+          sc => sc.getField("cell").cast("long") === col("cell")), 1)("c"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(v, own_c, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .withColumn("margin",
+          element_at(col("cells"), 2)("nd") - element_at(col("cells"), 1)("nd"))
+        .select(col("cell"),
+          floor(col("d2") * lit(1000000.0) + lit(0.5)).cast("long").as("d2_micro"),
+          floor(col("margin") * lit(1000000.0) + lit(0.5)).cast("long").as("margin_micro"))
+      val agg = mem.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2_micro")).as("scatter_micro"),
+          sum(when(col("margin_micro") < 10000L, 1L).otherwise(0L)).as("n_boundary"))
+      val spine = {
+        import s.implicits._
+        (0 until IvfCentroids).map(_.toLong).toDF("cell")
+      }
+      spine.join(agg, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("scatter_micro"), lit(0L)).as("scatter_micro"),
+          coalesce(col("n_boundary"), lit(0L)).as("n_boundary"))
+    },
+    Some(s"""${ivfOracleCtes(IvfLloydSteps)},
+            fin AS (SELECT vec_id, v FROM e
+                    WHERE len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0),
+            dots2 AS (
+              SELECT f.vec_id, f.v, c.j,
+                     list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> f.v[i] * c.c[i]), 'sum') AS dt
+              FROM fin f, cent$IvfLloydSteps c),
+            rd AS (SELECT vec_id, v, j, dt,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dt DESC, j ASC) AS r
+                   FROM dots2),
+            own AS (SELECT vec_id, v, j AS cell, dt AS dt1 FROM rd WHERE r = 1),
+            sec AS (SELECT vec_id, dt AS dt2 FROM rd WHERE r = 2),
+            mem AS (
+              SELECT o.vec_id, o.cell,
+                     CAST(floor(list_aggregate(list_transform(generate_series(1, $Dim),
+                       i -> (o.v[i] - c.c[i]) * (o.v[i] - c.c[i])), 'sum')
+                       * 1000000.0 + 0.5) AS BIGINT) AS d2_micro,
+                     CAST(floor((o.dt1 - s2.dt2) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro
+              FROM own o
+              JOIN cent$IvfLloydSteps c ON c.j = o.cell
+              JOIN sec s2 ON s2.vec_id = o.vec_id),
+            ag AS (SELECT cell, count(*) AS n, sum(d2_micro) AS scatter_micro,
+                          sum(CASE WHEN margin_micro < 10000 THEN 1 ELSE 0 END) AS n_boundary
+                   FROM mem GROUP BY 1),
+            spine AS (SELECT CAST(range AS BIGINT) AS cell FROM range(0, $IvfCentroids))
+            SELECT s.cell, CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+                   CAST(coalesce(a.scatter_micro, 0) AS BIGINT) AS scatter_micro,
+                   CAST(coalesce(a.n_boundary, 0) AS BIGINT) AS n_boundary
+            FROM spine s LEFT JOIN ag a ON a.cell = s.cell""")
+  )
+
   private val NearDupPlanes = 10
   private[graft] val NearDupThreshold = 0.38
 
@@ -3409,5 +3500,5 @@ object Similarity {
       annIndexDelta, annIndexCompact, annStreamServe, annStoreVacuum,
       annServeLiveCommit, annPqStreamServe, annServeLiveVacuum,
       annPqIndexDelta, annPqIndexCompact, annPqStoreVacuum, pqCodebookStaleness,
-      annPqServeLiveCommit, sq8Mips, annRecallAudit)
+      annPqServeLiveCommit, sq8Mips, annRecallAudit, ivfCellAudit)
 }
