@@ -155,6 +155,21 @@ object Bench {
         s0 > 0.0 && t > factor * rowRatio * s0 && t - s0 > floorSec) => n
     }
 
+  /** Shuffle-volume slope tripwire: the same superlinearity test as
+    * [[slopeFlags]], applied to per-query SHUFFLE WRITE megabytes
+    * instead of wall seconds. Wall time can hide a shuffle blowup
+    * behind page cache and core count at bench scale; the bytes a
+    * query puts on the exchange cannot — a query whose shuffle volume
+    * grows superlinearly in rows is re-shuffling something
+    * corpus-shaped and becomes the bottleneck at 100 TB even if its
+    * sf0.1 wall time still looks flat. The 64 MB excess floor keeps
+    * fixed-size artifact/broadcast shuffles out.
+    */
+  private[graft] def shuffleSlopeFlags(main: Seq[(String, Double)],
+      small: Map[String, Double], rowRatio: Double,
+      factor: Double = 2.0, floorMb: Double = 64.0): Seq[String] =
+    slopeFlags(main, small, rowRatio, factor, floorMb)
+
   def main(args: Array[String]): Unit = ErrorContract.guard {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -192,6 +207,25 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
     def materialize(name: String): Unit = materializeAt(name, sfDir)
+
+    // Per-query shuffle-write bytes via a task-end listener (round-17):
+    // the input to the shuffle-volume slope tripwire. Snapshots happen
+    // OUTSIDE every timed region, after draining the async listener bus,
+    // so attribution is exact and timing is untouched.
+    val shuffleWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleWritten.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def shuffleSnap(): Long = {
+      try org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] listener-bus drain failed: ${e.getMessage}")
+      }
+      shuffleWritten.get()
+    }
 
     def tempViews(): Set[String] =
       if (clean) spark.catalog.listTables().collect().map(_.name).toSet
@@ -268,7 +302,7 @@ object Bench {
     val backoffCapMs = sys.env.get("SPARK_GRAFT_BENCH_BACKOFF_CAP_MS")
       .map(_.toLong).getOrElse(120000L)
     val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
-    def runPass(pass: Int): (IndexedSeq[(Double, Long, Long)], Double, String) = {
+    def runPass(pass: Int): (IndexedSeq[(Double, Long, Long, Long)], Double, String) = {
       val (busy0, steal0, iow0) = cpuJiffies
       val gc0 = gcMillis
       val pc0 = processCpuNanos
@@ -282,6 +316,7 @@ object Bench {
       // discriminator — see processCpuNanos.
       val times = names.map { name =>
         val before = tempViews() // outside the timed region
+        val sb0 = shuffleSnap() // outside the timed region (drains the bus)
         val g0 = gcMillis
         val c0 = processCpuNanos
         val t0 = System.nanoTime()
@@ -290,8 +325,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val gq = gcMillis - g0
         val cq = if (c0 < 0) -1L else (processCpuNanos - c0) / 1000000L
+        val sb = shuffleSnap() - sb0
         cleanup(before) // outside the timed region
-        (dt, gq, cq)
+        (dt, gq, cq, sb)
       }
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
@@ -309,8 +345,9 @@ object Bench {
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
-        names.zip(times).foreach { case (n, (t, g, c)) =>
-          System.err.println(f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g cpu_ms=$c")
+        names.zip(times).foreach { case (n, (t, g, c, sb)) =>
+          System.err.println(
+            f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g cpu_ms=$c shuffle_mb=${sb / 1e6}%.1f")
         }
       }
       (times.toIndexedSeq, stealFrac, tjBase)
@@ -318,7 +355,7 @@ object Bench {
     // Pass records finalize their telemetry JSON at the END of the run:
     // the cpu-inflation gate below can only judge a pass against the
     // cross-pass medians, i.e. after its successors exist.
-    final class PassRec(val times: IndexedSeq[(Double, Long, Long)],
+    final class PassRec(val times: IndexedSeq[(Double, Long, Long, Long)],
         val tjBase: String) {
       var flags: List[String] = Nil
       def discarded: Boolean = flags.exists(_.startsWith("discarded"))
@@ -428,7 +465,7 @@ object Bench {
     // per-dir artifact builds out of the timed slope denominators.
     val slopeDir = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").getOrElse(
       if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "")
-    val slopeSecs: Map[String, Double] =
+    val slopeStats: Map[String, (Double, Long)] =
       if (slopeDir.isEmpty || slopeDir == sfDir ||
         !new java.io.File(slopeDir).isDirectory) Map.empty
       else {
@@ -443,21 +480,24 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] slope warm events failed: ${e.getMessage}")
         }
-        def slopePass(timed: Boolean): Map[String, Double] =
+        def slopePass(timed: Boolean): Map[String, (Double, Long)] =
           names.map { n =>
             val before = tempViews()
+            val sb0 = shuffleSnap()
             val t0 = System.nanoTime()
             try materializeAt(n, slopeDir)
             catch { case e: Throwable =>
               System.err.println(s"[bench] slope $n failed: ${e.getMessage}")
             }
             val dt = (System.nanoTime() - t0) / 1e9
+            val sb = shuffleSnap() - sb0
             cleanup(before)
-            n -> (if (timed) dt else 0.0)
+            n -> (if (timed) (dt, sb) else (0.0, 0L))
           }.toMap
         slopePass(timed = false) // warm: builds + page cache, untimed
         slopePass(timed = true)
       }
+    val slopeSecs: Map[String, Double] = slopeStats.map { case (k, v) => k -> v._1 }
     val slopeRatio = sys.env.get("SPARK_GRAFT_BENCH_SLOPE_RATIO")
       .map(_.toDouble).getOrElse {
         def sfOf(p: String): Option[Double] =
@@ -477,6 +517,23 @@ object Bench {
       System.err.println(s"[bench] SLOPE FLAGS (cost superlinear in rows " +
         s"at ${fmt(slopeRatio, 1)}x SF step): ${flaggedSlope.mkString(",")}")
     val slopeFlagsJson = flaggedSlope.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Shuffle-volume medians + slope tripwire (round-17): per-query
+    // shuffle WRITE MB at the main SF (median over accepted passes),
+    // flagged superlinear against the small-SF slope pass's bytes —
+    // see shuffleSlopeFlags for why bytes catch what wall time hides.
+    val shuffleMb: Seq[(String, Double)] = names.zipWithIndex.map { case (n, i) =>
+      n -> median(samples.toSeq.map(_(i)._4.toDouble / 1e6))
+    }
+    val smallShuffleMb: Map[String, Double] =
+      slopeStats.map { case (k, v) => k -> v._2.toDouble / 1e6 }
+    val flaggedShuffle =
+      if (slopeStats.isEmpty) Seq.empty[String]
+      else shuffleSlopeFlags(shuffleMb, smallShuffleMb, slopeRatio)
+    if (flaggedShuffle.nonEmpty)
+      System.err.println(s"[bench] SHUFFLE SLOPE FLAGS (shuffle volume " +
+        s"superlinear in rows at ${fmt(slopeRatio, 1)}x SF step): " +
+        flaggedShuffle.mkString(","))
+    val shuffleFlagsJson = flaggedShuffle.map("\"" + _ + "\"").mkString("[", ",", "]")
     val telemetry = passTelemetry.mkString("[", ",", "]")
     // Per-pass seconds for the slowest10 ride in the PUBLISHED JSON
     // (round-11 verdict task 3): when one pass runs under heavy CPU
@@ -506,7 +563,7 @@ object Bench {
     // same-day local rerun to make that call.
     val slowCpu = slowNames
       .map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"slope_flags":$slopeFlagsJson,"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"slope_flags":$slopeFlagsJson,"shuffle_slope_flags":$shuffleFlagsJson,"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -539,12 +596,20 @@ object Bench {
       val slopeSecsJson = names.flatMap { n =>
         slopeSecs.get(n).map(s0 => "\"" + n + "\":" + fmt(s0, 3))
       }.mkString("{", ",", "}")
+      val shuffleMbJson = shuffleMb
+        .map { case (n, mb) => "\"" + n + "\":" + fmt(mb, 1) }
+        .mkString("{", ",", "}")
+      val slopeShuffleMbJson = names.flatMap { n =>
+        smallShuffleMb.get(n).map(mb => "\"" + n + "\":" + fmt(mb, 1))
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
           s""""ambient_band_est":${fmt(ambientBand, 4)},""" +
           s""""slope_sf_dir":"$slopeDir","slope_row_ratio":${fmt(slopeRatio, 2)},""" +
           s""""slope_flags":$slopeFlagsJson,"scale_slope":$slopeRatios,""" +
           s""""slope_secs":$slopeSecsJson,""" +
+          s""""shuffle_mb":$shuffleMbJson,"slope_shuffle_mb":$slopeShuffleMbJson,""" +
+          s""""shuffle_slope_flags":$shuffleFlagsJson,""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
           s""""per_pass_cpu_ms":$allCpu,""" +
           s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")

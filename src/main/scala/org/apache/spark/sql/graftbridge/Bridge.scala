@@ -42,6 +42,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Drain the async listener bus (`private[spark]`): per-query metric
+    * attribution in Bench must not read listener-fed counters while
+    * stage/task-completion events are still in flight.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a temp SQL function on a live session (the function
     * registry is likewise `private[sql]`).
     */

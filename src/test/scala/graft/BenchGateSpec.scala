@@ -111,4 +111,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.slopeFlags(main, Map("q_b" -> 0.0), 10.0, 2.0, 1.0)
       === Seq.empty[String])
   }
+
+  test("shuffle slope flags catch volume blowups over the 64 MB excess floor") {
+    val rowRatio = 10.0
+    val mainMb = Seq(
+      "q_linear_shuffle" -> 900.0, // 10× rows, ~9× bytes — clean
+      "q_blowup" -> 4000.0, // ~40× bytes — re-shuffling something quadratic
+      "q_small_blowup" -> 60.0, // 60× ratio but excess under the MB floor
+      "q_broadcast_only" -> 0.0) // no exchange at either SF
+    val smallMb = Map("q_linear_shuffle" -> 100.0, "q_blowup" -> 100.0,
+      "q_small_blowup" -> 1.0, "q_broadcast_only" -> 0.0)
+    assert(Bench.shuffleSlopeFlags(mainMb, smallMb, rowRatio)
+      === Seq("q_blowup"))
+  }
 }
