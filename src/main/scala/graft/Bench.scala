@@ -182,8 +182,27 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-split floor (optimization r17, guide §6/§2.5 "input skew"):
+      // split size is min(maxPartitionBytes, max(openCostInBytes,
+      // totalBytes/parallelism)) — the SCALE-ADAPTIVE term is
+      // totalBytes/parallelism, but the 4 MB openCostInBytes default
+      // floors it, so a single small parquet file (every base table
+      // here is one file, 0.3-11 MB) plans into 1-3 map tasks and a
+      // scan-heavy stage runs on 1-3 of the 32 cores (q03's
+      // scan+partial-agg stage: 1.29 s wall on a 75 ms-per-core job).
+      // 128 KB keeps the adaptive formula in charge at every scale: at
+      // 100 TB splits still cap at maxPartitionBytes, and the only
+      // large-scale effect is denser packing of small files — the
+      // direction §6 recommends anyway. Parameterized for deployments
+      // that want the old padding back.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", (128 * 1024).toString))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // diagnosis-only: SPARK_GRAFT_BENCH_LOGLVL=INFO surfaces per-job
+    // wall times (DAGScheduler "Job N finished ... took") for the
+    // job-count decomposition the optimization rounds work from
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOGLVL", "WARN"))
 
     // Streaming queries land their output in memory-sink temp views (one
     // fresh UUID-named view per EXECUTION — checkpoint reuse would make

@@ -491,10 +491,23 @@ object Similarity {
 
   /** The delta cut for q341: the newest ~10% of vec_ids. Integer
     * arithmetic ((max·9) div 10) so both engines compute the identical
-    * boundary; reading max(vec_id) is a parquet-footer aggregate.
+    * boundary; reading max(vec_id) is a parquet-footer aggregate —
+    * MEMOIZED per (dir, fingerprint) like the centroid/codebook
+    * training artifacts (optimization r17): every lifecycle query and
+    * every bench rep re-derived the same corpus constant as its own
+    * Spark job (~10 store builds × reps per bench), and the value is a
+    * pure function of the immutable snapshot.
     */
+  private val maxIdCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def maxVecId(s: SparkSession, d: String): Long =
+    maxIdCache.getOrElseUpdate(
+      s"$d@${graft.sources.Sources.dirFingerprint(d)}",
+      vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0))
+
   private[graft] def deltaCut(s: SparkSession, d: String): Long =
-    vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0) * 9 / 10
+    maxVecId(s, d) * 9 / 10
 
   /** The cell assignment of one side of the q341 cut against the BASE-
     * trained centroids — factored so `IvfDeltaSpec` can plan-gate that
@@ -697,17 +710,29 @@ object Similarity {
   private[graft] def buildStoreV3Enc(s: SparkSession, d: String,
       privateBase: Boolean, tag: String,
       enc: (Long, DataFrame) => DataFrame): IvfStoreV3 = {
-    val mx = vectors(s, d).agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val mx = maxVecId(s, d)
     val d0 = mx * 9 / 10
     val dMid = (d0 + mx + 1) / 2
     val root = graft.sources.Sources.scratchLeaf(d,
       s"${tag}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     val base =
       if (privateBase) {
+        // A private base is the SAME deterministic content as the shared
+        // per-corpus artifact — the run must merely OWN its copy so the
+        // vacuum can retire dirs under the root (q345/q351). Build the
+        // shared artifact once per JVM (train-once discipline) and
+        // byte-copy it under the root (bounded file I/O), instead of
+        // re-running the assignment/encode Spark job per store build —
+        // each bench rep of the vacuum fixtures re-paid that job for a
+        // result that is bit-identical by construction (optimization
+        // r17, guide §1.2: don't recompute what is already stored).
+        val shared = baseStore(s, d, d0, tag, enc)
         val p = s"$root/base"
-        enc(d0, deltaAssign(s, d, d0, delta = false))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("cell").parquet(p)
+        val fs = graft.sources.StoreManifest.hfs(s, p)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(shared),
+          fs, new org.apache.hadoop.fs.Path(p),
+          false, s.sparkContext.hadoopConfiguration)
         p
       } else baseStore(s, d, d0, tag, enc)
     val incA = s"$root/inc_a"; val incB = s"$root/inc_b"
@@ -972,6 +997,17 @@ object Similarity {
   private[graft] def serveBatch(s: SparkSession, probes: DataFrame,
       base: String, inc: String): DataFrame = {
     val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    serveBatchCells(s, probes, base, inc, cells)
+  }
+
+  /** serveBatch with the probed-cell set already in hand — the streaming
+    * loop (q344) collects each bounded probe micro-batch ONCE and derives
+    * the cells driver-side, instead of paying three separate jobs per
+    * trigger (isEmpty, distinct-cells collect, then the serve re-reading
+    * the batch's files a third time). See [[streamServe]].
+    */
+  private[graft] def serveBatchCells(s: SparkSession, probes: DataFrame,
+      base: String, inc: String, cells: Seq[Any]): DataFrame = {
     val store = s.read.parquet(base).unionByName(s.read.parquet(inc))
       .where(col("cell").isInCollection(cells))
     ivfRank(probes, store)
@@ -1004,13 +1040,26 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
     val schema = s.read.parquet(src).schema
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    // One bounded collect per trigger (≤ probes × IvfNProbe rows — the
+    // serving contract), from which emptiness, the probed-cell set AND
+    // the local probe relation all derive: the previous shape paid
+    // three separate jobs per micro-batch (isEmpty, distinct-cells
+    // collect, serve re-scanning the batch files), optimization r17.
+    // The probe side was broadcast anyway, so a local relation changes
+    // nothing downstream.
     val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
-        if (!batch.isEmpty) {
+      (batch, _) => {
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
           batches.incrementAndGet()
-          serveBatch(batch.sparkSession, batch.toDF(), base, inc)
+          val ss = batch.sparkSession
+          val local = ss.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
+          val cells = rows.map(_.getAs[Any]("cell")).distinct.toSeq
+          serveBatchCells(ss, local, base, inc, cells)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
         }
+      }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch(serve)
@@ -1076,23 +1125,28 @@ object Similarity {
     val trail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
     val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) =>
-        if (!batch.isEmpty) {
+      (batch, batchId) => {
+        // one bounded collect per trigger derives emptiness, the probed
+        // cells and the local probe relation (see streamServe) — the
+        // probe side was broadcast anyway
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
           val ss = batch.sparkSession
+          val local = ss.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
           // resolve the LIVE manifest head — not a version pinned at
           // stream start: this is what makes the commit visible to the
           // loop, and what the commit protocol must keep consistent
           // (one snapshot read resolves version + cell map together)
           val (v, m) = graft.sources.StoreManifest.headVersion(ss, st3.root)
-          val cells = batch.select(col("cell").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
+          val cells = rows.map(_.getAs[Number]("cell").longValue).toSet
           // empty-filter guard (ADVICE r16): a batch whose probed cells
           // are all absent from the manifest (a centroid cell with zero
           // assigned vectors) must not reduce over an empty scan list —
           // fall back to the full manifest map (the join still scores
           // only the probed cells)
           val probed = m.filter(kv => cells(kv._1))
-          ivfRank(batch.toDF(), readStore(ss, if (probed.isEmpty) m else probed))
+          ivfRank(local, readStore(ss, if (probed.isEmpty) m else probed))
             .withColumn("batch_id", lit(batchId))
             .withColumn("version", lit(v))
             .withColumn("store_root", lit(st3.root))
@@ -1104,6 +1158,7 @@ object Similarity {
             commitCompaction(ss, st3); ()
           }
         }
+      }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch(serve)
@@ -1175,17 +1230,20 @@ object Similarity {
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val repRef = new java.util.concurrent.atomic.AtomicReference[VacuumReport]
     val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) =>
-        if (!batch.isEmpty) {
+      (batch, batchId) => {
+        // one bounded collect per trigger (see streamServe)
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
           val ss = batch.sparkSession
+          val local = ss.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
           val gen = SM.gens(ss, st3.root).last._1
           val (v, m) = SM.headVersion(ss, st3.root)
           // the vacuum must be invisible: the head VERSION never moves
           require(v == 4L, s"live vacuum moved the head version to $v")
-          val cells = batch.select(col("cell").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
+          val cells = rows.map(_.getAs[Number]("cell").longValue).toSet
           val probed = m.filter(kv => cells(kv._1))
-          ivfRank(batch.toDF(), readStore(ss, if (probed.isEmpty) m else probed))
+          ivfRank(local, readStore(ss, if (probed.isEmpty) m else probed))
             .withColumn("batch_id", lit(batchId))
             .withColumn("gen", lit(gen))
             .withColumn("store_root", lit(st3.root))
@@ -1198,6 +1256,7 @@ object Similarity {
             repRef.set(vacuumStore(ss, st3.root, keepFrom = 4L)); ()
           }
         }
+      }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch(serve)
@@ -2063,7 +2122,16 @@ object Similarity {
   private[graft] def servePqBatch(s: SparkSession, batch: DataFrame,
       encPath: String, d: String): DataFrame = {
     val cells = batch.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toSeq
+    servePqBatchCells(s, batch, encPath, d, cells)
+  }
+
+  /** servePqBatch with the probed-cell set already in hand — the
+    * streaming loop collects each bounded probe micro-batch once and
+    * derives the cells driver-side (see [[serveBatchCells]]).
+    */
+  private[graft] def servePqBatchCells(s: SparkSession, batch: DataFrame,
+      encPath: String, d: String, cells: Seq[Long]): DataFrame = {
     val enc = s.read.parquet(encPath)
       .where(col("cell").isInCollection(cells))
     pqAdcRank(batch, enc, vectors(s, d))
@@ -2099,12 +2167,19 @@ object Similarity {
     val schema = s.read.parquet(src).schema
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
-        if (!batch.isEmpty) {
+      (batch, _) => {
+        // one bounded collect per trigger (see streamServe)
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
           batches.incrementAndGet()
-          servePqBatch(batch.sparkSession, batch.toDF(), enc, d)
+          val ss = batch.sparkSession
+          val local = ss.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
+          val cells = rows.map(_.getAs[Number]("cell").longValue).distinct.toSeq
+          servePqBatchCells(ss, local, enc, d, cells)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
         }
+      }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch(serve)
@@ -2276,14 +2351,17 @@ object Similarity {
     val trail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
     val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val serve: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) =>
-        if (!batch.isEmpty) {
+      (batch, batchId) => {
+        // one bounded collect per trigger (see streamServe)
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
           val ss = batch.sparkSession
+          val local = ss.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
           val (v, m) = graft.sources.StoreManifest.headVersion(ss, st3.root)
-          val cells = batch.select(col("cell").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
+          val cells = rows.map(_.getAs[Number]("cell").longValue).toSet
           val probed = m.filter(kv => cells(kv._1))
-          pqAdcRank(batch.toDF(),
+          pqAdcRank(local,
             readStore(ss, if (probed.isEmpty) m else probed, Seq("codes")),
             vectors(ss, d))
             .withColumn("batch_id", lit(batchId))
@@ -2295,6 +2373,7 @@ object Similarity {
             commitCompaction(ss, st3, valCols = Seq("codes")); ()
           }
         }
+      }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch(serve)

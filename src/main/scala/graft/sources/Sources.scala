@@ -719,19 +719,23 @@ object Sources {
         .withColumn("bucket", col("doc_id") % 4)
       val touched: Seq[Long] = Seq(0L, 2L) // multiples of 10 mod 4 ∈ {0, 2}
 
-      val dataFiles = (0L until 4L).map { k =>
-        val f = leaf(d, s"tt_base_$k")
-        base.where(col("bucket") === k).drop("bucket")
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        k -> f
-      }.toMap
-      val rewritten = touched.map { k =>
-        val f = leaf(d, s"tt_rw_$k")
-        base.where(col("bucket") === k && col("doc_id") % 10 =!= 0).drop("bucket")
-          .unionAll(updates.where(col("bucket") === k).drop("bucket"))
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        k -> f
-      }.toMap
+      // One scan fans the base into per-bucket directories; one more
+      // (plus the bounded updates side) lands both rewritten buckets —
+      // q170's partitioned-commit discipline (optimization r17: the
+      // previous shape scanned documents once per bucket/rewrite file,
+      // 6 scan+write jobs for 6 files). Data files keep exactly the
+      // (doc_id, lang, n_chars, text) columns; the bucket is the
+      // directory name.
+      val baseRoot = leaf(d, "tt_base")
+      base.withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      val dataFiles = (0L until 4L).map(k => k -> s"$baseRoot/pb=$k").toMap
+      val rwRoot = leaf(d, "tt_rw")
+      base.where(col("bucket").isInCollection(touched) && col("doc_id") % 10 =!= 0)
+        .unionAll(updates.where(col("bucket").isInCollection(touched)))
+        .withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      val rewritten = touched.map(k => k -> s"$rwRoot/pb=$k").toMap
       val insertFile = leaf(d, "tt_ins")
       inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insertFile)
 
@@ -803,18 +807,22 @@ object Sources {
       val isDeleted = expr(deletedPred)
       val touched: Seq[Long] = Seq(5L, 6L) // {5 % 8, 14 % 8}
 
-      val baseFiles = (0L until 8L).map { k =>
-        val f = leaf(d, s"gdpr_base_$k")
-        ev.where(col("bucket") === k).drop("bucket")
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        k -> f
-      }.toMap
-      val rewritten = touched.map { k =>
-        val f = leaf(d, s"gdpr_rw_$k")
-        ev.where(col("bucket") === k && !isDeleted).drop("bucket")
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        k -> f
-      }.toMap
+      // v1 base layout and the v2 rewrites each land from ONE scan of
+      // the source, fanned into per-bucket directories by a partitioned
+      // write — q170's commit discipline (optimization r17: the previous
+      // shape re-scanned events once per bucket file, 10 scan+write jobs
+      // for 10 files; on a 100 TB table a bucketed base commit is one
+      // pass by construction). The data files hold (event_id, user_id,
+      // value) exactly as before — the bucket key is the directory name.
+      val baseRoot = leaf(d, "gdpr_base")
+      ev.withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      val baseFiles = (0L until 8L).map(k => k -> s"$baseRoot/pb=$k").toMap
+      val rwRoot = leaf(d, "gdpr_rw")
+      ev.where(col("bucket").isInCollection(touched) && !isDeleted)
+        .withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      val rewritten = touched.map(k => k -> s"$rwRoot/pb=$k").toMap
 
       import s.implicits._
       val manifest =
@@ -952,16 +960,36 @@ object Sources {
 
       // merge-on-read: manifest-v data files, anti-joined with
       // manifest-v tombstones on the (bucket, event_id) key.
+      // The manifest is read back ONCE (26 bounded metadata rows) and
+      // filtered driver-side: the previous per-(version, kind) reads
+      // scheduled SIX separate Spark scan jobs over the same tiny file
+      // (optimization r17, guide §5 — driver metadata resolution must
+      // not fan out cluster jobs; same at 100 TB, where the manifest
+      // stays O(versions × buckets) however big the data is).
+      val manifestRows = s.read.parquet(dvManifestDir(d))
+        .select("version", "kind", "path").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       def paths(v: Long, kind: String): Seq[String] =
-        s.read.parquet(dvManifestDir(d))
-          .where(col("version") === v && col("kind") === kind)
-          .select("path").collect().map(_.getString(0)).sorted.toSeq
-      // per-path reads unioned by name: the manifest mixes bucket subdirs
-      // of the partitioned base layout with rewritten plain dirs, and a
-      // multi-path read would run partition-structure inference across
-      // them; the bucket key lives IN the data, so each path reads flat.
-      def readAll(ps: Seq[String]): DataFrame =
-        ps.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+        manifestRows.collect { case (`v`, `kind`, p) => p }.sorted.toSeq
+      // The manifest mixes bucket subdirs of the partitioned base layout
+      // with rewritten plain dirs, and a single multi-path read would
+      // run partition-structure inference across them. Group instead of
+      // going one-scan-per-path (the previous shape — 8 scan subtrees
+      // per version, ~24 per plan): every path still under the base
+      // layout mounts as ONE partition-discovering scan (`basePath`, the
+      // readStore discipline from the ANN store), rewritten dirs read
+      // flat — 1-2 scans per version instead of 8 (optimization r17,
+      // guide §6: per-file open/planning overhead multiplies at every
+      // scale; the bucket key lives IN the data either way).
+      def readAll(ps: Seq[String]): DataFrame = {
+        val (under, plain) = ps.partition(_.startsWith(baseRoot + "/"))
+        val parts =
+          (if (under.nonEmpty)
+             Seq(s.read.option("basePath", baseRoot)
+               .parquet(under: _*).drop("pb"))
+           else Nil) ++ plain.map(p => s.read.parquet(p))
+        parts.reduce(_ unionByName _)
+      }
       def asOf(v: Long): DataFrame = {
         val data = readAll(paths(v, "data"))
         val dvPaths = paths(v, "dv") // v1 carries no vector at all
@@ -1378,19 +1406,20 @@ object Sources {
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
       val touched: Seq[Long] = Seq(0L, 2L) // multiples of 10 mod 4 ∈ {0, 2}
 
-      val baseFiles = (0L until 4L).map { k =>
-        val f = leaf(d, s"vac_base_$k")
-        base.where(col("bucket") === k).drop("bucket")
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        s"base_$k" -> f
-      }.toMap
-      val rwFiles = touched.map { k =>
-        val f = leaf(d, s"vac_rw_$k")
-        base.where(col("bucket") === k && col("doc_id") % 10 =!= 0).drop("bucket")
-          .unionAll(updates.where(col("bucket") === k).drop("bucket"))
-          .write.mode(SaveMode.Overwrite).parquet(f)
-        s"rw_$k" -> f
-      }.toMap
+      // One partitioned write per commit instead of one filtered rescan
+      // per bucket file — q170's commit discipline (optimization r17;
+      // see q143/q155). Data files keep the same columns; the bucket is
+      // the directory name.
+      val baseRoot = leaf(d, "vac_base")
+      base.withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      val baseFiles = (0L until 4L).map(k => s"base_$k" -> s"$baseRoot/pb=$k").toMap
+      val rwRoot = leaf(d, "vac_rw")
+      base.where(col("bucket").isInCollection(touched) && col("doc_id") % 10 =!= 0)
+        .unionAll(updates.where(col("bucket").isInCollection(touched)))
+        .withColumn("pb", col("bucket")).drop("bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      val rwFiles = touched.map(k => s"rw_$k" -> s"$rwRoot/pb=$k").toMap
       val insFile = leaf(d, "vac_ins")
       inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insFile)
       val files = baseFiles ++ rwFiles + ("ins" -> insFile)
@@ -1425,11 +1454,16 @@ object Sources {
         }
         rm(new java.io.File(files(tag)))
       }
-      // Post-vacuum audit: re-read every surviving file for its count.
-      val counts: Map[String, Long] = refs.collect {
-        case (tag, _, retained) if retained > 0 =>
-          tag -> s.read.parquet(files(tag)).count()
-      }.toMap
+      // Post-vacuum audit: re-read every surviving file for its count —
+      // as ONE tag-labelled union job, not one count() job per survivor
+      // (optimization r17: 5 scan jobs → 1; each file is still
+      // physically re-read after the deletes, which is the audit).
+      val counts: Map[String, Long] = refs
+        .collect { case (tag, _, retained) if retained > 0 => tag }
+        .map(tag => s.read.parquet(files(tag)).select(lit(tag).as("tag")))
+        .reduce(_ unionAll _)
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       refs.toSeq.map { case (tag, total, retained) =>
         (tag, total, retained,
           if (retained > 0) "live" else "vacuumed",

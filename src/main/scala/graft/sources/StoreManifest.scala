@@ -19,11 +19,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *      mode Sources.scala supports) couldn't run them.
   *
   * Layout under `<root>/manifest/`:
-  *   - `snap_<uuid>/`   — a COMPLETE parquet snapshot of the manifest
-  *                        rows (version, cell, path), written coalesced
-  *                        to one file before anything points at it;
+  *   - `snap_<uuid>/`   — a COMPLETE snapshot of the manifest rows
+  *                        (version, cell, path) as one `rows.tsv` leaf
+  *                        plus a `_SUCCESS` completeness marker, fully
+  *                        on disk before anything points at it;
   *   - `commit_<G>`     — the generation-G commit marker; its content
   *                        names the snapshot dir that IS generation G.
+  *
+  * Snapshot I/O is DIRECT FileSystem byte I/O, never a Spark job
+  * (optimization r17, guide §5 "the driver should do almost no data
+  * work" applied to metadata): the manifest is bounded driver-side
+  * metadata (≤ versions × cells × paths rows), and the previous
+  * parquet round-trip scheduled a full Spark job — scan planning,
+  * task launch, collect — for every resolve. The serving loops
+  * (q346/q348/q353) resolve the head once per micro-batch and every
+  * lifecycle stage commits through here, so each resolve/commit was
+  * one to two cluster jobs of pure overhead. A metadata layer at
+  * 100 TB behaves the same way (Iceberg/Delta read manifests with
+  * plain file I/O, not table scans).
   *
   * Readers resolve the head by listing the markers (bounded metadata),
   * taking the highest G whose snapshot resolves, and reading that one
@@ -106,18 +119,47 @@ object StoreManifest {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** The head snapshot's rows — ONE bounded parquet read of one small
+  /** The head snapshot's rows — ONE bounded direct read of one small
     * file (≤ versions × cells × paths metadata rows), or empty when no
-    * generation has committed.
+    * generation has committed. No Spark job is scheduled.
     */
   def readRows(s: SparkSession, root: String): Rows =
     gens(s, root).lastOption match {
       case None => Seq.empty
       case Some((_, snap)) =>
-        s.read.parquet(snap)
-          .select("version", "cell", "path").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        readSnapshot(hfs(s, root), new Path(snap))
     }
+
+  /** Parse one snapshot dir's `rows.tsv` (version \t cell \t path per
+    * line). A resolvable generation always has the file — `_SUCCESS`
+    * lands after it — so a missing/unreadable leaf here is a real
+    * error, not a torn commit to absorb.
+    */
+  private def readSnapshot(fs: FileSystem, snap: Path): Rows = {
+    val txt = readSmall(fs, new Path(snap, "rows.tsv")).getOrElse(
+      throw new IllegalStateException(s"unreadable manifest snapshot $snap"))
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", 3)
+      (f(0).toLong, f(1).toLong, f(2))
+    }.toSeq
+  }
+
+  /** Write `rows` as a complete snapshot dir: the `rows.tsv` leaf fully
+    * on disk FIRST, then the `_SUCCESS` completeness marker the head
+    * resolve requires — so a generation can never resolve to a
+    * half-written snapshot.
+    */
+  private def writeSnapshot(fs: FileSystem, snap: Path, rows: Rows): Unit = {
+    fs.mkdirs(snap)
+    val out = fs.create(new Path(snap, "rows.tsv"), true)
+    try {
+      val sb = new StringBuilder
+      rows.foreach { case (v, c, p) => sb.append(v).append('\t').append(c)
+        .append('\t').append(p).append('\n') }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    fs.create(new Path(snap, "_SUCCESS"), true).close()
+  }
 
   /** The head as (max version, per-cell live dirs of that version) in
     * one snapshot read — the per-micro-batch resolve of the live
@@ -144,7 +186,6 @@ object StoreManifest {
     */
   def commit(s: SparkSession, root: String, reclaimAgeMs: Long = 60000L)(
       update: Rows => Rows): (Long, Rows) = {
-    import s.implicits._
     val fs = hfs(s, root)
     val dir = new Path(manifestDir(root))
     var attempt = 0
@@ -176,9 +217,7 @@ object StoreManifest {
       val next = update(cur)
       val leaf = s"snap_${java.util.UUID.randomUUID().toString.take(8)}"
       val snap = new Path(dir, leaf)
-      next.toDF("version", "cell", "path").coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(pathStr(snap))
+      writeSnapshot(fs, snap, next)
       val marker = new Path(dir, s"commit_${headG + 1}")
       val won =
         try {

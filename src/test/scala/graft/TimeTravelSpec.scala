@@ -51,7 +51,8 @@ class TimeTravelSpec extends AnyFunSuite {
       manifest.collect { case (2L, p) => p }.toSet)
     val shared = p1 intersect p2
     assert(shared.size == 2, s"expected 2 shared bucket files, got $shared")
-    assert(shared.forall(p => p.contains("tt_base_1") || p.contains("tt_base_3")))
+    assert(shared.forall(p => p.contains("tt_base") &&
+      (p.endsWith("pb=1") || p.endsWith("pb=3"))))
     assert(p2.size == p1.size + 1, "v2 should add exactly the insert file")
   }
 }

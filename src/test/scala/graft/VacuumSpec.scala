@@ -41,13 +41,15 @@ class VacuumSpec extends AnyFunSuite {
 
     // Physical deletion: the vacuumed parquet dirs are absent on disk,
     // so materializing v1 is impossible (the retention contract).
-    val deadDirs = Seq("vac_base_0", "vac_base_2")
-      .map(n => graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, n))
+    val vacBase = graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, "vac_base")
+    val vacRw = graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, "vac_rw")
+    val deadDirs = Seq(s"$vacBase/pb=0", s"$vacBase/pb=2")
     deadDirs.foreach { p =>
       assert(!new java.io.File(p).exists(), s"$p should have been deleted")
     }
-    val liveDirs = Seq("vac_base_1", "vac_base_3", "vac_rw_0", "vac_rw_2", "vac_ins")
-      .map(n => graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, n))
+    val liveDirs = Seq(s"$vacBase/pb=1", s"$vacBase/pb=3",
+      s"$vacRw/pb=0", s"$vacRw/pb=2",
+      graft.sources.Sources.scratchLeaf(TestSpark.Sf0001, "vac_ins"))
     liveDirs.foreach { p =>
       assert(new java.io.File(p).exists(), s"$p should have survived")
     }
