@@ -203,6 +203,27 @@ object Bench {
     // job-count decomposition the optimization rounds work from
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOGLVL", "WARN"))
+    // diagnosis-only: SPARK_GRAFT_BENCH_PHASES=1 prints each action's
+    // driver-phase attribution (parsing/analysis/optimization/planning
+    // from the QueryPlanningTracker, plus total execution wall) — the
+    // half of a query's time that job logs can't see
+    if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            import scala.jdk.CollectionConverters._
+            val ph = qe.tracker.phases.map { case (k, v) =>
+              s"$k=${v.endTimeMs - v.startTimeMs}ms"
+            }.mkString(" ")
+            System.err.println(
+              f"[bench-phase] $fn total=${durationNs / 1e6}%.0fms $ph")
+          }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
 
     // Streaming queries land their output in memory-sink temp views (one
     // fresh UUID-named view per EXECUTION — checkpoint reuse would make
