@@ -197,6 +197,16 @@ object Bench {
       // that want the old padding back.
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", (128 * 1024).toString))
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries): a 357-query suite generates far more codegen units
+      // than that per pass, so the cache evicts everything between
+      // passes and every stage of every query RE-COMPILES on every
+      // rep (~20-180 ms per unit, driver-side, serial with the query).
+      // Sized so one full suite pass fits; the entries are weakly
+      // referenced compiled classes, not data — same win on any
+      // long-lived session running a workload wider than 100 plans.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     // diagnosis-only: SPARK_GRAFT_BENCH_LOGLVL=INFO surfaces per-job
     // wall times (DAGScheduler "Job N finished ... took") for the
