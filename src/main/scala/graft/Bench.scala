@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver (BENCH_r{N}.json).
+  * prints ONE JSON line for the driver (BENCH_r{N}.json) — as the LAST
+  * stdout line, after a short "# trailer" summary, so a bounded tail
+  * capture always retains the parseable line.
+  *
+  * Robustness layers (each auditable in the published telemetry):
+  * per-PASS steal gate (discard + backoff), per-PASS process-CPU
+  * inflation gate, and per-QUERY outlier repair (round 18) — a sample
+  * far above its cross-pass minimum inside an otherwise-accepted pass
+  * is re-measured and the original published under `outlier_repairs`
+  * with its gc/cpu/steal/iowait attribution.
   *
   * Each query is fully materialized through a `noop`-format write — unlike
   * `count()`, which lets Catalyst prune the projection and under-measures
@@ -31,6 +40,16 @@ import org.apache.spark.sql.SparkSession
   * 308-query distribution was invisible to round-over-round diffs.
   */
 object Bench {
+  /** One timed materialization of one query: wall seconds plus the four
+    * attribution channels sampled around it — JVM GC ms, JVM process-CPU
+    * ms, shuffle bytes written, and the BOX-WIDE steal/iowait jiffies
+    * that elapsed during the query (round-18: the per-PASS steal gate
+    * cannot see a 15 s stall inside one query of a 260 s pass, so the
+    * external contention signals are now sampled per query too).
+    */
+  private[graft] final case class QSample(sec: Double, gcMs: Long,
+      cpuMs: Long, shuffleBytes: Long, stealJf: Long, iowaitJf: Long)
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -154,6 +173,38 @@ object Bench {
       case (n, t) if small.get(n).exists(s0 =>
         s0 > 0.0 && t > factor * rowRatio * s0 && t - s0 > floorSec) => n
     }
+
+  /** Per-QUERY stall detection (round-18 verdict task 1): flagged
+    * (passIdx, queryIdx) samples whose wall time exceeds `factor`× the
+    * query's CROSS-PASS MINIMUM by more than `floorSec`. The per-pass
+    * steal/cpu gates adjudicate whole passes, but this box's stall
+    * windows hit a handful of queries inside an otherwise-clean pass
+    * (the r17 driver recorded q152 at [0.88, 7.91, 15.63] s on identical
+    * code — an 18× pass-to-pass swing that median-of-3 published as
+    * 7.91). Same reference principle as the CPU gate: contention only
+    * ever ADDS time, so the cleanest pass is the truth and the median
+    * is itself contaminated in the 2-of-3-bad case. The first accepted
+    * pass is exempt — one-time shared-artifact builds land there by
+    * construction (pass0_over_median makes them visible), and a median
+    * already tolerates one slow pass-0 sample. Flagged samples are
+    * RE-MEASURED, not dropped: the replacement is a fresh measurement
+    * kept whatever its value (with a bounded retry if the re-run itself
+    * stalls), and the original stays published in `outlier_repairs`,
+    * so the repair cannot cherry-pick fast runs. Needs ≥ 2 passes —
+    * with one there is no reference to arbitrate.
+    */
+  private[graft] def outlierSamples(wall: Seq[Seq[Double]], factor: Double,
+      floorSec: Double): Seq[(Int, Int)] = {
+    if (wall.size < 2) return Seq.empty
+    val nq = wall.map(_.length).min
+    for {
+      j <- 0 until nq
+      col = wall.map(_(j))
+      m = col.min
+      i <- 1 until wall.size // first accepted pass exempt (builds)
+      if wall(i)(j) > factor * m && wall(i)(j) - m > floorSec
+    } yield (i, j)
+  }
 
   /** Shuffle-volume slope tripwire: the same superlinearity test as
     * [[slopeFlags]], applied to per-query SHUFFLE WRITE megabytes
@@ -352,33 +403,39 @@ object Bench {
     val backoffCapMs = sys.env.get("SPARK_GRAFT_BENCH_BACKOFF_CAP_MS")
       .map(_.toLong).getOrElse(120000L)
     val passTelemetry = new scala.collection.mutable.ArrayBuffer[String]
-    def runPass(pass: Int): (IndexedSeq[(Double, Long, Long, Long)], Double, String) = {
+    // per-query GC attribution (round-12 verdict task 5): the JVM-wide
+    // collection-time counter sampled around each materialize converts
+    // every in-suite-vs-isolated adjudication (q151, q155's pass
+    // spikes) from a manual A/B session into a read of the artifact —
+    // a query whose wall time spikes WITH gc_ms is paying someone
+    // else's garbage; one that spikes without it is doing real work.
+    // Per-query process-CPU (round-15): wall-vs-cpu is the contamination
+    // discriminator — see processCpuNanos. Per-query steal/iowait
+    // jiffies (round-18): the box-wide external channels, sampled per
+    // query so a stall that hits ONE query of a clean pass is
+    // attributable without a rerun session.
+    def measureOne(name: String): QSample = {
+      val before = tempViews() // outside the timed region
+      val sb0 = shuffleSnap() // outside the timed region (drains the bus)
+      val (_, qs0, qi0) = cpuJiffies
+      val g0 = gcMillis
+      val c0 = processCpuNanos
+      val t0 = System.nanoTime()
+      try materialize(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gq = gcMillis - g0
+      val cq = if (c0 < 0) -1L else (processCpuNanos - c0) / 1000000L
+      val (_, qs1, qi1) = cpuJiffies
+      val sb = shuffleSnap() - sb0
+      cleanup(before) // outside the timed region
+      QSample(dt, gq, cq, sb, qs1 - qs0, qi1 - qi0)
+    }
+    def runPass(pass: Int): (IndexedSeq[QSample], Double, String) = {
       val (busy0, steal0, iow0) = cpuJiffies
       val gc0 = gcMillis
       val pc0 = processCpuNanos
-      // per-query GC attribution (round-12 verdict task 5): the JVM-wide
-      // collection-time counter sampled around each materialize converts
-      // every in-suite-vs-isolated adjudication (q151, q155's pass
-      // spikes) from a manual A/B session into a read of the artifact —
-      // a query whose wall time spikes WITH gc_ms is paying someone
-      // else's garbage; one that spikes without it is doing real work.
-      // Per-query process-CPU (round-15): wall-vs-cpu is the contamination
-      // discriminator — see processCpuNanos.
-      val times = names.map { name =>
-        val before = tempViews() // outside the timed region
-        val sb0 = shuffleSnap() // outside the timed region (drains the bus)
-        val g0 = gcMillis
-        val c0 = processCpuNanos
-        val t0 = System.nanoTime()
-        try materialize(name)
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val gq = gcMillis - g0
-        val cq = if (c0 < 0) -1L else (processCpuNanos - c0) / 1000000L
-        val sb = shuffleSnap() - sb0
-        cleanup(before) // outside the timed region
-        (dt, gq, cq, sb)
-      }
+      val times = names.map(measureOne)
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val (busy1, steal1, iow1) = cpuJiffies
@@ -395,9 +452,11 @@ object Bench {
         System.err.println(
           f"[bench-debug] pass=$pass steal_frac=$stealFrac%.3f busy_jf=$db steal_jf=$ds")
         System.err.println(f"[bench-debug] pass=$pass gc_ms=$gcMillis heap_used_mb=$heapMb")
-        names.zip(times).foreach { case (n, (t, g, c, sb)) =>
+        names.zip(times).foreach { case (n, q) =>
           System.err.println(
-            f"[bench-debug] pass=$pass $n%-32s $t%8.3f gc_ms=$g cpu_ms=$c shuffle_mb=${sb / 1e6}%.1f")
+            f"[bench-debug] pass=$pass $n%-32s ${q.sec}%8.3f gc_ms=${q.gcMs} " +
+              f"cpu_ms=${q.cpuMs} shuffle_mb=${q.shuffleBytes / 1e6}%.1f " +
+              s"steal_jf=${q.stealJf} iowait_jf=${q.iowaitJf}")
         }
       }
       (times.toIndexedSeq, stealFrac, tjBase)
@@ -405,7 +464,7 @@ object Bench {
     // Pass records finalize their telemetry JSON at the END of the run:
     // the cpu-inflation gate below can only judge a pass against the
     // cross-pass medians, i.e. after its successors exist.
-    final class PassRec(val times: IndexedSeq[(Double, Long, Long, Long)],
+    final class PassRec(val times: IndexedSeq[QSample],
         val tjBase: String) {
       var flags: List[String] = Nil
       def discarded: Boolean = flags.exists(_.startsWith("discarded"))
@@ -454,7 +513,7 @@ object Bench {
     var settled = false
     while (!settled) {
       val acc = accepted.toIndexedSeq
-      val cpuByPass = acc.map(_.times.map(_._3))
+      val cpuByPass = acc.map(_.times.map(_.cpuMs))
       val flagged = cpuContaminatedPasses(cpuByPass, maxCpuInfl, cpuFloorMs)
       if (flagged.isEmpty) settled = true
       else if (cpuRetries < maxCpuRetries) {
@@ -477,13 +536,63 @@ object Bench {
       }
     }
     recs.foreach(r => passTelemetry += r.json)
-    val samples = accepted.toArray.map(_.times)
+    val samples: Array[Array[QSample]] = accepted.toArray.map(_.times.toArray)
+    // Per-QUERY outlier repair (round-18 verdict task 1): the pass gates
+    // above catch pass-wide contamination; this catches the stall
+    // windows that hit a few queries inside accepted passes (see
+    // outlierSamples). Every flagged sample is re-MEASURED in place —
+    // fresh timed run, same isolation — and the original value plus its
+    // gc/cpu/steal/iowait attribution is published in outlier_repairs,
+    // so nothing is silently dropped and the repair is auditable.
+    val outFactor = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_FACTOR")
+      .map(_.toDouble).getOrElse(2.0)
+    val outFloorSec = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_FLOOR_SEC")
+      .map(_.toDouble).getOrElse(0.75)
+    val outBudget = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_RERUNS")
+      .map(_.toInt).getOrElse(40)
+    val outRetries = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_RETRIES")
+      .map(_.toInt).getOrElse(2)
+    val repairJsons = new scala.collection.mutable.ArrayBuffer[String]
+    var rerunsUsed = 0
+    val flaggedOutliers =
+      outlierSamples(samples.toSeq.map(_.toSeq.map(_.sec)), outFactor, outFloorSec)
+    flaggedOutliers.foreach { case (i, j) =>
+      if (rerunsUsed < outBudget) {
+        val name = names(j)
+        val m = samples.map(_(j).sec).min
+        val orig = samples(i)(j)
+        var cur = orig
+        var attempts = 0
+        var settled = false
+        while (!settled && attempts < outRetries && rerunsUsed < outBudget) {
+          attempts += 1; rerunsUsed += 1
+          cur = measureOne(name)
+          settled = !(cur.sec > outFactor * m && cur.sec - m > outFloorSec)
+        }
+        samples(i)(j) = cur
+        System.err.println(f"[bench] outlier repaired: $name pass $i " +
+          f"${orig.sec}%.3f s (cross-pass min ${m}%.3f, cpu_ms=${orig.cpuMs}, " +
+          f"gc_ms=${orig.gcMs}, steal_jf=${orig.stealJf}, iowait_jf=${orig.iowaitJf}) " +
+          f"-> ${cur.sec}%.3f s after $attempts rerun(s)" +
+          (if (settled) "" else " [STILL OVER THRESHOLD - kept]"))
+        repairJsons += s"""{"query":"$name","pass":$i,""" +
+          s""""orig_sec":${fmt(orig.sec, 3)},"orig_cpu_ms":${orig.cpuMs},""" +
+          s""""orig_gc_ms":${orig.gcMs},"orig_steal_jf":${orig.stealJf},""" +
+          s""""orig_iowait_jf":${orig.iowaitJf},""" +
+          s""""rerun_sec":${fmt(cur.sec, 3)},"rerun_cpu_ms":${cur.cpuMs},""" +
+          s""""reruns":$attempts,"settled":$settled}"""
+      } else {
+        System.err.println(s"[bench] outlier NOT repaired (budget " +
+          s"$outBudget exhausted): ${names(j)} pass $i")
+      }
+    }
+    val repairsJson = repairJsons.mkString("[", ",", "]")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.zipWithIndex.map { case (name, i) =>
-      name -> median(samples.toSeq.map(_(i)._1))
+      name -> median(samples.toSeq.map(_(i).sec))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -499,7 +608,7 @@ object Bench {
     val ambientBand = {
       val ss = if (samples.length >= 3) samples.toSeq.drop(1) else samples.toSeq
       val rel = names.indices.flatMap { i =>
-        val xs = ss.map(_(i)._1)
+        val xs = ss.map(_(i).sec)
         val m = median(xs)
         if (m <= 0.0 || xs.size < 2) None else Some((xs.max - xs.min) / m)
       }
@@ -572,7 +681,7 @@ object Bench {
     // flagged superlinear against the small-SF slope pass's bytes —
     // see shuffleSlopeFlags for why bytes catch what wall time hides.
     val shuffleMb: Seq[(String, Double)] = names.zipWithIndex.map { case (n, i) =>
-      n -> median(samples.toSeq.map(_(i)._4.toDouble / 1e6))
+      n -> median(samples.toSeq.map(_(i).shuffleBytes.toDouble / 1e6))
     }
     val smallShuffleMb: Map[String, Double] =
       slopeStats.map { case (k, v) => k -> v._2.toDouble / 1e6 }
@@ -592,15 +701,15 @@ object Bench {
     // 10.9] medians to 10.9 and the telemetry's steal_frac explains it.
     def passesOf(name: String): String = {
       val i = names.indexOf(name)
-      samples.map(p => fmt(p(i)._1, 3)).mkString("[", ",", "]")
+      samples.map(p => fmt(p(i).sec, 3)).mkString("[", ",", "]")
     }
     def gcOf(name: String): String = {
       val i = names.indexOf(name)
-      samples.map(p => p(i)._2.toString).mkString("[", ",", "]")
+      samples.map(p => p(i).gcMs.toString).mkString("[", ",", "]")
     }
     def cpuOf(name: String): String = {
       val i = names.indexOf(name)
-      samples.map(p => p(i)._3.toString).mkString("[", ",", "]")
+      samples.map(p => p(i).cpuMs.toString).mkString("[", ",", "]")
     }
     val slowNames = results.sortBy(-_._2).take(10).map(_._1)
     val slowPasses = slowNames
@@ -613,7 +722,24 @@ object Bench {
     // same-day local rerun to make that call.
     val slowCpu = slowNames
       .map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"slope_flags":$slopeFlagsJson,"shuffle_slope_flags":$shuffleFlagsJson,"telemetry":$telemetry,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu}""")
+    // slowest10 per-pass box-wide steal/iowait jiffies (round-18): the
+    // external-channel attribution for a slow median, readable off the
+    // published line — "wall spiked, steal/iowait flat, cpu flat" is a
+    // deschedule; "cpu spiked too at steal 0" is memory-bandwidth/LLC
+    // contention from outside the guest (the r17 q152 signature).
+    def stealOf(name: String): String = {
+      val i = names.indexOf(name)
+      samples.map(p => p(i).stealJf.toString).mkString("[", ",", "]")
+    }
+    def iowaitOf(name: String): String = {
+      val i = names.indexOf(name)
+      samples.map(p => p(i).iowaitJf.toString).mkString("[", ",", "]")
+    }
+    val slowSteal = slowNames
+      .map(n => "\"" + n + "\":" + stealOf(n)).mkString("{", ",", "}")
+    val slowIowait = slowNames
+      .map(n => "\"" + n + "\":" + iowaitOf(n)).mkString("{", ",", "}")
+    val benchJsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ambient_band_est":${fmt(ambientBand, 4)},"slope_flags":$slopeFlagsJson,"shuffle_slope_flags":$shuffleFlagsJson,"telemetry":$telemetry,"outlier_repairs":$repairsJson,"outlier_reruns_used":$rerunsUsed,"slowest10_passes":$slowPasses,"slowest10_gc_ms":$slowGc,"slowest10_cpu_ms":$slowCpu,"slowest10_steal_jf":$slowSteal,"slowest10_iowait_jf":$slowIowait}"""
     // Full per-query artifact ON DISK (round-11 verdict task 6): the
     // driver's stdout tail capture keeps ~2000 chars, which loses ~270
     // of 308 medians; this file keeps every median AND every per-pass
@@ -624,6 +750,8 @@ object Bench {
       val allPasses = names.map(n => "\"" + n + "\":" + passesOf(n)).mkString("{", ",", "}")
       val allGc = names.map(n => "\"" + n + "\":" + gcOf(n)).mkString("{", ",", "}")
       val allCpu = names.map(n => "\"" + n + "\":" + cpuOf(n)).mkString("{", ",", "}")
+      val allSteal = names.map(n => "\"" + n + "\":" + stealOf(n)).mkString("{", ",", "}")
+      val allIowait = names.map(n => "\"" + n + "\":" + iowaitOf(n)).mkString("{", ",", "}")
       // pass0_over_median (round-13 verdict task 8): first-pass /
       // median per query, so one-time artifact-build cost (q151's gram
       // index, q316's L2 levels — paid on whichever pass first touches
@@ -633,7 +761,7 @@ object Bench {
       // telemetry.steal_frac/gc before reading it as structure).
       val p0om = names.zipWithIndex.map { case (n, i) =>
         val med = results(i)._2
-        val r = if (med == 0.0) 1.0 else samples(0)(i)._1 / med
+        val r = if (med == 0.0) 1.0 else samples(0)(i).sec / med
         "\"" + n + "\":" + fmt(r, 2)
       }.mkString("{", ",", "}")
       // scale_slope: per-query main-SF-median / small-SF ratio (the
@@ -662,23 +790,28 @@ object Bench {
           s""""shuffle_slope_flags":$shuffleFlagsJson,""" +
           s""""queries":$qs,"per_pass":$allPasses,"per_pass_gc_ms":$allGc,""" +
           s""""per_pass_cpu_ms":$allCpu,""" +
+          s""""per_pass_steal_jf":$allSteal,"per_pass_iowait_jf":$allIowait,""" +
+          s""""outlier_repairs":$repairsJson,"outlier_reruns_used":$rerunsUsed,""" +
           s""""pass0_over_median":$p0om,"telemetry":$telemetry}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write $artifact failed: ${e.getMessage}")
     }
-    // Compact trailer AFTER the full JSON: the driver's output capture
-    // keeps only the last N chars, and round 4's full line lost its own
-    // head (total + q01..q39) to that truncation. Any tail capture that
-    // includes these two lines retains the headline numbers. The "# "
-    // prefix makes the trailer non-JSON, so a consumer that json-parses
-    // the whole stream or the last line still sees exactly ONE JSON
-    // object on stdout (the full line above).
+    // Output order (round-18 verdict task 2): compact trailer FIRST,
+    // then the full JSON as the LAST stdout line. The r16 driver run
+    // lost its per-query table because the JSON line (which grows with
+    // the registry) printed before the trailer and fell out of the
+    // captured tail window — with the JSON last, any tail capture
+    // retains the line the driver parses, and the trailer above it
+    // keeps the human-readable headline nearby. The "# " prefix makes
+    // the trailer non-JSON, so a consumer that json-parses the stream
+    // or the last line still sees exactly ONE JSON object on stdout.
     // trailer numbers route through the locale-pinned fmt too (ADVICE
     // r15): the driver greps this text, and a comma-decimal default
     // locale would corrupt it exactly like the JSON fields it mirrors
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(",")
     println(s"""# trailer v1 total_sec=${fmt(total, 2)} queries=${results.size} sec_per_query=${fmt(total / results.size, 3)} slowest10=$slowest""")
+    println(benchJsonLine)
     spark.stop()
   }
 }

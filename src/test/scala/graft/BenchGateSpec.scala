@@ -112,6 +112,42 @@ class BenchGateSpec extends AnyFunSuite {
       === Seq.empty[String])
   }
 
+  test("outlier repair flags the r17 q152 driver shape (2 of 3 samples stalled)") {
+    // wall [7.91, 0.88, 15.63] on identical code: min 0.88 is the truth,
+    // pass 0 is median-tolerated (and exempt as the build pass), pass 2
+    // must be flagged for re-measurement — without it the median is 7.91
+    val wall = Seq(
+      Seq(7.913, 1.0), // pass 0 (exempt)
+      Seq(0.881, 1.02),
+      Seq(15.626, 0.98))
+    assert(Bench.outlierSamples(wall, 2.0, 0.75) === Seq((2, 0)))
+  }
+
+  test("outlier repair ignores ordinary jitter and sub-floor swings") {
+    val wall = Seq(
+      Seq(1.0, 0.2, 3.0),
+      Seq(1.3, 0.5, 3.4), // q2 is 2.5× min but excess 0.3 s < floor
+      Seq(0.9, 0.21, 2.9))
+    assert(Bench.outlierSamples(wall, 2.0, 0.75) === Seq.empty)
+  }
+
+  test("outlier repair flags every stalled non-first sample, not just one") {
+    val wall = Seq(
+      Seq(1.0, 5.0),
+      Seq(4.0, 5.1), // q0 stalled here
+      Seq(3.5, 5.2)) // and here; q1 is uniformly slow (real cost) — clean
+    assert(Bench.outlierSamples(wall, 2.0, 0.75) === Seq((1, 0), (2, 0)))
+  }
+
+  test("outlier repair needs at least two passes") {
+    assert(Bench.outlierSamples(Seq(Seq(9.0)), 2.0, 0.75) === Seq.empty)
+  }
+
+  test("a pass-0-only build spike is exempt (median already drops it)") {
+    val wall = Seq(Seq(8.0), Seq(1.0), Seq(1.1))
+    assert(Bench.outlierSamples(wall, 2.0, 0.75) === Seq.empty)
+  }
+
   test("shuffle slope flags catch volume blowups over the 64 MB excess floor") {
     val rowRatio = 10.0
     val mainMb = Seq(
