@@ -56,6 +56,28 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** The query currently inside its timed region — read by the (async)
+    * phases listener for attribution: QueryExecutionListeners fire on
+    * the shared listener bus thread, where the bench thread's job
+    * description is invisible. Passes run queries strictly sequentially
+    * and the listener bus is drained at the next query's start (see
+    * shuffleSnap), so this is exact up to the final query of a run.
+    */
+  @volatile private var currentQuery: String = "-"
+
+  /** (cumulative codegen compilations, their mean ms) from Spark's
+    * CodegenMetrics — the DIRECT mechanism signal behind the
+    * codegen-cache sizing (round-18 verdict task 3): with the 100-entry
+    * default a 357-query pass evicts everything and RE-COMPILES every
+    * stage every pass; sized to hold a pass, later passes compile ~0
+    * units. A per-pass count delta is immune to the ambient wall-clock
+    * noise a steal-storm window injects into an A/B.
+    */
+  private def codegenStats: (Long, Double) = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    (h.getCount, h.getSnapshot.getMean)
+  }
+
   /** (busy, steal, iowait) jiffies from /proc/stat — hypervisor CPU steal
     * is the one ambient-contention source the in-JVM telemetry (gc, heap)
     * can't see, and this box has shown >90% steal episodes that inflate
@@ -279,7 +301,7 @@ object Bench {
               s"$k=${v.endTimeMs - v.startTimeMs}ms"
             }.mkString(" ")
             System.err.println(
-              f"[bench-phase] $fn total=${durationNs / 1e6}%.0fms $ph")
+              f"[bench-phase] q=$currentQuery fn=$fn total=${durationNs / 1e6}%.0fms $ph")
           }
           override def onFailure(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
@@ -417,12 +439,18 @@ object Bench {
     def measureOne(name: String): QSample = {
       val before = tempViews() // outside the timed region
       val sb0 = shuffleSnap() // outside the timed region (drains the bus)
+      // guide §1.5: label the query's jobs (thread-local, ~free) for
+      // UI/log forensics; currentQuery carries the same name to the
+      // async phases listener (thread-locals don't cross the bus)
+      spark.sparkContext.setJobDescription(name)
+      currentQuery = name
       val (_, qs0, qi0) = cpuJiffies
       val g0 = gcMillis
       val c0 = processCpuNanos
       val t0 = System.nanoTime()
       try materialize(name)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      finally spark.sparkContext.setJobDescription(null)
       val dt = (System.nanoTime() - t0) / 1e9
       val gq = gcMillis - g0
       val cq = if (c0 < 0) -1L else (processCpuNanos - c0) / 1000000L
@@ -435,7 +463,9 @@ object Bench {
       val (busy0, steal0, iow0) = cpuJiffies
       val gc0 = gcMillis
       val pc0 = processCpuNanos
+      val (cg0, _) = codegenStats
       val times = names.map(measureOne)
+      val (cg1, cgMean) = codegenStats
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val (busy1, steal1, iow1) = cpuJiffies
@@ -447,6 +477,7 @@ object Bench {
         s""""busy_jiffies":$db,"steal_jiffies":$ds,""" +
         s""""iowait_jiffies":$di,"iowait_frac":${fmt(iowaitFrac, 4)},""" +
         s""""process_cpu_ms":$passCpuMs,""" +
+        s""""codegen_units":${cg1 - cg0},"codegen_mean_ms":${fmt(cgMean, 1)},""" +
         s""""gc_ms":${gcMillis - gc0},"heap_used_mb":$heapMb"""
       if (debug) {
         System.err.println(

@@ -2793,14 +2793,29 @@ object Relational2 {
   val marketBasket = Q(
     "q282_market_basket",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+      // Pair generation from GROUPED BASKETS (optimization r18, guide
+      // §2.4): the original shape was distinct() → self-join on the
+      // basket key — an exchange on (ok, pk) plus a sort-merge self-join
+      // re-shuffling both sides by ok before any pair exists. One
+      // groupBy(ok).collect_set does the dedup AND the co-location in a
+      // single exchange, and C(basket,2) pairs then generate IN-TASK
+      // from the sorted array (posexplode × slice keeps pa < pb and
+      // each pair exactly once — identical to the join's predicate), so
+      // the only remaining corpus-sized shuffle is the pair-support
+      // aggregation itself. Basket size stays the bounded fan-out
+      // guard (≤13 items here; the q73 df-cap is the answer if baskets
+      // were unbounded).
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      val items = baskets.select(col("ok"), explode(col("pks")).as("pk"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       val sup = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
-      val pairs = items.as("a")
-        .join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val pairs = baskets
+        .select(posexplode(col("pks")).as(Seq("i", "pa")), col("pks"))
+        .select(col("pa"),
+          explode(expr("slice(pks, i + 2, size(pks))")).as("pb"))
+        .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
       pairs

@@ -478,6 +478,17 @@ object Sketches {
       ranges.map { case (tag, a, b) =>
         s.read.parquet(store)
           .where(col("day").between(lit(a.toString), lit(b.toString)))
+          // coalesce(1): approx_top_k_combine's partial-aggregation
+          // buffer types itself lazily from its FIRST input sketch, and
+          // Spark 4.1's ApproxTopK$.genSketchSerDe throws MatchError:
+          // null when a map task gets an EMPTY scan partition (surfaced
+          // at sf0.1 once the 128 KB openCostInBytes split the tiny
+          // day-store into >1 task, one of them row-less; sf≤0.01 plans
+          // a single split, so Verify never saw it). The combine input
+          // is O(days) KB rows by the store's design, so one task IS
+          // the documented scale shape — and no empty partial buffer
+          // can exist.
+          .coalesce(1)
           .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 4096), 4096)")
             .as("tk"))
           .select(explode(col("tk")).as("e"))

@@ -52,6 +52,27 @@ object Sources {
     */
   def scratchLeaf(d: String, name: String): String = leaf(d, name)
 
+  /** Assert that a consolidated `partitionBy("pb")` commit materialized
+    * every expected bucket directory (ADVICE r17): a touched bucket
+    * whose rewrite filters to ZERO surviving rows writes no `pb=k` dir,
+    * and a manifest recorded from the expected-bucket list would then
+    * point at a nonexistent path — every later asOf read of that
+    * version fails, darkly and data-dependently. Current fixtures
+    * always have survivors; this converts the latent corruption into a
+    * loud commit-time failure at the cost of one FS existence probe per
+    * bucket (metadata-plane, like the manifest itself).
+    */
+  private[graft] def requireBucketDirs(s: SparkSession, root: String,
+      buckets: Seq[Long]): Unit = {
+    val fs = StoreManifest.hfs(s, root)
+    val missing = buckets.filterNot(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/pb=$k")))
+    require(missing.isEmpty,
+      s"partitioned commit under $root materialized no dir for bucket(s) " +
+        s"${missing.mkString(",")} (zero surviving rows?) — the manifest " +
+        "would reference nonexistent paths")
+  }
+
   /** Memoized per-dir scratch artifact (the train-once discipline shared
     * by q23's pair table, q151's gram index, q167's energies, q262's
     * gramian, q300's rollup store, q316's L2 levels): `build` runs once
@@ -729,12 +750,14 @@ object Sources {
       val baseRoot = leaf(d, "tt_base")
       base.withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      requireBucketDirs(s, baseRoot, 0L until 4L)
       val dataFiles = (0L until 4L).map(k => k -> s"$baseRoot/pb=$k").toMap
       val rwRoot = leaf(d, "tt_rw")
       base.where(col("bucket").isInCollection(touched) && col("doc_id") % 10 =!= 0)
         .unionAll(updates.where(col("bucket").isInCollection(touched)))
         .withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      requireBucketDirs(s, rwRoot, touched)
       val rewritten = touched.map(k => k -> s"$rwRoot/pb=$k").toMap
       val insertFile = leaf(d, "tt_ins")
       inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insertFile)
@@ -817,11 +840,13 @@ object Sources {
       val baseRoot = leaf(d, "gdpr_base")
       ev.withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      requireBucketDirs(s, baseRoot, 0L until 8L)
       val baseFiles = (0L until 8L).map(k => k -> s"$baseRoot/pb=$k").toMap
       val rwRoot = leaf(d, "gdpr_rw")
       ev.where(col("bucket").isInCollection(touched) && !isDeleted)
         .withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      requireBucketDirs(s, rwRoot, touched)
       val rewritten = touched.map(k => k -> s"$rwRoot/pb=$k").toMap
 
       import s.implicits._
@@ -917,6 +942,7 @@ object Sources {
       val baseRoot = leaf(d, "dv_base")
       ev.withColumn("pb", col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      requireBucketDirs(s, baseRoot, 0L until 8L)
       val baseFiles = (0L until 8L).map(k => k -> s"$baseRoot/pb=$k").toMap
       def store: DataFrame =
         s.read.option("basePath", baseRoot).parquet(baseRoot).drop("pb")
@@ -990,30 +1016,55 @@ object Sources {
            else Nil) ++ plain.map(p => s.read.parquet(p))
         parts.reduce(_ unionByName _)
       }
-      def asOf(v: Long): DataFrame = {
-        val data = readAll(paths(v, "data"))
-        val dvPaths = paths(v, "dv") // v1 carries no vector at all
-        if (dvPaths.isEmpty) data
-        else data.join(readAll(dvPaths),
-          Seq("bucket", "event_id"), "left_anti")
-      }
-      def dvCounts(v: Long): DataFrame =
-        readAll(paths(v, "dv"))
-          .groupBy("bucket").agg(count(lit(1)).as("n_dv"))
-
-      Seq(1L, 2L, 3L).map { v =>
-        val visible = asOf(v)
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_rows"),
-            countDistinct(col("user_id")).as("n_users"),
-            graft.Q.dsum2(col("value")).as("sum_value"))
-        val withDv =
-          if (v == 1L) visible.withColumn("n_dv", lit(0L))
-          else visible.join(dvCounts(v), Seq("bucket"), "left")
-            .withColumn("n_dv", coalesce(col("n_dv"), lit(0L)))
-        withDv.select(lit(v).as("version"), col("bucket"),
-          col("n_rows"), col("n_users"), col("sum_value"), col("n_dv"))
-      }.reduce(_ unionAll _)
+      // ONE-PASS merge-on-read across all three versions (optimization
+      // r18, guide §2.4 — reuse the base scan instead of mounting it
+      // once per version): tombstone relations are tiny and broadcast,
+      // so each base row's per-version visibility is two broadcast
+      // LEFT-join null-tests — v1 always; v2 unless keyed in the v2
+      // vector; v3 unless its bucket was compacted away (the rewritten
+      // dirs carry those rows) or keyed in the v3 vector — and the
+      // three per-version aggregations collapse into ONE scan of the
+      // base plus ONE aggregation keyed (version, bucket) after
+      // exploding the visible-version list. Equivalent to the previous
+      // per-version LEFT-ANTI form row-for-row because tombstone keys
+      // are unique per (bucket, event_id) (event_id is unique), so a
+      // left join matches at most once and isNull ≡ anti.
+      val dv2r = readAll(paths(2L, "dv"))
+      val dv3r = readAll(paths(3L, "dv"))
+      val baseData = readAll(paths(1L, "data")) // v1 data ≡ v2 data files
+      val noVersions = typedLit(Seq.empty[Long])
+      val notCompacted =
+        if (compacted.isEmpty) lit(true)
+        else !col("bucket").isInCollection(compacted.toSeq)
+      val visibleBase = baseData
+        .join(broadcast(dv2r.withColumn("d2", lit(1))),
+          Seq("bucket", "event_id"), "left")
+        .join(broadcast(dv3r.withColumn("d3", lit(1))),
+          Seq("bucket", "event_id"), "left")
+        .select(col("bucket"), col("user_id"), col("value"),
+          explode(concat(
+            array(lit(1L)),
+            when(col("d2").isNull, array(lit(2L))).otherwise(noVersions),
+            when(notCompacted && col("d3").isNull, array(lit(3L)))
+              .otherwise(noVersions))).as("version"))
+      val visible =
+        if (rewritten.isEmpty) visibleBase
+        else visibleBase.unionByName(
+          readAll(rewritten.values.toSeq.sorted)
+            .select(col("bucket"), col("user_id"), col("value"),
+              lit(3L).as("version")))
+      val dvc = dv2r.groupBy("bucket").agg(count(lit(1)).as("n_dv"))
+        .withColumn("version", lit(2L))
+        .unionByName(dv3r.groupBy("bucket").agg(count(lit(1)).as("n_dv"))
+          .withColumn("version", lit(3L)))
+      visible
+        .groupBy(col("version"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Q.dsum2(col("value")).as("sum_value"))
+        .join(broadcast(dvc), Seq("version", "bucket"), "left")
+        .select(col("version"), col("bucket"), col("n_rows"), col("n_users"),
+          col("sum_value"), coalesce(col("n_dv"), lit(0L)).as("n_dv"))
     },
     Some(s"""WITH e AS (SELECT event_id, user_id, "value",
                                user_id % 8 AS bucket FROM events),
@@ -1413,12 +1464,14 @@ object Sources {
       val baseRoot = leaf(d, "vac_base")
       base.withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(baseRoot)
+      requireBucketDirs(s, baseRoot, 0L until 4L)
       val baseFiles = (0L until 4L).map(k => s"base_$k" -> s"$baseRoot/pb=$k").toMap
       val rwRoot = leaf(d, "vac_rw")
       base.where(col("bucket").isInCollection(touched) && col("doc_id") % 10 =!= 0)
         .unionAll(updates.where(col("bucket").isInCollection(touched)))
         .withColumn("pb", col("bucket")).drop("bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(rwRoot)
+      requireBucketDirs(s, rwRoot, touched)
       val rwFiles = touched.map(k => s"rw_$k" -> s"$rwRoot/pb=$k").toMap
       val insFile = leaf(d, "vac_ins")
       inserts.drop("bucket").write.mode(SaveMode.Overwrite).parquet(insFile)
@@ -1461,9 +1514,13 @@ object Sources {
       val counts: Map[String, Long] = refs
         .collect { case (tag, _, retained) if retained > 0 => tag }
         .map(tag => s.read.parquet(files(tag)).select(lit(tag).as("tag")))
-        .reduce(_ unionAll _)
-        .groupBy("tag").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // reduceOption (ADVICE r17): an empty survivor set (a retention
+        // constant change could produce one) must yield an empty audit,
+        // not an UnsupportedOperationException from reduce on Nil
+        .reduceOption(_ unionAll _)
+        .map(_.groupBy("tag").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
       refs.toSeq.map { case (tag, total, retained) =>
         (tag, total, retained,
           if (retained > 0) "live" else "vacuumed",

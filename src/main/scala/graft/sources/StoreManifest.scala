@@ -127,7 +127,19 @@ object StoreManifest {
     gens(s, root).lastOption match {
       case None => Seq.empty
       case Some((_, snap)) =>
-        readSnapshot(hfs(s, root), new Path(snap))
+        try readSnapshot(hfs(s, root), new Path(snap))
+        catch { case _: IllegalStateException =>
+          // gens() → readSnapshot is not atomic: two rapid successive
+          // commits can retire the generation this reader just resolved
+          // (retireGens keeps newGen−1), so a missing rows.tsv here can
+          // be a benign reclaim race, not corruption (ADVICE r17).
+          // Re-resolve the head ONCE and retry; a snapshot still
+          // unreadable then is a real error and throws.
+          gens(s, root).lastOption match {
+            case None => Seq.empty
+            case Some((_, snap2)) => readSnapshot(hfs(s, root), new Path(snap2))
+          }
+        }
     }
 
   /** Parse one snapshot dir's `rows.tsv` (version \t cell \t path per
@@ -150,6 +162,14 @@ object StoreManifest {
     * half-written snapshot.
     */
   private def writeSnapshot(fs: FileSystem, snap: Path, rows: Rows): Unit = {
+    // rows.tsv has no escaping: a path carrying the field or record
+    // separator would corrupt the snapshot SILENTLY at the next read
+    // (ADVICE r17). Paths are internally generated today — reject the
+    // latent class loudly at write time rather than parse garbage later.
+    rows.foreach { case (_, _, p) =>
+      require(!p.contains('\t') && !p.contains('\n') && !p.contains('\r'),
+        s"manifest path contains a tsv separator character: $p")
+    }
     fs.mkdirs(snap)
     val out = fs.create(new Path(snap, "rows.tsv"), true)
     try {
