@@ -274,12 +274,19 @@ object Bench {
       // entries): a 357-query suite generates far more codegen units
       // than that per pass, so the cache evicts everything between
       // passes and every stage of every query RE-COMPILES on every
-      // rep (~20-180 ms per unit, driver-side, serial with the query).
-      // Sized so one full suite pass fits; the entries are weakly
+      // rep (~10-40 ms per unit, driver-side, serial with the query).
+      // Sized ABOVE one full suite pass; the entries are weakly
       // referenced compiled classes, not data — same win on any
       // long-lived session running a workload wider than 100 plans.
+      // r18 A/B (mechanism metric: per-pass CodegenMetrics compilation
+      // counts, immune to ambient noise): r17's 5000 was TOO SMALL —
+      // a 357-query pass generates ~5.4k units, so LRU churn still
+      // evicted everything and every pass recompiled ~4.7k units
+      // (~55 s/pass of compile work); on a 40-query subset where 5000
+      // holds a pass, repeat passes compiled 92 vs 780 units (−88 %).
+      // 12000 holds a full pass with headroom.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "12000"))
       .getOrCreate()
     // diagnosis-only: SPARK_GRAFT_BENCH_LOGLVL=INFO surfaces per-job
     // wall times (DAGScheduler "Job N finished ... took") for the

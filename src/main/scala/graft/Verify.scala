@@ -16,9 +16,11 @@ object Verify {
       // (see the Bench.scala scaladoc for the sizing rationale)
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", (128 * 1024).toString))
-      // codegen class cache sized to the registry (see Bench.scala)
+      // codegen class cache sized ABOVE one registry pass (see
+      // Bench.scala: 5000 was under the ~5.4k units a full pass
+      // generates and LRU churn evicted everything)
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "12000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

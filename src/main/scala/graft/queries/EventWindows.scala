@@ -37,10 +37,25 @@ object EventWindows {
     * is sized to state volume, not core count.
     */
   private val StreamStatePartitions = 4
-  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    withStreamPartitionsN(s, StreamStatePartitions)(body)
+
+  /** Width note (optimization r18, measured and REJECTED): running the
+    * five stream-stream join fixtures (q74/q182/q202/q224/q254) at
+    * compute-width state partitioning (min(defaultParallelism, 16) = 16
+    * here) roughly DOUBLED them — cleanest-pass A/B at 4 vs 16
+    * partitions: q254 1.85→4.2 s, q224 2.0→4.9 s, q74 3.2→4.2 s, with
+    * process-CPU up ~2× — the per-partition state-store lifecycle (a
+    * symmetric join keeps 4 stores per partition, each snapshotted per
+    * batch, plus the no-data watermark batch) costs far more than the
+    * extra cores return at bench SF. 4 partitions stays the scoped
+    * default; a deployment sizes this to key spread × arrival rate,
+    * where the join compute term dominates and wider wins.
+    */
+  private def withStreamPartitionsN[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamStatePartitions.toString)
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
 
